@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core row-shaping operators of the engine.
+  *
+  * Capability parity with the reference's `SequenceAwarePipeline` transform
+  * surface (reference: src/core/contextual_pipeline.rs:845-1136), re-expressed
+  * as declarative `DataFrame => DataFrame` combinators so Catalyst can fuse,
+  * push down, and codegen them. Nothing here materializes rows on the driver;
+  * every operator is a narrow transformation except where noted (dedup/sort
+  * shuffle on their keys, exactly the boundaries SURVEY.md §3.4 identifies).
+  */
+object Ops {
+
+  // ---------------------------------------------------------------------
+  // Projections (SURVEY §2.2)
+  // ---------------------------------------------------------------------
+
+  /** P1 — field rename; unmapped columns pass through.
+    * Reference: src/core/contextual_pipeline.rs:530-535,559-565. */
+  def rename(mapping: Map[String, String])(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(mapping)
+
+  /** Path step grammar for P2/P3/P4: `a.b`, `a[0].b`, `a[-1]`, `a[*].b`. */
+  sealed trait PathStep
+  final case class Field(name: String) extends PathStep
+  final case class Index(i: Int) extends PathStep
+  case object Star extends PathStep
+
+  /** Parse a dotted path with optional array accessors into steps.
+    * Mirrors the reference's path walker (contextual_pipeline.rs:681-836)
+    * but compiles to a single Catalyst expression chain instead of
+    * interpreting per record. */
+  def parsePath(path: String): Seq[PathStep] = {
+    val idxRe = """^([^\[\]]*)\[(\*|-?\d+)\]$""".r
+    path.split('.').toIndexedSeq.flatMap {
+      case idxRe(name, idx) =>
+        val base = if (name.isEmpty) Nil else Seq(Field(name))
+        base :+ (if (idx == "*") Star else Index(idx.toInt))
+      case seg => Seq(Field(seg))
+    }
+  }
+
+  /** P2/P3/P4 — compile a path to a Column.
+    *  - dotted fields → `GetStructField` chains (P2)
+    *  - `[i]` / `[-i]` → `element_at` (1-based, negative = from end);
+    *    out-of-bounds → null, matching the reference's "absent" (P3)
+    *  - `[*]` → projects a field across an array of structs, dropping
+    *    missing/null entries like the reference's flat-map (P4)
+    */
+  def pathCol(path: String): Column = {
+    def walk(c: Column, steps: Seq[PathStep], underStar: Boolean): Column =
+      steps match {
+        case Seq() => c
+        case Field(n) +: rest => walk(c.getField(n), rest, underStar)
+        case Index(i) +: rest =>
+          // reference indexing is 0-based; element_at is 1-based
+          val idx = if (i >= 0) i + 1 else i
+          walk(element_at(c, idx), rest, underStar)
+        case Star +: rest =>
+          val projected = walk(c, rest, underStar = true)
+          if (rest.isEmpty) projected
+          else filter(projected, x => x.isNotNull) // skip missing entries
+      }
+    val steps = parsePath(path)
+    steps.head match {
+      case Field(n) => walk(col(n), steps.tail, underStar = false)
+      case _ => throw new IllegalArgumentException(s"path must start with a field: $path")
+    }
+  }
+
+  /** P2-P4 — add extracted-path columns alongside the passthrough columns,
+    * reference semantics (extracted value added, source kept). */
+  def extractPaths(mapping: Map[String, String])(df: DataFrame): DataFrame =
+    mapping.foldLeft(df) { case (d, (path, as)) =>
+      if (path.contains('.') || path.contains('['))
+        d.withColumn(as, pathCol(path))
+      else d.withColumnRenamed(path, as) // plain field → P1 rename
+    }
+
+  /** P5 — keep-only projection; missing fields skipped (logged by caller). */
+  def keepOnly(fields: Seq[String])(df: DataFrame): DataFrame = {
+    val present = fields.filter(df.columns.contains)
+    df.select(present.map(col): _*)
+  }
+
+  /** P6 — exclude projection (reference applies it only when keepOnly absent). */
+  def exclude(fields: Seq[String])(df: DataFrame): DataFrame =
+    df.drop(fields: _*)
+
+  /** P7 — constant flag columns every transformed record receives.
+    * Reference: contextual_pipeline.rs:980-987. */
+  def constants(pipelineName: String)(df: DataFrame): DataFrame =
+    df.withColumn("processed", lit(true))
+      .withColumn("processed_by", lit(pipelineName))
+
+  /** P8 — deterministic column order (sorted by name), the reference's
+    * header normalization (contextual_pipeline.rs:990-1009). */
+  def sortColumns(df: DataFrame): DataFrame =
+    df.select(df.columns.sorted.map(col): _*)
+
+  // ---------------------------------------------------------------------
+  // Filters (SURVEY §2.3)
+  // ---------------------------------------------------------------------
+
+  /** F1 — all-fields-equal predicate; a row with a missing/null field fails,
+    * matching the reference (contextual_pipeline.rs:1064-1083). Null-safe:
+    * `===` already yields null→false under `filter`. */
+  def equalityFilter(conds: Map[String, Any])(df: DataFrame): DataFrame =
+    if (conds.isEmpty) df
+    else df.filter(conds.map { case (f, v) => col(f) === lit(v) }.reduce(_ && _))
+
+  /** F6 — declared-but-dead `extract.filters` in the reference, implemented
+    * honestly here: equality or IN-list per field. */
+  def inFilter(field: String, values: Seq[Any])(df: DataFrame): DataFrame =
+    df.filter(col(field).isin(values: _*))
+
+  // ---------------------------------------------------------------------
+  // data_processing: dedup / sort / limit (SURVEY §2.6)
+  // ---------------------------------------------------------------------
+
+  /** D1 — full-record dedup (reference keeps first occurrence in input
+    * order; sets are equal, order handled by the subsequent sort). */
+  def dedupAll(df: DataFrame): DataFrame = df.distinct()
+
+  /** D2 — field-subset dedup. The reference keeps the *first* occurrence
+    * (contextual_pipeline.rs:613-629); input order is not defined for a
+    * distributed scan, so "first" is made explicit: the row minimal under
+    * `firstBy`. One shuffle on the dedup key, no driver work. */
+  def dedupFields(fields: Seq[String], firstBy: Seq[Column])(df: DataFrame): DataFrame = {
+    if (firstBy.isEmpty) df.dropDuplicates(fields)
+    else {
+      val w = Window.partitionBy(fields.map(col): _*).orderBy(firstBy: _*)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** O1 — sort. `stringMode = true` reproduces the reference's
+    * lexicographic-on-JSON-rendering semantics (contextual_pipeline.rs:646-672,
+    * where 10 < 9 because "10" < "9"); default is natively typed, the
+    * documented deviation. Missing field sorts last under asc like the
+    * reference's Some < None. */
+  def sortBy(field: String, ascending: Boolean = true, stringMode: Boolean = false)(
+      df: DataFrame): DataFrame = {
+    val key = if (stringMode) col(field).cast("string") else col(field)
+    df.orderBy(if (ascending) key.asc_nulls_last else key.desc_nulls_first)
+  }
+
+  /** F4/F5/L1 — row limit (max_records / first_record_only). */
+  def limitRows(n: Int)(df: DataFrame): DataFrame = df.limit(n)
+
+  // ---------------------------------------------------------------------
+  // Scalar transforms (SURVEY §2.7)
+  // ---------------------------------------------------------------------
+
+  /** X1 — clean_text: trim + newline→space on every string column.
+    * Reference: contextual_pipeline.rs:882-889. */
+  def cleanText(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
+    stringCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, regexp_replace(trim(col(c)), "\n", " "))
+    }
+  }
+
+  /** X2 — normalize_fields: lowercase the listed string fields. */
+  def normalizeFields(fields: Seq[String])(df: DataFrame): DataFrame =
+    fields.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c, lower(col(c)))
+    }
+
+  /** X3 — computed_fields. The reference's three magic names
+    * (contextual_pipeline.rs:963-977) plus literal fallback:
+    *  - record_index: 0-based position; needs a total order to be
+    *    deterministic in a distributed engine, so callers pass `orderBy`
+    *  - pipeline_name / execution_id: run-context literals
+    *  - anything else: inserted as a literal string
+    */
+  def computedFields(
+      fields: Map[String, String],
+      pipelineName: String,
+      executionId: String,
+      orderBy: Seq[Column])(df: DataFrame): DataFrame =
+    fields.foldLeft(df) { case (d, (name, expr)) =>
+      expr match {
+        case "record_index" =>
+          val w = Window.orderBy(orderBy: _*)
+          d.withColumn(name, row_number().over(w) - 1)
+        case "pipeline_name" => d.withColumn(name, lit(pipelineName))
+        case "execution_id"  => d.withColumn(name, lit(executionId))
+        case other           => d.withColumn(name, lit(other))
+      }
+    }
+
+  /** X5 — TSV sanitization: tabs/newlines → space in string columns. */
+  def sanitizeTsv(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
+    stringCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, regexp_replace(col(c), "[\\t\\n]", " "))
+    }
+  }
+
+  /** X6 — trim_whitespace / remove_html_tags (declared-but-dead in the
+    * reference, toml_config.rs:59-60; implemented honestly here). */
+  def trimWhitespace(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
+    stringCols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+  }
+  def removeHtmlTags(fields: Seq[String])(df: DataFrame): DataFrame =
+    fields.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c, regexp_replace(col(c), "<[^>]*>", ""))
+    }
+
+  // ---------------------------------------------------------------------
+  // Joins / merges (SURVEY §2.4)
+  // ---------------------------------------------------------------------
+
+  /** J1 — keyed merge (`merge_with_previous`): API record wins, previous
+    * record fills only the fields the API record lacks; unmatched API
+    * records pass through. Reference: an O(n·m) nested loop
+    * (sequence_pipeline.rs:77-108); here a left-outer equi join + columnwise
+    * coalesce, so Catalyst picks broadcast-hash vs sort-merge by size and
+    * AQE can re-plan on skew. `prev` must be unique per key ("first match"
+    * semantics — callers dedup first when it isn't). */
+  def mergeWithPrevious(prev: DataFrame, key: String)(api: DataFrame): DataFrame = {
+    val overlap = api.columns.toSet.intersect(prev.columns.toSet) - key
+    val prevOnly = prev.columns.filterNot(c => api.columns.contains(c))
+    val joined = api.alias("a").join(prev.alias("p"), Seq(key), "left")
+    val cols =
+      col(key) +:
+        (api.columns.filterNot(_ == key).map { c =>
+          if (overlap.contains(c)) coalesce(col(s"a.$c"), col(s"p.$c")).as(c)
+          else col(s"a.$c").as(c)
+        } ++ prevOnly.map(c => col(s"p.$c").as(c)))
+    joined.select(cols: _*)
+  }
+
+  /** J3 — lookup enrichment. The reference only ships the placeholder
+    * (`"enriched_" + value`, contextual_pipeline.rs:949-961); the intended
+    * capability is a broadcast lookup join, so both are provided. */
+  def enrichPlaceholder(mapping: Map[String, String])(df: DataFrame): DataFrame =
+    mapping.foldLeft(df) { case (d, (src, dst)) =>
+      d.withColumn(dst, concat(lit("enriched_"), col(src).cast("string")))
+    }
+
+  /** J3/S9 — real lookup enrichment: broadcast join against a small lookup
+    * table (the reference's declared-but-unread `lookup_files`). */
+  def lookupJoin(lookup: DataFrame, key: String, how: String = "left")(
+      df: DataFrame): DataFrame =
+    df.join(broadcast(lookup), Seq(key), how)
+
+  // ---------------------------------------------------------------------
+  // Union sources (SURVEY §2.1 S6/S7)
+  // ---------------------------------------------------------------------
+
+  /** S6/S7 — schema-drift-tolerant union: fields present in one input only
+    * become nulls (strictly more correct than the reference's
+    * first-record-wins header, documented deviation in SURVEY §1.3). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}
