@@ -1,0 +1,171 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.JsonNode
+import scala.jdk.CollectionConverters._
+
+import graft.util.Json
+
+/** JSON config loader — the engine's equivalent of the reference's TOML
+  * deserialization (src/config/sequence_config.rs:179-276), including the
+  * two-phase variable substitution: `${ENV}` first (T1), then
+  * `[global].shared_variables` (T2). The offline build ships no TOML
+  * parser, so configs are JSON with the same field names (documented
+  * deviation, SURVEY §7.1).
+  */
+object JsonConfig {
+
+  def loadSequence(text: String, env: Map[String, String] = sys.env): SequenceDef = {
+    // phase 1: env substitution, then a first parse just for shared_variables
+    val afterEnv = Templates.substEnv(text, env)
+    val pre = Json.parse(afterEnv)
+    val sharedVars = obj(pre.path("global").path("shared_variables"))
+      .map { case (k, v) => k -> String.valueOf(v) }
+    // phase 2: shared-variable substitution, then the real parse
+    val root = Json.parse(Templates.substShared(afterEnv, sharedVars))
+    parseSequence(root, sharedVars)
+  }
+
+  private def parseSequence(root: JsonNode, sharedVars: Map[String, String]): SequenceDef = {
+    val seqNode = root.path("sequence")
+    val pipelines = root.path("pipelines") match {
+      case a if a.isArray => a.elements().asScala.map(parsePipeline).toVector
+      case _ => Vector.empty
+    }
+    SequenceDef(
+      name = str(seqNode.path("name")).getOrElse("sequence"),
+      executionOrder = strSeq(seqNode.path("execution_order")) match {
+        case Nil => pipelines.map(_.name)
+        case xs => xs
+      },
+      pipelines = pipelines,
+      sharedVariables = sharedVars,
+      onPipelineFailure = str(root.path("error_handling").path("on_pipeline_failure"))
+        .getOrElse("stop"),
+      retryAttempts = int(root.path("error_handling").path("retry_attempts")).getOrElse(0),
+      retryDelayMs = long(root.path("error_handling").path("retry_delay_ms")).getOrElse(0L))
+  }
+
+  def parsePipeline(n: JsonNode): PipelineDef = PipelineDef(
+    name = str(n.path("name")).getOrElse(sys.error("pipeline missing name")),
+    source = parseSource(n.path("source")),
+    extract = parseExtract(n.path("extract")),
+    transform = parseTransform(n.path("transform")),
+    load = if (n.path("load").isObject) Some(parseLoad(n.path("load"))) else None,
+    dependencies = strSeq(n.path("dependencies")),
+    conditions = parseConditions(n.path("conditions")))
+
+  private def parseHttp(n: JsonNode): HttpRequestDef = HttpRequestDef(
+    endpoint = str(n.path("endpoint")).getOrElse(sys.error("source missing endpoint")),
+    method = str(n.path("method")).getOrElse("GET"),
+    headers = strMap(n.path("headers")),
+    queryParams = strMap(n.path("query_params")),
+    payload = str(n.path("payload")),
+    contentType = str(n.path("content_type")),
+    timeoutSeconds = int(n.path("timeout_seconds")).getOrElse(30))
+
+  def parseSource(n: JsonNode): SourceDef = str(n.path("type")).getOrElse("api") match {
+    case "file" => FileSource(
+      path = str(n.path("path")).getOrElse(sys.error("file source missing path")),
+      format = str(n.path("format")).getOrElse("parquet"),
+      options = strMap(n.path("options")))
+    case "previous" => PreviousSource(str(n.path("pipeline")))
+    case "combined" =>
+      if (bool(n.path("merge_with_api")).getOrElse(false)) MergedApiSource(parseHttp(n))
+      else CombinedSource
+    case "parameterized" => ParameterizedApiSource(
+      parseHttp(n), str(n.path("from_pipeline")),
+      long(n.path("rate_limit_ms")).getOrElse(0L))
+    case _ => ApiSource(parseHttp(n))
+  }
+
+  private def parseExtract(n: JsonNode): ExtractDef = ExtractDef(
+    maxRecords = int(n.path("max_records")),
+    firstRecordOnly = bool(n.path("first_record_only")).getOrElse(false),
+    filters = obj(n.path("filters")),
+    processing = {
+      val p = n.path("data_processing")
+      DataProcessingDef(
+        deduplicate = bool(p.path("deduplicate")).getOrElse(false),
+        deduplicateFields = strSeq(p.path("deduplicate_fields")),
+        sortBy = str(p.path("sort_by")),
+        sortOrder = str(p.path("sort_order")).getOrElse("asc"),
+        sortAsString = bool(p.path("sort_as_string")).getOrElse(false))
+    },
+    onApiFailure = str(n.path("error_handling").path("on_api_failure"))
+      .getOrElse("use_sample_data"),
+    sampleData = n.path("sample_data") match {
+      case a if a.isArray => a.elements().asScala.map(_.toString).toVector
+      case _ => Vector.empty
+    })
+
+  private def parseTransform(n: JsonNode): TransformDef = TransformDef(
+    fieldMapping = strMap(n.path("field_mapping")),
+    keepOnlyFields = strSeq(n.path("keep_only_fields")),
+    excludeFields = strSeq(n.path("exclude_fields")),
+    cleanText = strSeq(n.path("operations")).contains("clean_text"),
+    normalizeFields = strSeq(n.path("normalize_fields")),
+    trimWhitespace = bool(n.path("trim_whitespace")).getOrElse(false),
+    removeHtmlTagsFields = strSeq(n.path("remove_html_tags_fields")),
+    computedFields = strMap(n.path("computed_fields")),
+    enrichment = strMap(n.path("data_enrichment").path("lookup_data")),
+    lookup = if (n.path("lookup").isObject) {
+      val l = n.path("lookup")
+      Some(LookupDef(
+        path = str(l.path("path")).getOrElse(sys.error("lookup missing path")),
+        format = str(l.path("format")).getOrElse("csv"),
+        key = str(l.path("key")).getOrElse(sys.error("lookup missing key")),
+        options = strMap(l.path("options"))))
+    } else None,
+    mergeWithPrevious = bool(n.path("merge_with_previous")).getOrElse(false),
+    mergeKey = str(n.path("merge_key")).getOrElse("id"),
+    addProcessedFlags = bool(n.path("add_processed_flags")).getOrElse(true),
+    intermediate = if (n.path("intermediate").isObject) {
+      val i = n.path("intermediate")
+      Some(IntermediateDef(
+        conditions = obj(i.path("conditions")),
+        sharedKey = str(i.path("shared_key")).getOrElse("")))
+    } else None)
+
+  private def parseLoad(n: JsonNode): LoadDef = LoadDef(
+    outputPath = str(n.path("output_path")).getOrElse(sys.error("load missing output_path")),
+    formats = strSeq(n.path("formats")) match { case Nil => Seq("csv"); case xs => xs },
+    filenamePattern = str(n.path("filename_pattern")).getOrElse("{pipeline_name}_output"),
+    zip = bool(n.path("zip")).getOrElse(false),
+    includeMetadata = bool(n.path("compression").path("include_metadata"))
+      .orElse(bool(n.path("include_metadata"))).getOrElse(false),
+    filenames = strMap(n.path("filenames")),
+    singleFile = bool(n.path("single_file")).getOrElse(true))
+
+  private def parseConditions(n: JsonNode): ConditionsDef = ConditionsDef(
+    enabled = bool(n.path("enabled")).getOrElse(true),
+    whenPreviousSucceeded = bool(n.path("when_previous_succeeded")).getOrElse(false),
+    whenRecordsCount = if (n.path("when_records_count").isObject) {
+      val rc = n.path("when_records_count")
+      Some(RecordsCountCond(
+        min = long(rc.path("min")),
+        max = long(rc.path("max")),
+        fromPipeline = str(rc.path("from_pipeline"))))
+    } else None,
+    whenSharedData = obj(n.path("when_shared_data")),
+    skipIfEmpty = bool(n.path("skip_if_empty")).getOrElse(false))
+
+  // ----- JsonNode helpers -----
+  private def str(n: JsonNode): Option[String] =
+    if (n.isTextual) Some(n.asText()) else None
+  private def int(n: JsonNode): Option[Int] =
+    if (n.isNumber) Some(n.asInt()) else None
+  private def long(n: JsonNode): Option[Long] =
+    if (n.isNumber) Some(n.asLong()) else None
+  private def bool(n: JsonNode): Option[Boolean] =
+    if (n.isBoolean) Some(n.asBoolean()) else None
+  private def strSeq(n: JsonNode): Seq[String] =
+    if (n.isArray) n.elements().asScala.map(_.asText()).toVector else Nil
+  private def strMap(n: JsonNode): Map[String, String] =
+    if (n.isObject)
+      n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    else Map.empty
+  private def obj(n: JsonNode): Map[String, Any] =
+    if (n.isObject)
+      n.properties().asScala.map(e => e.getKey -> Json.toScala(e.getValue)).toMap
+    else Map.empty
+}

@@ -1,0 +1,151 @@
+package graft.config
+
+/** Declarative pipeline configuration — the engine's "query language".
+  *
+  * Schema mirrors the reference's `PipelineDefinition` surface
+  * (reference: src/config/sequence_config.rs:25-175) so a user of the
+  * reference can express the same pipelines, generalized with file
+  * sources (the natural Spark idiom; SURVEY §7.1). Values are plain
+  * Scala case classes; `JsonConfig` parses the JSON rendering (the
+  * offline build has no TOML library — documented deviation).
+  */
+
+/** HTTP request shape (S2/S3): method, headers, query params, payload,
+  * timeout. Reference: contextual_pipeline.rs:443-510. */
+final case class HttpRequestDef(
+    endpoint: String,
+    method: String = "GET",
+    headers: Map[String, String] = Map.empty,
+    queryParams: Map[String, String] = Map.empty,
+    payload: Option[String] = None,
+    contentType: Option[String] = None,
+    timeoutSeconds: Int = 30)
+
+sealed trait SourceDef
+
+/** S1-S3 — single HTTP call. */
+final case class ApiSource(http: HttpRequestDef) extends SourceDef
+
+/** File scan (parquet/csv/json/orc) — the Spark-native generalization. */
+final case class FileSource(
+    path: String,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) extends SourceDef
+
+/** S5 — a named previous pipeline's output (None = latest). */
+final case class PreviousSource(pipeline: Option[String] = None) extends SourceDef
+
+/** S6 — all previous outputs, schema-drift union. */
+case object CombinedSource extends SourceDef
+
+/** S7 — previous outputs unioned with a fresh API read. */
+final case class MergedApiSource(http: HttpRequestDef) extends SourceDef
+
+/** S4/J2 — parameterized fan-out: one call per previous record,
+  * `{param}` placeholders filled from that record. */
+final case class ParameterizedApiSource(
+    http: HttpRequestDef,
+    fromPipeline: Option[String] = None,
+    rateLimitMs: Long = 0L) extends SourceDef
+
+/** D1/D2/O1 — extract-phase dedup then sort.
+  * Reference: contextual_pipeline.rs:608-676. */
+final case class DataProcessingDef(
+    deduplicate: Boolean = false,
+    deduplicateFields: Seq[String] = Nil,
+    sortBy: Option[String] = None,
+    sortOrder: String = "asc",
+    /** true = reference-bug-compatible lexicographic compare. */
+    sortAsString: Boolean = false)
+
+/** F4/F5/F6/S8 + D/O block. Reference: sequence_config.rs:60-80. */
+final case class ExtractDef(
+    maxRecords: Option[Int] = None,
+    firstRecordOnly: Boolean = false,
+    filters: Map[String, Any] = Map.empty,
+    processing: DataProcessingDef = DataProcessingDef(),
+    /** S8 — "use_sample_data" (reference default) or "fail". */
+    onApiFailure: String = "use_sample_data",
+    /** JSON object strings used when the API fails. */
+    sampleData: Seq[String] = Nil)
+
+/** F1/C1 — intermediate branch conditions + shared-data export.
+  * Reference: contextual_pipeline.rs:1064-1117. */
+final case class IntermediateDef(
+    conditions: Map[String, Any] = Map.empty,
+    sharedKey: String = "")
+
+/** Transform-phase config (§2.2, §2.4, §2.7).
+  * Reference: sequence_config.rs:82-108. */
+final case class TransformDef(
+    fieldMapping: Map[String, String] = Map.empty,
+    keepOnlyFields: Seq[String] = Nil,
+    excludeFields: Seq[String] = Nil,
+    cleanText: Boolean = false,
+    normalizeFields: Seq[String] = Nil,
+    trimWhitespace: Boolean = false,
+    removeHtmlTagsFields: Seq[String] = Nil,
+    computedFields: Map[String, String] = Map.empty,
+    /** J3 placeholder enrichment: src -> dst. */
+    enrichment: Map[String, String] = Map.empty,
+    /** S9/J3 real lookup: path of a small table broadcast-joined on key. */
+    lookup: Option[LookupDef] = None,
+    /** J1 — merge previous output into this one, API-wins. */
+    mergeWithPrevious: Boolean = false,
+    mergeKey: String = "id",
+    addProcessedFlags: Boolean = true,
+    intermediate: Option[IntermediateDef] = None)
+
+final case class LookupDef(
+    path: String,
+    format: String = "csv",
+    key: String,
+    options: Map[String, String] = Map.empty)
+
+/** Sinks (§2.10): formats ∈ {csv,tsv,json,parquet}; zip packages the
+  * formats into one archive (reference W6). */
+final case class LoadDef(
+    outputPath: String,
+    formats: Seq[String] = Seq("csv"),
+    /** T6 — {pipeline_name}/{execution_id}/{timestamp} placeholders. */
+    filenamePattern: String = "{pipeline_name}_output",
+    zip: Boolean = false,
+    includeMetadata: Boolean = false,
+    /** W9 — per-format filenames (declared-only in reference). */
+    filenames: Map[String, String] = Map.empty,
+    /** Spark-scale escape hatch: write distributed (no single-file). */
+    singleFile: Boolean = true)
+
+/** C2 — conditional execution. Reference: sequence_config.rs:140-152. */
+final case class ConditionsDef(
+    enabled: Boolean = true,
+    whenPreviousSucceeded: Boolean = false,
+    whenRecordsCount: Option[RecordsCountCond] = None,
+    whenSharedData: Map[String, Any] = Map.empty,
+    skipIfEmpty: Boolean = false)
+
+final case class RecordsCountCond(
+    min: Option[Long] = None,
+    max: Option[Long] = None,
+    fromPipeline: Option[String] = None)
+
+final case class PipelineDef(
+    name: String,
+    source: SourceDef,
+    extract: ExtractDef = ExtractDef(),
+    transform: TransformDef = TransformDef(),
+    load: Option[LoadDef] = None,
+    dependencies: Seq[String] = Nil,
+    conditions: ConditionsDef = ConditionsDef())
+
+/** Top-level sequence. Reference: sequence_config.rs:8-23. */
+final case class SequenceDef(
+    name: String,
+    executionOrder: Seq[String],
+    pipelines: Seq[PipelineDef],
+    /** T2 — `${NAME}` substitutions applied at config load. */
+    sharedVariables: Map[String, String] = Map.empty,
+    /** C3 — "stop" (reference behavior) | "continue". */
+    onPipelineFailure: String = "stop",
+    retryAttempts: Int = 0,
+    retryDelayMs: Long = 0L)

@@ -1,0 +1,304 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.config._
+import graft.operators.Ops
+import graft.sinks.Sinks
+import graft.sources.Http
+
+/** Per-pipeline outcome held by the run context (reference
+  * PipelineResult, sequence_pipeline.rs:8-15). */
+final case class PipelineOutcome(
+    name: String,
+    df: Option[DataFrame],
+    outputPath: Option[String],
+    durationMs: Long,
+    recordCount: Long,
+    status: String, // succeeded | skipped | failed
+    error: Option[String] = None)
+
+/** Cross-pipeline state (reference PipelineContext,
+  * sequence_pipeline.rs:18-24): named DataFrames stay lazy/cached in the
+  * cluster; only tiny shared values (tokens, ids) live on the driver. */
+final class RunContext(val executionId: String) {
+  val results: mutable.LinkedHashMap[String, PipelineOutcome] = mutable.LinkedHashMap.empty
+  val shared: mutable.Map[String, Any] = mutable.Map.empty
+
+  def succeeded: Seq[PipelineOutcome] = results.values.filter(_.status == "succeeded").toSeq
+  def latestDf: Option[DataFrame] = succeeded.reverse.flatMap(_.df).headOption
+  def dfFor(name: Option[String]): Option[DataFrame] = name match {
+    case Some(n) => results.get(n).flatMap(_.df)
+    case None => latestDf
+  }
+  def allDfs: Seq[DataFrame] = succeeded.flatMap(_.df)
+}
+
+/** Sequence executor (SURVEY §2.9 C1-C6 + §3.1 lifecycle).
+  *
+  * Driver-side control flow only: condition checks and shared-data
+  * export are the deliberate action barriers between pipelines
+  * (SURVEY §3.4); everything else stays a lazy Spark plan until a
+  * sink or count forces it.
+  */
+object Orchestrator {
+
+  final case class ValidationException(msg: String) extends RuntimeException(msg)
+
+  /** C4 — execution-order names exist, dependencies exist, DFS cycle
+    * detection. Like the reference, dependencies are validated but
+    * scheduling follows `executionOrder` (sequence_config.rs:279-409). */
+  def validate(seq: SequenceDef): Unit = {
+    val byName = seq.pipelines.map(p => p.name -> p).toMap
+    seq.executionOrder.foreach { n =>
+      if (!byName.contains(n))
+        throw ValidationException(s"execution_order references unknown pipeline '$n'")
+    }
+    seq.pipelines.foreach { p =>
+      p.dependencies.foreach { d =>
+        if (!byName.contains(d))
+          throw ValidationException(s"pipeline '${p.name}' depends on unknown pipeline '$d'")
+      }
+    }
+    // DFS cycle detection over the dependency graph
+    val visiting = mutable.Set.empty[String]
+    val done = mutable.Set.empty[String]
+    def dfs(n: String): Unit = {
+      if (visiting.contains(n)) throw ValidationException(s"dependency cycle involving '$n'")
+      if (!done.contains(n)) {
+        visiting += n
+        byName.get(n).toSeq.flatMap(_.dependencies).foreach(dfs)
+        visiting -= n
+        done += n
+      }
+    }
+    seq.pipelines.foreach(p => dfs(p.name))
+  }
+
+  /** C2 — conditional execution (contextual_pipeline.rs:1231-1288). */
+  def shouldExecute(p: PipelineDef, ctx: RunContext): Boolean = {
+    val c = p.conditions
+    if (!c.enabled) return false
+    if (c.whenPreviousSucceeded && ctx.succeeded.isEmpty) return false
+    c.whenRecordsCount.foreach { rc =>
+      val count = rc.fromPipeline match {
+        case Some(n) => ctx.results.get(n).map(_.recordCount).getOrElse(-1L)
+        case None => ctx.succeeded.lastOption.map(_.recordCount).getOrElse(-1L)
+      }
+      if (count < 0) return false
+      if (rc.min.exists(count < _)) return false
+      if (rc.max.exists(count > _)) return false
+    }
+    c.whenSharedData.foreach { case (k, v) =>
+      if (!ctx.shared.get(k).contains(v)) return false
+    }
+    if (c.skipIfEmpty && ctx.succeeded.lastOption.exists(_.recordCount == 0)) return false
+    true
+  }
+
+  /** C3 + C5 — run the sequence in order; `only`/`skip` filter the
+    * enabled list like the CLI flags (sequence_etl.rs:215-236). First
+    * failure aborts when onPipelineFailure == "stop" (reference
+    * behavior), "continue" records the failure and proceeds; honest
+    * retry implements the reference's declared-but-dead retry config. */
+  def execute(
+      spark: SparkSession,
+      seq: SequenceDef,
+      executionId: String = s"seq_${System.currentTimeMillis()}",
+      only: Set[String] = Set.empty,
+      skip: Set[String] = Set.empty): RunContext = {
+    validate(seq)
+    val ctx = new RunContext(executionId)
+    val byName = seq.pipelines.map(p => p.name -> p).toMap
+    val selected = seq.executionOrder
+      .filter(n => only.isEmpty || only.contains(n))
+      .filterNot(skip.contains)
+    selected.foreach { name =>
+      val p = byName(name)
+      if (!shouldExecute(p, ctx)) {
+        ctx.results(name) = PipelineOutcome(name, None, None, 0L, 0L, "skipped")
+      } else {
+        val t0 = System.nanoTime()
+        def attempt(remaining: Int): PipelineOutcome =
+          try runPipeline(spark, p, ctx)
+          catch {
+            case scala.util.control.NonFatal(e) if remaining > 0 =>
+              if (seq.retryDelayMs > 0) Thread.sleep(seq.retryDelayMs)
+              attempt(remaining - 1)
+            case scala.util.control.NonFatal(e) =>
+              PipelineOutcome(name, None, None, 0L, 0L, "failed",
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          }
+        val outcome0 = attempt(seq.retryAttempts)
+        val outcome = outcome0.copy(
+          durationMs = (System.nanoTime() - t0) / 1000000L)
+        ctx.results(name) = outcome
+        if (outcome.status == "failed" && seq.onPipelineFailure == "stop")
+          throw new RuntimeException(
+            s"pipeline '$name' failed: ${outcome.error.getOrElse("")} (sequence aborted)")
+      }
+    }
+    ctx
+  }
+
+  /** One pipeline: extract → transform → load (EtlEngine parity,
+    * etl_engine.rs:25-65). */
+  def runPipeline(spark: SparkSession, p: PipelineDef, ctx: RunContext): PipelineOutcome = {
+    val extracted = extract(spark, p, ctx)
+    val (main, intermediate) = transform(spark, p, ctx, extracted)
+    val cached = main.persist(StorageLevel.MEMORY_AND_DISK)
+    val count = cached.count()
+    exportShared(p, ctx, intermediate)
+    val outPath = p.load.map { l =>
+      Sinks.write(spark, cached, intermediate, l, p.name, ctx.executionId)
+    }
+    PipelineOutcome(p.name, Some(cached), outPath, 0L, count, "succeeded")
+  }
+
+  /** Extract phase: source dispatch (S1-S9) then the data_processing
+    * block (filters F6 → dedup D1/D2 → sort O1 → limit F4/F5), the
+    * reference's fixed order (contextual_pipeline.rs:608-676). */
+  def extract(spark: SparkSession, p: PipelineDef, ctx: RunContext): DataFrame = {
+    val shared = ctx.shared.toMap
+    val src: DataFrame = p.source match {
+      case FileSource(path, format, options) =>
+        spark.read.format(format).options(options).load(path)
+      case ApiSource(http) =>
+        if (p.extract.onApiFailure == "use_sample_data")
+          Http.readApiWithFallback(spark, http, p.extract.sampleData, shared)
+        else Http.readApi(spark, http, shared)
+      case PreviousSource(name) =>
+        ctx.dfFor(name).getOrElse(
+          throw new IllegalStateException(s"no previous output for ${p.name}"))
+      case CombinedSource =>
+        val dfs = ctx.allDfs
+        if (dfs.isEmpty) throw new IllegalStateException("combined source with no previous outputs")
+        Ops.unionAll(dfs)
+      case MergedApiSource(http) =>
+        val api = Http.readApiWithFallback(spark, http, p.extract.sampleData, shared)
+        Ops.unionAll(ctx.allDfs :+ api)
+      case ParameterizedApiSource(http, from, rateMs) =>
+        val prev = ctx.dfFor(from).getOrElse(
+          throw new IllegalStateException(s"no previous output to parameterize ${p.name}"))
+        Http.fanOut(spark, prev, http, shared, rateMs)
+    }
+    var df = src
+    p.extract.filters.foreach { case (f, v) =>
+      v match {
+        case vs: Seq[_] => df = Ops.inFilter(f, vs)(df)
+        case single => df = Ops.equalityFilter(Map(f -> single))(df)
+      }
+    }
+    val proc = p.extract.processing
+    if (proc.deduplicateFields.nonEmpty) df = df.dropDuplicates(proc.deduplicateFields)
+    else if (proc.deduplicate) df = Ops.dedupAll(df)
+    proc.sortBy.foreach { f =>
+      df = Ops.sortBy(f, proc.sortOrder.toLowerCase != "desc", proc.sortAsString)(df)
+    }
+    if (p.extract.firstRecordOnly) df = df.limit(1)
+    else p.extract.maxRecords.foreach(n => df = df.limit(n))
+    df
+  }
+
+  /** Transform phase in the reference's operator order
+    * (contextual_pipeline.rs:879-1121): text ops → mapping → projection
+    * → enrichment → merge → computed → flags → column order; then the
+    * F1 intermediate branch off the final frame. */
+  def transform(
+      spark: SparkSession,
+      p: PipelineDef,
+      ctx: RunContext,
+      input: DataFrame): (DataFrame, Option[DataFrame]) = {
+    val t = p.transform
+    var df = input
+    if (t.cleanText) df = Ops.cleanText(df)
+    if (t.trimWhitespace) df = Ops.trimWhitespace(df)
+    if (t.normalizeFields.nonEmpty) df = Ops.normalizeFields(t.normalizeFields)(df)
+    if (t.removeHtmlTagsFields.nonEmpty) df = Ops.removeHtmlTags(t.removeHtmlTagsFields)(df)
+    if (t.fieldMapping.nonEmpty) df = Ops.extractPaths(t.fieldMapping)(df)
+    if (t.keepOnlyFields.nonEmpty) df = Ops.keepOnly(t.keepOnlyFields)(df)
+    else if (t.excludeFields.nonEmpty) df = Ops.exclude(t.excludeFields)(df)
+    if (t.enrichment.nonEmpty) df = Ops.enrichPlaceholder(t.enrichment)(df)
+    t.lookup.foreach { lk =>
+      val lookupDf = spark.read.format(lk.format)
+        .options(lk.options ++ (if (lk.format == "csv") Map("header" -> "true") else Map.empty))
+        .load(lk.path)
+      df = Ops.lookupJoin(lookupDf, lk.key)(df)
+    }
+    if (t.mergeWithPrevious) {
+      ctx.latestDf.foreach { prev =>
+        // "first match" semantics need a unique key on the previous side
+        val prevUnique = prev.dropDuplicates(t.mergeKey)
+        df = Ops.mergeWithPrevious(prevUnique, t.mergeKey)(df)
+      }
+    }
+    if (t.computedFields.nonEmpty) {
+      val orderCols = df.columns.headOption.map(c => col(c)).toSeq
+      df = Ops.computedFields(t.computedFields, p.name, ctx.executionId, orderCols)(df)
+    }
+    if (t.addProcessedFlags) df = Ops.constants(p.name)(df)
+    df = Ops.sortColumns(df)
+    val intermediate = t.intermediate
+      .filter(_.conditions.nonEmpty)
+      .map(i => Ops.equalityFilter(i.conditions)(df))
+    (df, intermediate)
+  }
+
+  /** C1 — shared-data export off the intermediate branch: token /
+    * access_token → shared "token"; other fields → "{shared_key}_{field}"
+    * (or the raw field name when sharedKey is empty). Collects a bounded
+    * sample — exported values are meant to be tiny (tokens, ids). */
+  def exportShared(p: PipelineDef, ctx: RunContext, intermediate: Option[DataFrame]): Unit =
+    for {
+      idef <- p.transform.intermediate
+      branch <- intermediate
+    } {
+      val rows = branch.limit(100).collect()
+      val cols = branch.columns
+      rows.foreach { row =>
+        cols.zipWithIndex.foreach { case (c, i) =>
+          val v = row.get(i)
+          if (v != null) {
+            if (c == "token" || c == "access_token") ctx.shared("token") = v
+            else {
+              val key = if (idef.sharedKey.nonEmpty) s"${idef.sharedKey}_$c" else c
+              ctx.shared(key) = v
+            }
+          }
+        }
+      }
+    }
+
+  /** C6 — dry run: human-readable execution plan, no Spark jobs. */
+  def dryRun(seq: SequenceDef): String = {
+    validate(seq)
+    val sb = new StringBuilder
+    sb.append(s"sequence: ${seq.name}\n")
+    sb.append(s"execution_order: ${seq.executionOrder.mkString(" -> ")}\n")
+    val byName = seq.pipelines.map(p => p.name -> p).toMap
+    seq.executionOrder.foreach { n =>
+      val p = byName(n)
+      sb.append(s"- $n: source=${p.source.getClass.getSimpleName}")
+      if (p.dependencies.nonEmpty) sb.append(s" deps=${p.dependencies.mkString(",")}")
+      if (!p.conditions.enabled) sb.append(" [disabled]")
+      p.load.foreach(l => sb.append(s" -> ${l.outputPath} (${l.formats.mkString("/")}${if (l.zip) ", zip" else ""})"))
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** W7 — metrics export, shape-compatible with the reference's
+    * sequence_metrics.json (sequence_etl.rs:336-400). */
+  def metricsJson(ctx: RunContext): String = {
+    val pipelines = ctx.results.values.map { o =>
+      s"""{"name":"${o.name}","duration_ms":${o.durationMs},"records_count":${o.recordCount},"output_path":${o.outputPath.map("\"" + _ + "\"").getOrElse("null")},"status":"${o.status}"}"""
+    }.mkString("[", ",", "]")
+    val executed = ctx.succeeded.map(o => "\"" + o.name + "\"").mkString("[", ",", "]")
+    val ts = java.time.format.DateTimeFormatter.ISO_INSTANT.format(java.time.Instant.now())
+    s"""{"pipelines":$pipelines,"summary":{"executed_pipelines":$executed,"total_duration_ms":${ctx.results.values.map(_.durationMs).sum},"total_pipelines":${ctx.succeeded.size},"total_records":${ctx.succeeded.map(_.recordCount).sum}},"execution_id":"${ctx.executionId}","timestamp":"$ts"}"""
+  }
+}

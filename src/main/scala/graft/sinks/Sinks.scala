@@ -1,0 +1,162 @@
+package graft.sinks
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.config.LoadDef
+import graft.operators.Ops
+
+/** Sinks (SURVEY §2.10, W1-W9).
+  *
+  * Two regimes, chosen by `LoadDef.singleFile`:
+  *  - distributed (the 100 TB path): every format written by the
+  *    DataFrameWriter straight to the target directory — no driver
+  *    bytes, no coalesce, any Hadoop scheme (file://, s3a://, hdfs://).
+  *  - single-file + optional ZIP (reference parity, W6): formats are
+  *    rendered to one part each (coalesce(1)) in a scratch dir, then the
+  *    driver streams them into `<name>.zip` via java.util.zip + the
+  *    Hadoop FileSystem API. Single-file semantics are inherently
+  *    driver-side (SURVEY §2.10 W6) and meant for small exports.
+  */
+object Sinks {
+
+  /** Write `df` (and the optional intermediate branch) in every
+    * configured format; returns the output location written. */
+  def write(
+      spark: SparkSession,
+      df: DataFrame,
+      intermediate: Option[DataFrame],
+      load: LoadDef,
+      pipelineName: String,
+      executionId: String): String = {
+    val baseName = graft.config.Templates.substFilename(
+      load.filenamePattern, pipelineName, executionId)
+    if (load.zip) writeZip(spark, df, intermediate, load, baseName, pipelineName, executionId)
+    else if (load.singleFile) {
+      load.formats.foreach { fmt =>
+        val target = s"${load.outputPath}/${fileName(load, fmt, baseName)}"
+        writeBytes(spark, target, renderSingle(df, fmt))
+      }
+      load.outputPath
+    } else {
+      load.formats.foreach { fmt =>
+        writeDistributed(df, fmt, s"${load.outputPath}/${baseName}_$fmt")
+      }
+      load.outputPath
+    }
+  }
+
+  /** W1/W2/W3 distributed: CSV with RFC-4180 quoting, TSV with X5
+    * sanitization and no quoting, JSON as NDJSON, parquet native. */
+  def writeDistributed(df: DataFrame, format: String, path: String): Unit =
+    format match {
+      case "csv" =>
+        df.write.mode(SaveMode.Overwrite)
+          .option("header", "true").option("quote", "\"").option("escape", "\"")
+          .csv(path)
+      case "tsv" =>
+        Ops.sanitizeTsv(df).write.mode(SaveMode.Overwrite)
+          .option("header", "true").option("sep", "\t").option("quote", "\u0000")
+          .csv(path)
+      case "json" => df.write.mode(SaveMode.Overwrite).json(path)
+      case "parquet" => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+
+  /** Render a DataFrame to one in-memory text blob (reference parity:
+    * the reference pre-renders CSV/TSV strings, contextual_pipeline.rs:
+    * 1016-1061; JSON is a pretty array, :1179-1183). Small exports only. */
+  def renderSingle(df: DataFrame, format: String): Array[Byte] = format match {
+    case "csv" => renderSep(df, ",", quote = true)
+    case "tsv" => renderSep(Ops.sanitizeTsv(df), "\t", quote = false)
+    case "json" =>
+      val rows = df.toJSON.collect()
+      ("[\n" + rows.mkString(",\n") + "\n]").getBytes(StandardCharsets.UTF_8)
+    case other => throw new IllegalArgumentException(s"unknown single-file format $other")
+  }
+
+  /** X4 — RFC-4180 escaping: quote fields containing sep/quote/newline,
+    * double inner quotes; null → empty (reference contextual_pipeline.rs:
+    * 1017-1041). */
+  private def renderSep(df: DataFrame, sep: String, quote: Boolean): Array[Byte] = {
+    val cols = df.columns
+    val sb = new StringBuilder
+    sb.append(cols.mkString(sep)).append('\n')
+    df.toLocalIterator().forEachRemaining { row =>
+      val cells = cols.indices.map { i =>
+        val v = row.get(i)
+        val s = if (v == null) "" else String.valueOf(v)
+        if (quote && (s.contains(sep) || s.contains("\"") || s.contains("\n")))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      }
+      sb.append(cells.mkString(sep)).append('\n')
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** W6 — ZIP packaging: all formats + optional intermediate.json (W4,
+    * only when non-empty) + metadata.json (W5) into one archive. */
+  private def writeZip(
+      spark: SparkSession,
+      df: DataFrame,
+      intermediate: Option[DataFrame],
+      load: LoadDef,
+      baseName: String,
+      pipelineName: String,
+      executionId: String): String = {
+    val buf = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(buf)
+    def entry(name: String, bytes: Array[Byte]): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(bytes)
+      zip.closeEntry()
+    }
+    load.formats.foreach { fmt =>
+      entry(fileName(load, fmt, "output"), renderSingle(df, fmt))
+    }
+    intermediate.filter(i => !i.isEmpty).foreach { i =>
+      entry("intermediate.json", renderSingle(i, "json"))
+    }
+    if (load.includeMetadata) {
+      val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now())
+      val meta =
+        s"""{"pipeline_name":"$pipelineName","execution_id":"$executionId","timestamp":"$ts"}"""
+      entry("metadata.json", meta.getBytes(StandardCharsets.UTF_8))
+    }
+    zip.close()
+    val target = s"${load.outputPath}/$baseName.zip"
+    writeBytes(spark, target, buf.toByteArray)
+    target
+  }
+
+  /** W9 — per-format filenames (hardcoded names in the reference). */
+  private def fileName(load: LoadDef, fmt: String, base: String): String =
+    load.filenames.getOrElse(fmt, s"$base.${ext(fmt)}")
+
+  private def ext(fmt: String) = if (fmt == "tsv") "tsv" else fmt
+
+  /** Driver byte write through the Hadoop FileSystem API so local and
+    * object-store URIs take the same path (W8: unlike the reference,
+    * write errors propagate — documented fix of the swallow at
+    * lambda.rs:210-244). */
+  def writeBytes(spark: SparkSession, target: String, bytes: Array[Byte]): Unit = {
+    val path = new Path(target)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read bytes back (Storage.read_file parity, ports.rs:5-12). */
+  def readBytes(spark: SparkSession, target: String): Array[Byte] = {
+    val path = new Path(target)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try in.readAllBytes() finally in.close()
+  }
+}
