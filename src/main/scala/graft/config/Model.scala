@@ -113,8 +113,14 @@ final case class LoadDef(
     includeMetadata: Boolean = false,
     /** W9 — per-format filenames (declared-only in reference). */
     filenames: Map[String, String] = Map.empty,
-    /** Spark-scale escape hatch: write distributed (no single-file). */
-    singleFile: Boolean = true)
+    /** Reference-parity escape hatch: render one file per format on the
+      * driver (required for zip). DEFAULT IS DISTRIBUTED — the
+      * DataFrameWriter path scales to any size; the single-file path is
+      * opt-in and hard-capped by `singleFileMaxRows` so a misconfigured
+      * load can never OOM the driver at scale. */
+    singleFile: Boolean = false,
+    /** Upper bound on rows the single-file/zip renderer will accept. */
+    singleFileMaxRows: Long = 1000000L)
 
 /** C2 — conditional execution. Reference: sequence_config.rs:140-152. */
 final case class ConditionsDef(

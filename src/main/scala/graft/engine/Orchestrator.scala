@@ -12,15 +12,21 @@ import graft.sinks.Sinks
 import graft.sources.Http
 
 /** Per-pipeline outcome held by the run context (reference
-  * PipelineResult, sequence_pipeline.rs:8-15). */
+  * PipelineResult, sequence_pipeline.rs:8-15). `recordCount` is LAZY:
+  * counting is a Spark action, so it runs only when something actually
+  * demands it — a C2 records-count/skip-if-empty condition, the A1/W7
+  * summary, or an explicit caller. A pipeline with no conditions, no
+  * sink and no export triggers zero jobs. */
 final case class PipelineOutcome(
     name: String,
     df: Option[DataFrame],
     outputPath: Option[String],
     durationMs: Long,
-    recordCount: Long,
     status: String, // succeeded | skipped | failed
-    error: Option[String] = None)
+    error: Option[String] = None,
+    countFn: () => Long = () => 0L) {
+  lazy val recordCount: Long = countFn()
+}
 
 /** Cross-pipeline state (reference PipelineContext,
   * sequence_pipeline.rs:18-24): named DataFrames stay lazy/cached in the
@@ -28,6 +34,9 @@ final case class PipelineOutcome(
 final class RunContext(val executionId: String) {
   val results: mutable.LinkedHashMap[String, PipelineOutcome] = mutable.LinkedHashMap.empty
   val shared: mutable.Map[String, Any] = mutable.Map.empty
+  /** Frames cached for cross-pipeline reuse; released at sequence end. */
+  val persisted: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty
+  def unpersistAll(): Unit = { persisted.foreach(_.unpersist(false)); persisted.clear() }
 
   def succeeded: Seq[PipelineOutcome] = results.values.filter(_.status == "succeeded").toSeq
   def latestDf: Option[DataFrame] = succeeded.reverse.flatMap(_.df).headOption
@@ -110,27 +119,38 @@ object Orchestrator {
       seq: SequenceDef,
       executionId: String = s"seq_${System.currentTimeMillis()}",
       only: Set[String] = Set.empty,
-      skip: Set[String] = Set.empty): RunContext = {
+      skip: Set[String] = Set.empty,
+      unpersistOnEnd: Boolean = true): RunContext = {
     validate(seq)
     val ctx = new RunContext(executionId)
     val byName = seq.pipelines.map(p => p.name -> p).toMap
     val selected = seq.executionOrder
       .filter(n => only.isEmpty || only.contains(n))
       .filterNot(skip.contains)
-    selected.foreach { name =>
+    // Persist a pipeline's frame only when some LATER selected pipeline
+    // consumes previous outputs — otherwise caching doubles I/O for
+    // nothing (the round-1 eager persist+count anti-pattern).
+    def consumesPrevious(p: PipelineDef): Boolean = p.source match {
+      case _: PreviousSource | CombinedSource | _: MergedApiSource |
+          _: ParameterizedApiSource => true
+      case _ => p.transform.mergeWithPrevious
+    }
+    selected.zipWithIndex.foreach { case (name, i) =>
       val p = byName(name)
+      val consumedLater =
+        selected.drop(i + 1).exists(n => consumesPrevious(byName(n)))
       if (!shouldExecute(p, ctx)) {
-        ctx.results(name) = PipelineOutcome(name, None, None, 0L, 0L, "skipped")
+        ctx.results(name) = PipelineOutcome(name, None, None, 0L, "skipped")
       } else {
         val t0 = System.nanoTime()
         def attempt(remaining: Int): PipelineOutcome =
-          try runPipeline(spark, p, ctx)
+          try runPipeline(spark, p, ctx, persist = consumedLater)
           catch {
             case scala.util.control.NonFatal(e) if remaining > 0 =>
               if (seq.retryDelayMs > 0) Thread.sleep(seq.retryDelayMs)
               attempt(remaining - 1)
             case scala.util.control.NonFatal(e) =>
-              PipelineOutcome(name, None, None, 0L, 0L, "failed",
+              PipelineOutcome(name, None, None, 0L, "failed",
                 Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
           }
         val outcome0 = attempt(seq.retryAttempts)
@@ -142,21 +162,33 @@ object Orchestrator {
             s"pipeline '$name' failed: ${outcome.error.getOrElse("")} (sequence aborted)")
       }
     }
+    if (unpersistOnEnd) ctx.unpersistAll()
     ctx
   }
 
   /** One pipeline: extract → transform → load (EtlEngine parity,
-    * etl_engine.rs:25-65). */
-  def runPipeline(spark: SparkSession, p: PipelineDef, ctx: RunContext): PipelineOutcome = {
+    * etl_engine.rs:25-65). Nothing is materialized unless something
+    * demands it: the C1 export collects only the (bounded) intermediate
+    * branch, the sink write is its own action, and the record count is
+    * deferred behind `PipelineOutcome.recordCount`. */
+  def runPipeline(
+      spark: SparkSession,
+      p: PipelineDef,
+      ctx: RunContext,
+      persist: Boolean = false): PipelineOutcome = {
     val extracted = extract(spark, p, ctx)
-    val (main, intermediate) = transform(spark, p, ctx, extracted)
-    val cached = main.persist(StorageLevel.MEMORY_AND_DISK)
-    val count = cached.count()
+    val (main0, intermediate) = transform(spark, p, ctx, extracted)
+    val main =
+      if (persist) {
+        val c = main0.persist(StorageLevel.MEMORY_AND_DISK)
+        ctx.persisted += c
+        c
+      } else main0
     exportShared(p, ctx, intermediate)
     val outPath = p.load.map { l =>
-      Sinks.write(spark, cached, intermediate, l, p.name, ctx.executionId)
+      Sinks.write(spark, main, intermediate, l, p.name, ctx.executionId)
     }
-    PipelineOutcome(p.name, Some(cached), outPath, 0L, count, "succeeded")
+    PipelineOutcome(p.name, Some(main), outPath, 0L, "succeeded", None, () => main.count())
   }
 
   /** Extract phase: source dispatch (S1-S9) then the data_processing

@@ -171,10 +171,35 @@ object Ops {
       d.withColumn(c, lower(col(c)))
     }
 
+  /** X3 record_index — 0-based global position under `orderBy`, computed
+    * scalably: range-repartition on the sort key (so partition i holds
+    * keys strictly below partition i+1), sort within partitions, then
+    * `zipWithIndex` — Spark's built-in two-pass partition-offset scheme
+    * (one small job counts per-partition sizes, then each partition
+    * assigns offset + local index). No single-partition window, no
+    * driver funnel; every stage is partition-parallel.
+    * With an empty `orderBy` the index follows current partition order
+    * (deterministic only for a deterministic input layout). */
+  def withRecordIndex(name: String, orderBy: Seq[Column])(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    val sorted =
+      if (orderBy.isEmpty) df
+      else df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
+    val schema = sorted.schema.add(StructField(name, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** X3 — computed_fields. The reference's three magic names
     * (contextual_pipeline.rs:963-977) plus literal fallback:
     *  - record_index: 0-based position; needs a total order to be
     *    deterministic in a distributed engine, so callers pass `orderBy`
+    *    (delegates to [[withRecordIndex]] — partition-offset indexing,
+    *    not a global window)
     *  - pipeline_name / execution_id: run-context literals
     *  - anything else: inserted as a literal string
     */
@@ -185,9 +210,7 @@ object Ops {
       orderBy: Seq[Column])(df: DataFrame): DataFrame =
     fields.foldLeft(df) { case (d, (name, expr)) =>
       expr match {
-        case "record_index" =>
-          val w = Window.orderBy(orderBy: _*)
-          d.withColumn(name, row_number().over(w) - 1)
+        case "record_index"  => withRecordIndex(name, orderBy)(d)
         case "pipeline_name" => d.withColumn(name, lit(pipelineName))
         case "execution_id"  => d.withColumn(name, lit(executionId))
         case other           => d.withColumn(name, lit(other))
@@ -245,11 +268,22 @@ object Ops {
       d.withColumn(dst, concat(lit("enriched_"), col(src).cast("string")))
     }
 
-  /** J3/S9 — real lookup enrichment: broadcast join against a small lookup
-    * table (the reference's declared-but-unread `lookup_files`). */
-  def lookupJoin(lookup: DataFrame, key: String, how: String = "left")(
-      df: DataFrame): DataFrame =
-    df.join(broadcast(lookup), Seq(key), how)
+  /** J3/S9 — real lookup enrichment: equi join against a lookup table
+    * (the reference's declared-but-unread `lookup_files`).
+    *
+    * Broadcast policy: by default the strategy is left to Catalyst/AQE,
+    * which broadcast small sides from source statistics and re-plan at
+    * runtime — so a small lookup still gets a broadcast-hash join while
+    * a large one degrades safely to shuffle join instead of OOMing the
+    * driver. `forceBroadcast = true` is an explicit opt-in for lookups
+    * the caller KNOWS are small but whose stats are unavailable
+    * (e.g. fresh HTTP-sourced frames with no file statistics). */
+  def lookupJoin(
+      lookup: DataFrame,
+      key: String,
+      how: String = "left",
+      forceBroadcast: Boolean = false)(df: DataFrame): DataFrame =
+    df.join(if (forceBroadcast) broadcast(lookup) else lookup, Seq(key), how)
 
   // ---------------------------------------------------------------------
   // Union sources (SURVEY §2.1 S6/S7)

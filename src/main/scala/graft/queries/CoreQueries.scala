@@ -291,7 +291,7 @@ object CoreQueries {
     QDef.sql(
       "x3_computed",
       """SELECT o_orderkey,
-        |       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS INT) AS record_index,
+        |       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS record_index,
         |       'graft-pipeline' AS pipeline_name,
         |       'exec-verify' AS execution_id
         |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>

@@ -39,7 +39,7 @@ object Sinks {
     else if (load.singleFile) {
       load.formats.foreach { fmt =>
         val target = s"${load.outputPath}/${fileName(load, fmt, baseName)}"
-        writeBytes(spark, target, renderSingle(df, fmt))
+        writeBytes(spark, target, renderSingle(df, fmt, load.singleFileMaxRows))
       }
       load.outputPath
     } else {
@@ -67,26 +67,47 @@ object Sinks {
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
 
+  final case class SingleFileTooLarge(rows: Long, cap: Long)
+      extends RuntimeException(
+        s"single-file render exceeded $cap rows (saw > $rows); " +
+          "use the distributed sink (singleFile = false) for large outputs")
+
   /** Render a DataFrame to one in-memory text blob (reference parity:
     * the reference pre-renders CSV/TSV strings, contextual_pipeline.rs:
-    * 1016-1061; JSON is a pretty array, :1179-1183). Small exports only. */
-  def renderSingle(df: DataFrame, format: String): Array[Byte] = format match {
-    case "csv" => renderSep(df, ",", quote = true)
-    case "tsv" => renderSep(Ops.sanitizeTsv(df), "\t", quote = false)
-    case "json" =>
-      val rows = df.toJSON.collect()
-      ("[\n" + rows.mkString(",\n") + "\n]").getBytes(StandardCharsets.UTF_8)
-    case other => throw new IllegalArgumentException(s"unknown single-file format $other")
-  }
+    * 1016-1061; JSON is a pretty array, :1179-1183). Streams via
+    * toLocalIterator (one partition in driver memory at a time) and
+    * hard-fails past `maxRows` — the 100 TB path is writeDistributed. */
+  def renderSingle(df: DataFrame, format: String, maxRows: Long = 1000000L): Array[Byte] =
+    format match {
+      case "csv" => renderSep(df, ",", quote = true, maxRows)
+      case "tsv" => renderSep(Ops.sanitizeTsv(df), "\t", quote = false, maxRows)
+      case "json" =>
+        val sb = new StringBuilder("[\n")
+        var n = 0L
+        val it = df.toJSON.toLocalIterator()
+        while (it.hasNext) {
+          if (n >= maxRows) throw SingleFileTooLarge(n, maxRows)
+          if (n > 0) sb.append(",\n")
+          sb.append(it.next())
+          n += 1
+        }
+        sb.append("\n]").toString.getBytes(StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(s"unknown single-file format $other")
+    }
 
   /** X4 — RFC-4180 escaping: quote fields containing sep/quote/newline,
     * double inner quotes; null → empty (reference contextual_pipeline.rs:
     * 1017-1041). */
-  private def renderSep(df: DataFrame, sep: String, quote: Boolean): Array[Byte] = {
+  private def renderSep(
+      df: DataFrame, sep: String, quote: Boolean, maxRows: Long): Array[Byte] = {
     val cols = df.columns
     val sb = new StringBuilder
     sb.append(cols.mkString(sep)).append('\n')
-    df.toLocalIterator().forEachRemaining { row =>
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      if (n >= maxRows) throw SingleFileTooLarge(n, maxRows)
+      val row = it.next()
       val cells = cols.indices.map { i =>
         val v = row.get(i)
         val s = if (v == null) "" else String.valueOf(v)
@@ -95,6 +116,7 @@ object Sinks {
         else s
       }
       sb.append(cells.mkString(sep)).append('\n')
+      n += 1
     }
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
@@ -117,10 +139,10 @@ object Sinks {
       zip.closeEntry()
     }
     load.formats.foreach { fmt =>
-      entry(fileName(load, fmt, "output"), renderSingle(df, fmt))
+      entry(fileName(load, fmt, "output"), renderSingle(df, fmt, load.singleFileMaxRows))
     }
     intermediate.filter(i => !i.isEmpty).foreach { i =>
-      entry("intermediate.json", renderSingle(i, "json"))
+      entry("intermediate.json", renderSingle(i, "json", load.singleFileMaxRows))
     }
     if (load.includeMetadata) {
       val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
