@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data-pipeline operators (beyond reference parity;
+  * the brief's "LLM data pipeline" surface): near-duplicate detection
+  * (MinHash+LSH, SimHash, exact n-gram Jaccard), similarity search over
+  * embeddings (brute-force cosine baseline + random-hyperplane LSH as the
+  * scale path), and deterministic fingerprinting.
+  *
+  * Design constraints:
+  *  - Every operator is a declarative DataFrame plan — shuffles happen
+  *    only on the intended keys (shingle, band-hash, LSH bucket), never
+  *    as an all-pairs cartesian. At 100 TB the candidate generation is
+  *    the bucket join; brute force exists only as the small-probe-set
+  *    baseline and is bounded by the probe predicate.
+  *  - All hashing is engine-portable: a character-level polynomial left
+  *    fold mod 1e9+7, expressible identically in Spark (`aggregate`) and
+  *    DuckDB (`list_reduce`) so the driver's oracle can hash-compare
+  *    results. Integer math stays below 2^63 throughout.
+  */
+object LlmOps {
+
+  /** Polynomial-hash modulus (fits 31*p + 127 and seedA*p well below 2^63). */
+  val HashP: Long = 1000000007L
+  /** Mersenne 2^31-1 — modulus for permuted MinHash values and band hashes. */
+  val P31: Long = 2147483647L
+
+  /** MinHash permutation seeds: minhash_i = min((A_i * h + B_i) mod P31). */
+  val SeedA: Seq[Long] = Seq(1000003L, 1000033L, 1000037L, 1000039L,
+    1000081L, 1000099L, 1000117L, 1000121L)
+  val SeedB: Seq[Long] = Seq(12345L, 54321L, 11111L, 22222L,
+    33333L, 44444L, 55555L, 66666L)
+
+  /** Deterministic char-level polynomial hash of a string column:
+    * fold over code points, acc = (acc*31 + cp) mod 1e9+7. Sequential
+    * left fold → identical in any engine that folds arrays in order.
+    * Empty-string array elements are dropped (Spark's split keeps a
+    * trailing "" that DuckDB's string_split does not). */
+  def strHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch).cast("long")) % HashP)
+
+  /** Lowercased whitespace tokens of a text column. */
+  def words(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** n-word shingles as strings ("w1 w2 ... wn"); empty array when the
+    * document has fewer than n words. */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val ws = words(textCol)
+    val mk = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => ws(i + lit(j))): _*)
+    when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), mk))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, shingle-hash h) — one row per DISTINCT shingle per document.
+    * The explode is the scale-out: hashing is per-row codegen'd work,
+    * the distinct shuffles on (id, h). */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__s"))
+      .select(col(idCol), strHash(col("__s")).as("h"))
+      .distinct()
+
+  /** MinHash signature: one row per document, columns m0..m{k-1}.
+    * Single hash pass + one groupBy(id) with k min aggregates — partial
+    * (map-side) aggregation keeps the shuffle narrow. */
+  def minHashSignature(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val hashed = shingleHashes(df, idCol, textCol, n)
+    val aggs = SeedA.zip(SeedB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P31).as(s"m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of the signature: bands of `rows` minhashes combined
+    * into one band hash. (id, band, bh) — docs sharing (band, bh) are
+    * near-dup candidates. */
+  def minHashBands(sig: DataFrame, idCol: String, rows: Int = 2): DataFrame = {
+    val k = SeedA.size
+    require(k % rows == 0, s"$k minhashes not divisible into bands of $rows")
+    val bandStructs = (0 until k / rows).map { band =>
+      val bh = (0 until rows)
+        .map(r => col(s"m${band * rows + r}"))
+        .reduce((acc, m) => (acc * 1000003L + m) % P31)
+      struct(lit(band).as("band"), bh.as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bh").as("bh"))
+  }
+
+  /** Near-duplicate candidate pairs via banded MinHash LSH: docs that
+    * agree on at least one band. Computed as ONE pass: signature → band
+    * explode → a single shuffle on (band, bh) → per-bucket local pair
+    * enumeration (sorted doc list, combinations). No self-join (which
+    * would recompute the signature for each side), no cartesian. A
+    * pathological mega-bucket is quadratic in its own size only — the
+    * standard LSH caveat; tune bands/rows (or salt the band hash) if a
+    * degenerate corpus produces one. Est. Jaccard ≥ ~0.3 with 8 hashes
+    * in 4 bands of 2. */
+  def minHashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val bands = minHashBands(minHashSignature(df, idCol, textCol, n), idCol)
+    bands
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_set(col(idCol))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (frequency-weighted, `bits`-bit) from token hashes: bit b of
+    * the fingerprint is 1 iff the sum over tokens of ±1 (sign of bit b of
+    * the token hash) is positive. One explode + two keyed aggregations;
+    * near-dup lookup is then Hamming distance on the compact code. */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .select(col(idCol), strHash(col("w")).as("h"))
+    toks
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(when(sum(expr("(shiftright(h, b) & 1) * 2 - 1")) > 0, 1L).otherwise(0L).as("bit"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), b)")).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a bounded probe
+    * set (brute-force verifier for the LSH candidates; the probe predicate
+    * bounds the quadratic blowup — at scale you run this only on LSH
+    * candidate pairs). Joins on the shingle hash, shuffles on h. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(idCol).as("doc_a"), col("h"))
+      .join(sh.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding similarity search
+  // ---------------------------------------------------------------------
+
+  /** Float embedding → double, positionally (cast before ANY arithmetic so
+    * both engines do identical IEEE double ops in identical order). */
+  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-fold sum — deterministic, engine-portable. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product via zip_with + ordered fold. */
+  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+
+  /** Brute-force cosine top-k: every probe row scored against every
+    * candidate. The probe side is bounded (broadcast) so the plan is a
+    * single pass over the candidates — the correctness baseline the LSH
+    * path is judged against. Ties break on candidate id. */
+  def cosineTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column, k: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+    val probes = vecs.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("pe"))
+      .withColumn("pnrm", foldSum(zip_with(col("pe"), col("pe"), (x, y) => x * y)))
+    val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
+    val scored = probes.join(broadcast(v), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), cosine.as("c"))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component j (LCG over the flat
+    * index), in [-1000, 1000] as double — reproducible in SQL anywhere. */
+  private def hp(j: Column): Column =
+    ((lit(1103515245L) * j + 12345L) % 2001L - 1000L).cast("double")
+
+  /** Random-hyperplane LSH bucket id: bit h of the bucket = sign of the
+    * dot product with hyperplane h. One narrow pass, fully codegen'd. */
+  def lshBucket(vecCol: Column, planes: Int = 8): Column =
+    (0 until planes).map { h =>
+      val d = foldSum(transform(sequence(lit(0), lit(63)),
+        i => vecCol(i) * hp(lit(h.toLong * 64) + i)))
+      when(d > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k, LSH-bucketed: probes are scored ONLY against candidates
+    * in the same hyperplane bucket — the join shuffles on the bucket id,
+    * so cost scales with bucket occupancy, not n². This is the 100 TB
+    * path; recall is tunable via `planes` (fewer planes → bigger buckets
+    * → higher recall, more work). */
+  def annTopKLsh(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, k: Int, planes: Int = 8): DataFrame = {
+    val v = vecs
+      .select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("bucket", lshBucket(col("e"), planes))
+      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+    val probes = v.filter(probeFilter(col("cand_id")))
+      .select(col("cand_id").as("probe_id"), col("e").as("pe"),
+        col("bucket"), col("nrm").as("pnrm"))
+    val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
+    val scored = probes.join(v, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("bucket"), cosine.as("c"))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("bucket"),
+        round(col("c"), 6).as("cosine"))
+  }
+}

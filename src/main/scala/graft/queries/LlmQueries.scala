@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmOps
+import Tables.t
+
+/** Harness queries for the LLM-training-data operators (LlmOps): near-dup
+  * detection and embedding similarity search, each hash-compared against a
+  * DuckDB oracle that reproduces the exact same deterministic arithmetic
+  * (char-fold polynomial hash, sequential double folds — see LlmOps).
+  *
+  * The shared hash in DuckDB form (mirrors LlmOps.strHash):
+  * list_reduce over the string's chars, acc = (acc*31 + ascii) % 1e9+7.
+  */
+object LlmQueries {
+
+  /** DuckDB rendering of LlmOps.strHash(expr). */
+  private def duckHash(expr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** DuckDB CTEs: distinct (doc_id, shingle-hash h) over 2-gram shingles. */
+  private def duckShingleHashes(where: String = ""): String =
+    s"""words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents $where
+       |),
+       |shingles AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS s
+       |  FROM words
+       |),
+       |hashed AS (
+       |  SELECT DISTINCT doc_id, ${duckHash("s")} AS h FROM shingles
+       |)""".stripMargin
+
+  /** Sequential left-fold sum in DuckDB (mirrors LlmOps fold order). */
+  private def duckFold(terms: String): String =
+    s"list_reduce(list_prepend(0.0, $terms), (a, x) -> a + x)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // ----- MinHash + banded LSH near-duplicate candidates --------------
+    // 8 permutations, 4 bands of 2; pairs sharing >= 1 band bucket.
+    // The Spark plan shuffles on (band, bh) — no cartesian.
+    QDef.sql(
+      "llm_minhash_pairs",
+      s"""WITH ${duckShingleHashes()},
+         |mh AS (
+         |  SELECT doc_id,
+         |    min((1000003 * h + 12345) % 2147483647) AS m0,
+         |    min((1000033 * h + 54321) % 2147483647) AS m1,
+         |    min((1000037 * h + 11111) % 2147483647) AS m2,
+         |    min((1000039 * h + 22222) % 2147483647) AS m3,
+         |    min((1000081 * h + 33333) % 2147483647) AS m4,
+         |    min((1000099 * h + 44444) % 2147483647) AS m5,
+         |    min((1000117 * h + 55555) % 2147483647) AS m6,
+         |    min((1000121 * h + 66666) % 2147483647) AS m7
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+         |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |                         AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      LlmOps.minHashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- SimHash fingerprint (16-bit, frequency-weighted) ------------
+    QDef.sql(
+      "llm_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+         |),
+         |hashed AS (
+         |  SELECT doc_id, ${duckHash("w")} AS h FROM toks
+         |),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM hashed, generate_series(0, 15) g(b)
+         |  GROUP BY doc_id, b
+         |)
+         |SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      LlmOps.simHash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ----- Exact 2-gram Jaccard within a bounded probe set -------------
+    QDef.sql(
+      "llm_jaccard_pairs",
+      s"""WITH ${duckShingleHashes("WHERE doc_id < 40")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.04
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      LlmOps.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 40),
+        "doc_id", "text", n = 2, minJaccard = 0.04)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- Brute-force cosine top-k (similarity-search baseline) -------
+    QDef.sql(
+      "llm_cosine_topk",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> p.e[i] * c.e[i])")}
+         |      / (sqrt(${duckFold("list_transform(generate_series(1,64), i -> p.e[i] * p.e[i])")})
+         |       * sqrt(${duckFold("list_transform(generate_series(1,64), i -> c.e[i] * c.e[i])")})) AS cos
+         |  FROM v p, v c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+         |)
+         |SELECT probe_id, cand_id, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 5
+         |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    },
+
+    // ----- ANN top-k via random-hyperplane LSH bucketing ---------------
+    // Probes scored only within their bucket: shuffle on bucket id, no n².
+    QDef.sql(
+      "llm_ann_lsh",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |),
+         |dots AS (
+         |  SELECT vec_id, h,
+         |    ${duckFold("""list_transform(generate_series(1,64),
+           |      i -> e[i] * CAST(((1103515245 * (h * 64 + i - 1)) + 12345) % 2001 - 1000 AS DOUBLE))""".stripMargin)} AS d
+         |  FROM v, generate_series(0, 7) g(h)
+         |),
+         |bk AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |),
+         |vn AS (
+         |  SELECT v.vec_id, e, bucket,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS nrm
+         |  FROM v JOIN bk USING (vec_id)
+         |),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.bucket AS bucket,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> p.e[i] * c.e[i])")}
+         |      / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM vn p JOIN vn c ON p.bucket = c.bucket AND c.vec_id != p.vec_id
+         |  WHERE p.vec_id < 20
+         |)
+         |SELECT probe_id, cand_id, bucket, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 3
+         |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, k = 3, planes = 8)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    })
+}
