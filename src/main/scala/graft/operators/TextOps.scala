@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (brief: language
+  * ID, quality scoring, token counting, fingerprinting). All are
+  * per-row, shuffle-free, codegen-friendly column expressions — at
+  * 100 TB they run as a single pass over the corpus fused with the scan
+  * (no explode, no aggregation; the only wide op any caller might add
+  * is a downstream groupBy on the fingerprint). */
+object TextOps {
+
+  /** Minimal per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Small by design: broadcastable literals,
+    * overlap between Romance languages is resolved by the deterministic
+    * precedence in [[langId]]. */
+  val StopEn = Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "was")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu")
+  val StopEs = Seq("el", "los", "y", "es", "una", "en", "que", "por", "del", "se")
+  val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "il")
+
+  private def stopCount(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => array_contains(array(stops.map(lit): _*), w)))
+
+  /** Language ID: count stopword matches per language over lowercased
+    * whitespace tokens; highest count wins with fixed precedence
+    * en > de > es > fr on ties; no match → "und". */
+  def langId(textCol: Column): Column = {
+    val ws = LlmOps.words(textCol)
+    val (en, de, es, fr) = (stopCount(ws, StopEn), stopCount(ws, StopDe),
+      stopCount(ws, StopEs), stopCount(ws, StopFr))
+    when(en > 0 && en >= de && en >= es && en >= fr, "en")
+      .when(de > 0 && de >= es && de >= fr, "de")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Quality signals + composite score in [0,1]:
+    * 0.4 * min(1, words/50) + 0.3 * stopword_ratio + 0.3 * (1 - punct_ratio).
+    * Deterministic double arithmetic (same op order in the oracle). */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val ws = LlmOps.words(text)
+    val nWords = size(ws).cast("long")
+    val stopRatio = stopCount(ws, StopEn).cast("double") / nWords
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(text)
+    val score = least(lit(1.0), nWords / lit(50.0)) * 0.4 +
+      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
+    df.select(col(idCol), nWords.as("n_words"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  /** Token counts: whitespace tokens, alphanumeric regex tokens, and the
+    * chars/4 BPE-style estimate. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val alnum = filter(split(lower(text), "[^a-z0-9]+"), x => length(x) > 0)
+    df.select(col(idCol),
+      size(split(text, " ")).cast("long").as("ws_tokens"),
+      size(alnum).cast("long").as("alnum_tokens"),
+      ceil(length(text) / lit(4.0)).cast("long").as("bpe_est"))
+  }
+
+  /** Document fingerprint: polynomial hash of the normalized text
+    * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
+    * `n_same` counts documents sharing the fingerprint (keyed window,
+    * shuffles on fp — the intended dedup shuffle). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    df.select(col(idCol), LlmOps.strHash(norm).as("fp"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
+  }
+}
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * BinaryType columns with typed metadata. The decode itself is STUBBED
+  * deterministically (no codec libraries in this build); everything
+  * Spark-side — schema, batching, partitioning, metadata extraction —
+  * is real. At scale the payload column rides parquet binary pages and
+  * the decode stub's mapPartitions shape is exactly where a JNI/FFI
+  * decoder batch would slot in. */
+object MultimodalOps {
+
+  /** Attach a binary payload column (here: UTF-8 bytes; in production:
+    * the raw media bytes read from parquet/object storage). */
+  def withPayload(srcCol: Column): Column = encode(srcCol, "UTF-8")
+
+  /** Typed metadata off the payload without decoding: byte length, md5
+    * content digest, and stub-decoded dimensions derived deterministically
+    * from the byte length (stands in for a real header parse). */
+  def payloadMeta(df: DataFrame, idCol: String, payload: Column): DataFrame = {
+    val nBytes = length(payload).cast("long")
+    df.select(col(idCol),
+      nBytes.as("n_bytes"),
+      md5(payload).as("digest"),
+      (lit(64L) + nBytes % 960L).as("width"),
+      (lit(64L) + (nBytes * 31L) % 960L).as("height"),
+      (lit(1L) + nBytes % 16L).as("frames"))
+  }
+
+  /** Decoded frame sample (STUB): partition-batched decode returning a
+    * fixed-shape struct per row — the real decoder would replace
+    * `fakeDecode` only; the Spark plumbing (mapPartitions batching,
+    * schema, row shape) is what this exercises. Deterministic: "pixels"
+    * are a folded byte signature of the payload. */
+  def decodeFramesStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("signature", LongType)))
+    def fakeDecode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val sig = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      (64 + bytes.length % 960, 64 + (bytes.length * 31) % 960, sig)
+    }
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { rows =>
+        // one decoder instance per partition; rows stream through it
+        rows.map { r =>
+          val (w, h, sig) = fakeDecode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), w, h, sig)
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

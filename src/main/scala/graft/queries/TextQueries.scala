@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmOps, MultimodalOps, TextOps}
+import Tables.t
+
+/** Harness queries for the text-analysis and multimodal operators
+  * (TextOps / MultimodalOps), DuckDB-oracle-checked. */
+object TextQueries {
+
+  private def duckList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def duckStopCount(list: Seq[String]): String =
+    s"len(list_filter(ws, x -> list_contains(${duckList(list)}, x)))"
+
+  private def duckHash(expr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // ----- Language ID: stopword-count heuristic -----------------------
+    QDef.sql(
+      "llm_lang_id",
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    ${duckStopCount(TextOps.StopEn)} AS c_en,
+         |    ${duckStopCount(TextOps.StopDe)} AS c_de,
+         |    ${duckStopCount(TextOps.StopEs)} AS c_es,
+         |    ${duckStopCount(TextOps.StopFr)} AS c_fr
+         |  FROM w
+         |)
+         |SELECT doc_id, lang AS lang_actual,
+         |  CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |       WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |       WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+         |       WHEN c_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Quality scoring --------------------------------------------
+    QDef.sql(
+      "llm_quality",
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE) / CAST(len(ws) AS BIGINT) AS stop_ratio,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio
+         |  FROM w
+         |)
+         |SELECT doc_id, n_words,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(least(1.0, n_words / 50.0) * 0.4 + stop_ratio * 0.3
+         |        + (1.0 - punct_ratio) * 0.3, 6) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.qualitySignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ----- Token counting ---------------------------------------------
+    QDef.sql(
+      "llm_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> len(x) > 0)) AS BIGINT) AS alnum_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ----- Document fingerprint (exact-dedup key) ----------------------
+    QDef.sql(
+      "llm_fingerprint",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    ${duckHash("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM documents
+         |)
+         |SELECT doc_id, fp,
+         |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ----- Multimodal payload metadata (BinaryType plumbing) -----------
+    // Spark side routes text through a real BinaryType payload column;
+    // the oracle hashes the same UTF-8 bytes (DuckDB md5(VARCHAR) hashes
+    // the string's UTF-8 encoding).
+    QDef.sql(
+      "llm_multimodal_meta",
+      """WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         md5(text) AS digest
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bytes, digest,
+        |       64 + n_bytes % 960 AS width,
+        |       64 + (n_bytes * 31) % 960 AS height,
+        |       1 + n_bytes % 16 AS frames
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", MultimodalOps.withPayload(col("text")))
+      MultimodalOps.payloadMeta(docs, "doc_id", col("payload"))
+        .orderBy("doc_id")
+    })
+}
