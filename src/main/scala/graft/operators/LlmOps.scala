@@ -196,10 +196,10 @@ object LlmOps {
 
   /** Random-hyperplane LSH bucket id: bit h of the bucket = sign of the
     * dot product with hyperplane h. One narrow pass, fully codegen'd. */
-  def lshBucket(vecCol: Column, planes: Int = 8): Column =
+  def lshBucket(vecCol: Column, planes: Int = 8, dims: Int = 64): Column =
     (0 until planes).map { h =>
-      val d = foldSum(transform(sequence(lit(0), lit(63)),
-        i => vecCol(i) * hp(lit(h.toLong * 64) + i)))
+      val d = foldSum(transform(sequence(lit(0), lit(dims - 1)),
+        i => vecCol(i) * hp(lit(h.toLong * dims) + i)))
       when(d > 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -210,10 +210,11 @@ object LlmOps {
     * → higher recall, more work). */
   def annTopKLsh(
       vecs: DataFrame, idCol: String, vecCol: String,
-      probeFilter: Column => Column, k: Int, planes: Int = 8): DataFrame = {
+      probeFilter: Column => Column, k: Int, planes: Int = 8,
+      dims: Int = 64): DataFrame = {
     val v = vecs
       .select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("bucket", lshBucket(col("e"), planes))
+      .withColumn("bucket", lshBucket(col("e"), planes, dims))
       .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
     val probes = v.filter(probeFilter(col("cand_id")))
       .select(col("cand_id").as("probe_id"), col("e").as("pe"),

@@ -57,9 +57,12 @@ object Ops {
         case Seq() => c
         case Field(n) +: rest => walk(c.getField(n), rest, underStar)
         case Index(i) +: rest =>
-          // reference indexing is 0-based; element_at is 1-based
+          // reference indexing is 0-based; element_at is 1-based.
+          // try_element_at: out-of-bounds → null (the reference's
+          // "absent") even under ANSI mode, where plain element_at
+          // would fail the whole job on one bad index.
           val idx = if (i >= 0) i + 1 else i
-          walk(element_at(c, idx), rest, underStar)
+          walk(try_element_at(c, lit(idx)), rest, underStar)
         case Star +: rest =>
           val projected = walk(c, rest, underStar = true)
           if (rest.isEmpty) projected

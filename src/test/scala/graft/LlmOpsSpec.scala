@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LlmOps, MultimodalOps, Ops, TextOps}
+
+/** Unit sanity for the LLM-data operators on crafted corpora (the
+  * sf-scale behavior is oracle-checked by the harness; these pin the
+  * semantics on known inputs). */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("epsilon", "EPSILON")), // near-dup: 1 of 10 words differs (case-normalized away)
+    (3L, base.replace("delta epsilon", "delta CHANGED")), // near-dup: one word changed
+    (4L, "completely different words nothing shared here at all today friend")
+  ).toDF("doc_id", "text")
+
+  test("minhash: near-duplicates bucket together, unrelated docs do not") {
+    val pairs = LlmOps.minHashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical after lowercasing
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "one-word-changed doc should share a band with an original")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("simhash: identical (post-normalization) docs get identical codes") {
+    val codes = LlmOps.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes(1L) === codes(2L))
+    assert(codes(1L) !== codes(4L))
+    assert(codes.values.forall(c => c >= 0 && c < (1L << 16)))
+  }
+
+  test("jaccard: crafted 0.5 similarity computes exactly") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // 2-gram shingles: {ab,bc,cd} vs {ab,bc,ce} → inter 2, union 4
+    val out = LlmOps.jaccardPairs(two, "doc_id", "text").collect()
+    assert(out.length === 1)
+    assert(out(0).getDouble(2) === 0.5)
+  }
+
+  test("cosine top-k: identical vector ranks first with cosine 1.0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)), // same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f))  // 45 degrees
+    ).toDF("vec_id", "embedding")
+    val out = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") === 0, k = 3)
+      .orderBy(desc("cosine")).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L))
+    assert(out(0).getDouble(2) === 1.0)
+    assert(out(2).getDouble(2) === 0.0)
+  }
+
+  test("lsh ann: parallel vectors share a bucket; probe scored only in-bucket") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(2.0f)),          // same direction → same sign pattern
+      (2L, Array.fill(8)(-1.0f))          // opposite → different bucket
+    ).toDF("vec_id", "embedding")
+    val out = LlmOps.annTopKLsh(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, k = 5, planes = 4, dims = 8).collect()
+    assert(out.map(_.getLong(1)).toSet === Set(1L), "only the co-bucketed vector is scored")
+    assert(out(0).getDouble(3) === 1.0)
+  }
+
+  test("record index: partition-offset indexing matches the global order") {
+    val df = spark.range(1000).toDF("v").repartition(7)
+    val out = Ops.withRecordIndex("idx", Seq(col("v").desc))(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (v, idx) => assert(idx === 999 - v) }
+  }
+
+  test("fingerprints: whitespace-normalized duplicates collapse to one fp") {
+    val d = Seq((1L, "Hello  World"), (2L, "  hello world "), (3L, "bye")).toDF("doc_id", "text")
+    val out = TextOps.fingerprints(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fp = out.map(t => t._1 -> t._2).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(out.filter(_._1 <= 2).forall(_._3 === 2))
+  }
+
+  test("lang id: stopword-bearing texts classify; empty overlap yields 'und'") {
+    val d = Seq(
+      (1L, "the cat is in the house and it was warm"),
+      (2L, "der hund ist nicht mit der katze zu hause"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("multimodal: payload is real BinaryType; stub decode is deterministic per byte content") {
+    val d = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    assert(d.schema("payload").dataType.typeName === "binary")
+    val frames = MultimodalOps.decodeFramesStub(d, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byId = frames.map(f => f._1 -> f).toMap
+    assert(byId(1L)._4 === byId(2L)._4, "same bytes → same signature")
+    assert(byId(1L)._4 !== byId(3L)._4)
+    assert(frames.forall(f => f._2 >= 64 && f._3 >= 64))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ops
+
+/** Core operator units that the harness queries don't pin directly:
+  * join strategy gating, deterministic dedup, bug-compatible sort,
+  * schema-drift union. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lookupJoin: large lookup is NOT broadcast when stats exceed the threshold") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024") // 1 KB
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lk").toString
+      spark.range(200000).select($"id", concat(lit("name_"), $"id").as("nm"))
+        .write.mode("overwrite").parquet(s"$dir/big")
+      val big = spark.read.parquet(s"$dir/big")
+      val facts = spark.range(100).toDF("id")
+      val plan = Ops.lookupJoin(big, "id")(facts)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"large lookup must not broadcast:\n$plan")
+      // explicit opt-in still forces it
+      val forced = Ops.lookupJoin(big, "id", forceBroadcast = true)(facts)
+        .queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin") || forced.contains("BroadcastExchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("lookupJoin: small lookup with stats broadcasts via Catalyst on its own") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk2").toString
+    spark.range(10).select($"id", lit("x").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/small")
+    val small = spark.read.parquet(s"$dir/small")
+    val facts = spark.range(1000).toDF("id")
+    val plan = Ops.lookupJoin(small, "id")(facts)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"small lookup should broadcast:\n$plan")
+  }
+
+  test("dedupFields keeps the row minimal under firstBy (deterministic 'first')") {
+    val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 30)).toDF("k", "tag", "v")
+    val out = Ops.dedupFields(Seq("k"), Seq(col("v")))(df)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "a"), (2, "c")))
+  }
+
+  test("sortBy stringMode reproduces the reference's lexicographic bug (10 < 9)") {
+    val df = Seq(9, 10, 2).toDF("n")
+    val typed = Ops.sortBy("n")(df).collect().map(_.getInt(0)).toSeq
+    val stringy = Ops.sortBy("n", stringMode = true)(df).collect().map(_.getInt(0)).toSeq
+    assert(typed === Seq(2, 9, 10))
+    assert(stringy === Seq(10, 2, 9)) // "10" < "2" < "9"
+  }
+
+  test("unionAll tolerates schema drift, filling missing columns with null") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, true)).toDF("id", "only_b")
+    val out = Ops.unionAll(Seq(a, b)).orderBy("id")
+    assert(out.columns.sorted.toSeq === Seq("id", "only_a", "only_b"))
+    val rows = out.collect()
+    assert(rows(0).getString(1) === "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getBoolean(2) === true)
+  }
+
+  test("mergeWithPrevious: api wins on overlap, prev-only columns appended") {
+    val api = Seq((1, "api_n"), (2, null.asInstanceOf[String])).toDF("id", "name")
+    val prev = Seq((1, "prev_n", 9.5), (2, "prev_2", 8.0)).toDF("id", "name", "score")
+    val out = Ops.mergeWithPrevious(prev, "id")(api).orderBy("id").collect()
+    assert(out(0).getString(1) === "api_n") // api wins
+    assert(out(1).getString(1) === "prev_2") // null api → prev fills
+    assert(out(0).getDouble(2) === 9.5) // prev-only column carried
+  }
+}

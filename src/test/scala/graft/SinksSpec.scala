@@ -1,0 +1,134 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.LoadDef
+import graft.sinks.Sinks
+
+/** W1-W9 sink goldens — mirrors the reference's ZIP/CSV content
+  * assertions (src/core/pipeline.rs:86-502) and the X4 escaping table
+  * (contextual_pipeline.rs:1017-1041). */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sinks").toString
+
+  private lazy val df = Seq(
+    (1, "plain", 10.5),
+    (2, "has,comma", 20.0),
+    (3, "has\"quote", 30.25),
+    (4, "has\nnewline\tand tab", 40.0)
+  ).toDF("id", "name", "value")
+
+  // ----- X4: RFC-4180 CSV escaping golden -----------------------------
+  test("X4: single-file CSV quotes separators/quotes/newlines and doubles inner quotes") {
+    val bytes = Sinks.renderSingle(df.orderBy("id"), "csv")
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val lines = text.split("\n", -1)
+    assert(lines(0) === "id,name,value")
+    assert(lines(1) === "1,plain,10.5")
+    assert(lines(2) === "2,\"has,comma\",20.0")
+    assert(lines(3) === "3,\"has\"\"quote\",30.25")
+    // the newline-bearing field is quoted, so row 4 spans two physical lines
+    assert(lines(4) === "4,\"has")
+    assert(lines(5) === "newline\tand tab\",40.0")
+  }
+
+  // ----- X5: TSV sanitization golden ----------------------------------
+  test("X5: single-file TSV replaces tabs/newlines with spaces, no quoting") {
+    val bytes = Sinks.renderSingle(df.orderBy("id"), "tsv")
+    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
+    assert(lines(0) === "id\tname\tvalue")
+    assert(lines(2) === "2\thas,comma\t20.0")
+    assert(lines(4) === "4\thas newline and tab\t40.0")
+  }
+
+  // ----- W3: JSON array single-file -----------------------------------
+  test("W3: single-file JSON is a pretty array of records") {
+    val bytes = Sinks.renderSingle(df.filter($"id" <= 2).orderBy("id"), "json")
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    assert(text.startsWith("[\n") && text.endsWith("\n]"))
+    assert(text.contains(""""name":"plain""""))
+    assert(text.split(",\n").length === 2)
+  }
+
+  // ----- single-file cap ----------------------------------------------
+  test("single-file render hard-fails past the row cap instead of buffering") {
+    val big = spark.range(100).select($"id")
+    intercept[Sinks.SingleFileTooLarge] {
+      Sinks.renderSingle(big, "csv", maxRows = 10)
+    }
+    intercept[Sinks.SingleFileTooLarge] {
+      Sinks.renderSingle(big, "json", maxRows = 10)
+    }
+  }
+
+  // ----- W6: ZIP packaging golden -------------------------------------
+  test("W6: zip contains per-format outputs, metadata, and intermediate iff non-empty") {
+    val dir = tmpDir()
+    val load = LoadDef(outputPath = dir, formats = Seq("csv", "json"),
+      filenamePattern = "bundle", zip = true, includeMetadata = true)
+    val inter = df.filter($"id" === 1)
+    val target = Sinks.write(spark, df.orderBy("id"), Some(inter), load, "p1", "exec42")
+    assert(target === s"$dir/bundle.zip")
+
+    val zin = new ZipInputStream(
+      new ByteArrayInputStream(Sinks.readBytes(spark, target)))
+    val entries = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map { e =>
+        val bytes = zin.readAllBytes()
+        e.getName -> new String(bytes, StandardCharsets.UTF_8)
+      }.toMap
+    assert(entries.keySet === Set("output.csv", "output.json",
+      "intermediate.json", "metadata.json"))
+    assert(entries("output.csv").startsWith("id,name,value\n1,plain,10.5"))
+    assert(entries("metadata.json").contains(""""pipeline_name":"p1""""))
+    assert(entries("metadata.json").contains(""""execution_id":"exec42""""))
+    assert(entries("intermediate.json").contains(""""id":1"""))
+  }
+
+  test("W6: empty intermediate branch writes no intermediate.json") {
+    val dir = tmpDir()
+    val load = LoadDef(outputPath = dir, formats = Seq("csv"),
+      filenamePattern = "b2", zip = true)
+    val target = Sinks.write(spark, df, Some(df.filter($"id" > 999)), load, "p", "e")
+    val zin = new ZipInputStream(
+      new ByteArrayInputStream(Sinks.readBytes(spark, target)))
+    val names = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map(_.getName).toSet
+    assert(names === Set("output.csv"))
+  }
+
+  // ----- W9: per-format filename override -----------------------------
+  test("W9: filenames map overrides the derived name per format") {
+    val dir = tmpDir()
+    val load = LoadDef(outputPath = dir, formats = Seq("csv"), zip = true,
+      filenames = Map("csv" -> "custom_name.csv"))
+    val target = Sinks.write(spark, df.limit(1), None, load, "p", "e")
+    val zin = new ZipInputStream(
+      new ByteArrayInputStream(Sinks.readBytes(spark, target)))
+    assert(zin.getNextEntry.getName === "custom_name.csv")
+  }
+
+  // ----- distributed default ------------------------------------------
+  test("distributed write (the default) produces a readable multi-part directory") {
+    val dir = tmpDir()
+    val load = LoadDef(outputPath = dir, formats = Seq("csv", "parquet"),
+      filenamePattern = "out")
+    assert(!load.singleFile, "distributed must be the default")
+    Sinks.write(spark, df, None, load, "p", "e")
+    // multiLine: one value legitimately contains a quoted newline
+    val back = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$dir/out_csv")
+    assert(back.count() === 4)
+    assert(spark.read.parquet(s"$dir/out_parquet").count() === 4)
+  }
+}
