@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.JsonConfig
+import graft.engine.Orchestrator
+
+/** CLI entry point — the engine's `sequence_etl` (reference:
+  * src/bin/sequence_etl.rs:10-166): run a JSON pipeline-sequence config
+  * with `--only/--skip/--dry-run/--execution-id`, write the W7 metrics
+  * file, exit by error severity (validation 2, execution 1, success 0 —
+  * reference main.rs:59-68).
+  *
+  * Usage:
+  *   graft.Main <config.json>
+  *     [--only p1,p2] [--skip p3] [--dry-run]
+  *     [--execution-id ID] [--metrics-out PATH] [--master local[N]]
+  */
+object Main {
+
+  final case class Args(
+      configPath: String,
+      only: Set[String] = Set.empty,
+      skip: Set[String] = Set.empty,
+      dryRun: Boolean = false,
+      executionId: Option[String] = None,
+      metricsOut: Option[String] = None,
+      master: String = "local[*]")
+
+  def parseArgs(argv: Array[String]): Args = {
+    if (argv.isEmpty) sys.error("usage: graft.Main <config.json> [flags]")
+    var a = Args(configPath = argv(0))
+    var i = 1
+    while (i < argv.length) {
+      argv(i) match {
+        case "--only" => a = a.copy(only = argv(i + 1).split(',').toSet); i += 2
+        case "--skip" => a = a.copy(skip = argv(i + 1).split(',').toSet); i += 2
+        case "--dry-run" => a = a.copy(dryRun = true); i += 1
+        case "--execution-id" => a = a.copy(executionId = Some(argv(i + 1))); i += 2
+        case "--metrics-out" => a = a.copy(metricsOut = Some(argv(i + 1))); i += 2
+        case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case other => sys.error(s"unknown flag: $other")
+      }
+    }
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = try parseArgs(argv) catch {
+      case e: RuntimeException => System.err.println(e.getMessage); sys.exit(2)
+    }
+    val text = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(args.configPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"cannot read config: ${e.getMessage}"); sys.exit(2)
+    }
+    val seq = try JsonConfig.loadSequence(text) catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"config parse error: ${e.getMessage}"); sys.exit(2)
+    }
+
+    if (args.dryRun) {
+      // C6: plan only — no Spark session, no jobs (toml_etl.rs:154-227)
+      try println(Orchestrator.dryRun(seq))
+      catch {
+        case e: Orchestrator.ValidationException =>
+          System.err.println(s"invalid config: ${e.msg}"); sys.exit(2)
+      }
+      return
+    }
+
+    val spark = SparkSession.builder()
+      .master(args.master)
+      .appName(s"graft-${seq.name}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, seq, args) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Execute + report + write W7 metrics; returns the exit code
+    * (0 success, 1 execution failure, 2 invalid config). */
+  def run(spark: SparkSession, seq: graft.config.SequenceDef, args: Args): Int = {
+    val execId = args.executionId.getOrElse(s"seq_${System.currentTimeMillis()}")
+    val ctx =
+      try Orchestrator.execute(spark, seq, execId, args.only, args.skip)
+      catch {
+        case e: Orchestrator.ValidationException =>
+          System.err.println(s"invalid config: ${e.msg}"); return 2
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"sequence failed: ${e.getMessage}"); return 1
+      }
+    val metricsPath = args.metricsOut.getOrElse {
+      val dir = seq.pipelines.flatMap(_.load).headOption
+        .map(_.outputPath).getOrElse(".")
+      s"$dir/sequence_metrics.json"
+    }
+    Orchestrator.writeMetrics(spark, ctx, metricsPath)
+    ctx.results.values.foreach { o =>
+      println(s"[graft] ${o.name}: ${o.status} records=${o.recordCount} " +
+        s"in ${o.durationMs}ms (E=${o.extractMs} T=${o.transformMs} L=${o.loadMs})" +
+        o.outputPath.map(p => s" -> $p").getOrElse(""))
+    }
+    println(s"[graft] metrics -> $metricsPath")
+    if (ctx.results.values.exists(_.status == "failed")) 1 else 0
+  }
+}

@@ -134,7 +134,8 @@ object JsonConfig {
     includeMetadata = bool(n.path("compression").path("include_metadata"))
       .orElse(bool(n.path("include_metadata"))).getOrElse(false),
     filenames = strMap(n.path("filenames")),
-    singleFile = bool(n.path("single_file")).getOrElse(true))
+    singleFile = bool(n.path("single_file")).getOrElse(false),
+    singleFileMaxRows = long(n.path("single_file_max_rows")).getOrElse(1000000L))
 
   private def parseConditions(n: JsonNode): ConditionsDef = ConditionsDef(
     enabled = bool(n.path("enabled")).getOrElse(true),

@@ -24,7 +24,15 @@ final case class PipelineOutcome(
     durationMs: Long,
     status: String, // succeeded | skipped | failed
     error: Option[String] = None,
-    countFn: () => Long = () => 0L) {
+    countFn: () => Long = () => 0L,
+    /** Per-phase wall times (EtlEngine parity, etl_engine.rs:25-65).
+      * In a lazy engine E/T measure plan construction plus any
+      * driver-side I/O (HTTP fetches happen here); `loadMs` covers the
+      * materializing sink action — documented deviation from the
+      * reference's eager per-phase row work. */
+    extractMs: Long = 0L,
+    transformMs: Long = 0L,
+    loadMs: Long = 0L) {
   lazy val recordCount: Long = countFn()
 }
 
@@ -58,19 +66,53 @@ object Orchestrator {
 
   final case class ValidationException(msg: String) extends RuntimeException(msg)
 
+  /** Formats the sinks accept (reference whitelist csv|tsv|json,
+    * toml_config.rs:168-173, plus the Spark-native parquet). */
+  private val FormatWhitelist = Set("csv", "tsv", "json", "parquet")
+
   /** C4 — execution-order names exist, dependencies exist, DFS cycle
     * detection. Like the reference, dependencies are validated but
-    * scheduling follows `executionOrder` (sequence_config.rs:279-409). */
+    * scheduling follows `executionOrder` (sequence_config.rs:279-409).
+    * Per-pipeline checks mirror toml_config.rs:152-184: endpoint URL
+    * scheme, output-format whitelist, bounds on retry/timeout. */
   def validate(seq: SequenceDef): Unit = {
     val byName = seq.pipelines.map(p => p.name -> p).toMap
     seq.executionOrder.foreach { n =>
       if (!byName.contains(n))
         throw ValidationException(s"execution_order references unknown pipeline '$n'")
     }
+    if (seq.retryAttempts < 0 || seq.retryAttempts > 10)
+      throw ValidationException(s"retry_attempts out of bounds [0,10]: ${seq.retryAttempts}")
     seq.pipelines.foreach { p =>
       p.dependencies.foreach { d =>
         if (!byName.contains(d))
           throw ValidationException(s"pipeline '${p.name}' depends on unknown pipeline '$d'")
+      }
+      def checkHttp(h: HttpRequestDef): Unit = {
+        if (!h.endpoint.startsWith("http://") && !h.endpoint.startsWith("https://")
+          && !h.endpoint.contains("${")) // unresolved env placeholder: defer
+          throw ValidationException(
+            s"pipeline '${p.name}': endpoint must be http(s): '${h.endpoint}'")
+        if (h.timeoutSeconds < 1 || h.timeoutSeconds > 300)
+          throw ValidationException(
+            s"pipeline '${p.name}': timeout_seconds out of bounds [1,300]: ${h.timeoutSeconds}")
+      }
+      p.source match {
+        case ApiSource(h) => checkHttp(h)
+        case MergedApiSource(h) => checkHttp(h)
+        case ParameterizedApiSource(h, _, _) => checkHttp(h)
+        case _ => ()
+      }
+      p.load.foreach { l =>
+        val bad = l.formats.filterNot(FormatWhitelist)
+        if (bad.nonEmpty)
+          throw ValidationException(
+            s"pipeline '${p.name}': unsupported formats ${bad.mkString(",")} " +
+              s"(allowed: ${FormatWhitelist.toSeq.sorted.mkString(",")})")
+        if (l.outputPath.isEmpty)
+          throw ValidationException(s"pipeline '${p.name}': empty output_path")
+        if (l.singleFileMaxRows <= 0)
+          throw ValidationException(s"pipeline '${p.name}': single_file_max_rows must be > 0")
       }
     }
     // DFS cycle detection over the dependency graph
@@ -176,8 +218,13 @@ object Orchestrator {
       p: PipelineDef,
       ctx: RunContext,
       persist: Boolean = false): PipelineOutcome = {
-    val extracted = extract(spark, p, ctx)
-    val (main0, intermediate) = transform(spark, p, ctx, extracted)
+    def timed[A](f: => A): (A, Long) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1000000L)
+    }
+    val (extracted, eMs) = timed(extract(spark, p, ctx))
+    val ((main0, intermediate), tMs) = timed(transform(spark, p, ctx, extracted))
     val main =
       if (persist) {
         val c = main0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -185,10 +232,11 @@ object Orchestrator {
         c
       } else main0
     exportShared(p, ctx, intermediate)
-    val outPath = p.load.map { l =>
+    val (outPath, lMs) = timed(p.load.map { l =>
       Sinks.write(spark, main, intermediate, l, p.name, ctx.executionId)
-    }
-    PipelineOutcome(p.name, Some(main), outPath, 0L, "succeeded", None, () => main.count())
+    })
+    PipelineOutcome(p.name, Some(main), outPath, 0L, "succeeded", None,
+      () => main.count(), extractMs = eMs, transformMs = tMs, loadMs = lMs)
   }
 
   /** Extract phase: source dispatch (S1-S9) then the data_processing
@@ -324,13 +372,21 @@ object Orchestrator {
   }
 
   /** W7 — metrics export, shape-compatible with the reference's
-    * sequence_metrics.json (sequence_etl.rs:336-400). */
+    * sequence_metrics.json (sequence_etl.rs:336-400), extended with the
+    * per-phase timings of etl_engine.rs:25-65. */
   def metricsJson(ctx: RunContext): String = {
     val pipelines = ctx.results.values.map { o =>
-      s"""{"name":"${o.name}","duration_ms":${o.durationMs},"records_count":${o.recordCount},"output_path":${o.outputPath.map("\"" + _ + "\"").getOrElse("null")},"status":"${o.status}"}"""
+      s"""{"name":"${o.name}","duration_ms":${o.durationMs},"extract_ms":${o.extractMs},"transform_ms":${o.transformMs},"load_ms":${o.loadMs},"records_count":${o.recordCount},"output_path":${o.outputPath.map("\"" + _ + "\"").getOrElse("null")},"status":"${o.status}"}"""
     }.mkString("[", ",", "]")
     val executed = ctx.succeeded.map(o => "\"" + o.name + "\"").mkString("[", ",", "]")
     val ts = java.time.format.DateTimeFormatter.ISO_INSTANT.format(java.time.Instant.now())
     s"""{"pipelines":$pipelines,"summary":{"executed_pipelines":$executed,"total_duration_ms":${ctx.results.values.map(_.durationMs).sum},"total_pipelines":${ctx.succeeded.size},"total_records":${ctx.succeeded.map(_.recordCount).sum}},"execution_id":"${ctx.executionId}","timestamp":"$ts"}"""
   }
+
+  /** W7 — write `sequence_metrics.json` (any Hadoop-FS target). The
+    * reference's runner always writes this file (sequence_etl.rs:336-400);
+    * round 1 built the JSON but never wrote it — now the CLI does. */
+  def writeMetrics(spark: SparkSession, ctx: RunContext, path: String): Unit =
+    Sinks.writeBytes(spark, path,
+      metricsJson(ctx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.JsonConfig
+import graft.engine.Orchestrator
+
+/** End-to-end CLI path: JSON config file → loadSequence (T1/T2 passes)
+  * → validate → execute → W7 metrics file — the reference's
+  * sequence_etl flow (src/bin/sequence_etl.rs:44-166). */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeFixture(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_main").toString
+    import spark.implicits._
+    Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+      .toDF("id", "name", "grp")
+      .write.mode("overwrite").parquet(s"$dir/src")
+    (dir, s"$dir/src")
+  }
+
+  test("parseArgs: flags parse; unknown flag rejected") {
+    val a = Main.parseArgs(Array("cfg.json", "--only", "a,b", "--skip", "c",
+      "--dry-run", "--execution-id", "e1", "--metrics-out", "/m.json"))
+    assert(a.only === Set("a", "b") && a.skip === Set("c"))
+    assert(a.dryRun && a.executionId.contains("e1") && a.metricsOut.contains("/m.json"))
+    intercept[RuntimeException](Main.parseArgs(Array("cfg", "--frobnicate")))
+  }
+
+  test("config file with env + shared vars runs end-to-end and writes metrics") {
+    val (dir, src) = writeFixture()
+    val cfg =
+      s"""{
+         |  "sequence": {"name": "e2e", "execution_order": ["loadup", "export"]},
+         |  "global": {"shared_variables": {"OUT_DIR": "$dir/out"}},
+         |  "pipelines": [
+         |    {"name": "loadup",
+         |     "source": {"type": "file", "path": "$src", "format": "parquet"},
+         |     "extract": {"filters": {"grp": "x"},
+         |                 "data_processing": {"sort_by": "id"}},
+         |     "transform": {"add_processed_flags": false}},
+         |    {"name": "export",
+         |     "source": {"type": "previous"},
+         |     "transform": {"field_mapping": {"name": "label"},
+         |                   "add_processed_flags": true},
+         |     "load": {"output_path": "$${OUT_DIR}", "formats": ["json"],
+         |              "filename_pattern": "final"}}
+         |  ]
+         |}""".stripMargin
+    val cfgPath = s"$dir/cfg.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), cfg)
+
+    val seq = JsonConfig.loadSequence(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(cfgPath))))
+    assert(seq.pipelines(1).load.get.outputPath === s"$dir/out") // T2 substitution
+
+    val code = Main.run(spark, seq,
+      Main.Args(cfgPath, executionId = Some("exec-e2e"),
+        metricsOut = Some(s"$dir/metrics.json")))
+    assert(code === 0)
+
+    // distributed JSON output readable, filter + rename applied
+    val out = spark.read.json(s"$dir/out/final_json")
+    assert(out.count() === 2) // grp=x only
+    assert(out.columns.contains("label") && out.columns.contains("processed"))
+
+    // W7 metrics file written with per-phase timings
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metrics.json")))
+    assert(metrics.contains(""""execution_id":"exec-e2e""""))
+    assert(metrics.contains(""""total_records":4""")) // 2 + 2
+    assert(metrics.contains(""""extract_ms""""))
+  }
+
+  test("validation parity: bad scheme, bad format, bad bounds all rejected") {
+    import graft.config._
+    def seqWith(p: PipelineDef) = SequenceDef("s", Seq(p.name), Seq(p))
+    val badScheme = PipelineDef("a", ApiSource(HttpRequestDef("ftp://files")))
+    val badFormat = PipelineDef("b", FileSource("/x"),
+      load = Some(LoadDef("/out", formats = Seq("xml"))))
+    val badTimeout = PipelineDef("c",
+      ApiSource(HttpRequestDef("http://ok", timeoutSeconds = 9999)))
+    Seq(badScheme, badFormat, badTimeout).foreach { p =>
+      intercept[Orchestrator.ValidationException](Orchestrator.validate(seqWith(p)))
+    }
+    intercept[Orchestrator.ValidationException](
+      Orchestrator.validate(SequenceDef("s", Nil, Nil, retryAttempts = 99)))
+  }
+
+  test("--only/--skip select pipelines like the CLI flags") {
+    val (_, src) = writeFixture()
+    import graft.config._
+    val mk = (n: String) => PipelineDef(n, FileSource(src),
+      transform = TransformDef(addProcessedFlags = false))
+    val seq = SequenceDef("s", Seq("a", "b", "c"), Seq(mk("a"), mk("b"), mk("c")))
+    val ctx = Orchestrator.execute(spark, seq, only = Set("a", "c"), skip = Set("c"))
+    assert(ctx.results.keySet === Set("a"))
+  }
+}
