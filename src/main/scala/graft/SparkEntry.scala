@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   /** Every harness query (Spark plan + optional DuckDB oracle). */
-  def allDefs: Seq[QDef] = CoreQueries.defs ++ LlmQueries.defs ++ TextQueries.defs
+  def allDefs: Seq[QDef] =
+    CoreQueries.defs ++ LlmQueries.defs ++ TextQueries.defs ++ ExtQueries.defs
 
   /** Flagship: the SURVEY §7.5 minimum slice as one declarative chain —
     * parquet scan → rename P1 → filter (l_quantity > 20, mirroring the

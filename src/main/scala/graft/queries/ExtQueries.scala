@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+import graft.streaming.Streams
+import Tables.t
+
+/** Extension harness queries:
+  *  - the streaming windowed-agg plan run in batch mode over `events`
+  *    (same code path as the streaming version, oracle-checkable)
+  *  - X4/X5 write→read roundtrips: the single-file CSV/TSV renderers
+  *    write real files whose parse-back must reproduce the source —
+  *    DuckDB recomputes the expected content from the table directly,
+  *    so any escaping bug breaks the hash compare.
+  */
+object ExtQueries {
+
+  val defs: Seq[QDef] = Seq(
+
+    // ----- Streams.windowedAgg in batch mode over events ---------------
+    // Order-independent aggregates only (count / min / max): float
+    // summation order differs between engines, exact extrema do not.
+    QDef.sql(
+      "ext_window_agg",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(min(value), 6) AS min_value,
+        |       round(max(value), 6) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Streams.windowedAgg(
+        t(s, dir, "events"),
+        tsCol = "ts", watermarkDelay = "10 minutes",
+        windowDuration = "1 hour", keys = Seq("event_type"),
+        aggs = Seq(
+          count(lit(1)).as("n_events"),
+          round(min("value"), 6).as("min_value"),
+          round(max("value"), 6).as("max_value")))
+        .select("window_start", "event_type", "n_events", "min_value", "max_value")
+        .orderBy("window_start", "event_type")
+    },
+
+    // ----- X4: CSV escaping roundtrip ----------------------------------
+    // Payload embeds separators, quotes and newlines; Spark writes it
+    // through the X4 single-file renderer and parses it back — the
+    // oracle recomputes the payload from the source table.
+    QDef.sql(
+      "x4_csv_roundtrip",
+      """SELECT doc_id, 'pre,"' || text || '"' || chr(10) || 'post' AS payload
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("pre,\""), col("text"), lit("\"\npost")).as("payload"))
+      val out = java.nio.file.Files.createTempDirectory("graft_x4").toString
+      Sinks.writeBytes(s, s"$out/rt.csv", Sinks.renderSingle(df, "csv"))
+      s.read
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .schema("doc_id LONG, payload STRING")
+        .csv(s"$out/rt.csv")
+        .orderBy("doc_id")
+    },
+
+    // ----- X5: TSV sanitization roundtrip ------------------------------
+    // Tabs/newlines inside values are deterministically replaced with
+    // spaces (the reference's lossy-but-defined X5 semantics); the
+    // oracle applies the same replacement to the source text.
+    QDef.sql(
+      "x5_tsv_roundtrip",
+      """SELECT doc_id, text || ' c1 c2' AS payload
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit("\tc1\nc2")).as("payload"))
+      val out = java.nio.file.Files.createTempDirectory("graft_x5").toString
+      Sinks.writeBytes(s, s"$out/rt.tsv", Sinks.renderSingle(df, "tsv"))
+      s.read
+        .option("header", "true").option("sep", "\t").option("quote", "\u0000")
+        .schema("doc_id LONG, payload STRING")
+        .csv(s"$out/rt.tsv")
+        .orderBy("doc_id")
+    })
+}

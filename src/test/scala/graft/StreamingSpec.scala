@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Structured Streaming extension: watermarked windowed aggregation,
+  * session windows, and bounded-state streaming dedup, driven through
+  * MemoryStream → memory sink. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed agg: tumbling 1h windows count per key as the stream advances") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "10 minutes", "1 hour", keys = Seq("event_type"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    try {
+      input.addData(
+        (tsH(0, 5), "click", 1.0), (tsH(0, 30), "click", 2.0),
+        (tsH(0, 40), "view", 3.0), (tsH(1, 10), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(
+        (tsH(0, 0), "click", 2L), (tsH(0, 0), "view", 1L),
+        (tsH(1, 0), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows: a gap larger than the threshold starts a new session") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streams.sessionAgg(
+      input.toDF().toDF("ts", "user"),
+      "ts", "5 minutes", gap = "10 minutes", keys = Seq("user"))
+    val q = agg.writeStream.format("memory")
+      .queryName("sessions").outputMode("complete").start()
+    try {
+      // user a: 00:00, 00:05 (one session), 00:30 (gap > 10min → new session)
+      input.addData((ts(0), "a"), (ts(5), "a"), (ts(30), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user", "session_start", "n_events")
+        .orderBy("session_start")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(("a", ts(0), 2L), ("a", ts(30), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: duplicates within the watermark horizon are dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dd = Streams.streamingDedup(
+      input.toDF().toDF("ts", "id"), "ts", "30 minutes", Seq("id"))
+    val q = dd.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L), (ts(3), 1L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
+    import spark.implicits._
+    val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))
+      .toDF("ts", "event_type", "value")
+    val out = Streams.windowedAgg(batch, "ts", "10 minutes", "1 hour",
+      keys = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n_events"), max("value").as("mx")))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_events") === 2L)
+    assert(out(0).getAs[Double]("mx") === 7.0)
+  }
+}
