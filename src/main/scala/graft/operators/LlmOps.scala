@@ -48,21 +48,31 @@ object LlmOps {
   /** Lowercased whitespace tokens of a text column. */
   def words(textCol: Column): Column = split(lower(textCol), " ")
 
-  /** n-word shingles as strings ("w1 w2 ... wn"); empty array when the
-    * document has fewer than n words. */
-  def wordShingles(textCol: Column, n: Int): Column = {
-    val ws = words(textCol)
+  /** n-word shingles from an ALREADY-MATERIALIZED words-array column.
+    * The array must be a plain column reference, not the split
+    * expression itself: a lambda that embeds `split(...)` re-evaluates
+    * the full split for EVERY element it produces — O(words²) per
+    * document. Project the array first (see shingleHashes). */
+  def shinglesOf(ws: Column, n: Int): Column = {
     val mk = (i: Column) =>
       concat_ws(" ", (0 until n).map(j => ws(i + lit(j))): _*)
     when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), mk))
       .otherwise(array().cast("array<string>"))
   }
 
+  /** n-word shingles of a text column (convenience; for hot paths use
+    * shinglesOf over a projected words array). */
+  def wordShingles(textCol: Column, n: Int): Column =
+    shinglesOf(words(textCol), n)
+
   /** (id, shingle-hash h) — one row per DISTINCT shingle per document.
-    * The explode is the scale-out: hashing is per-row codegen'd work,
-    * the distinct shuffles on (id, h). */
+    * Words are projected once per row BEFORE the shingle lambda (the
+    * projection boundary stops Catalyst from inlining the split into
+    * the lambda); the explode is the scale-out, the distinct shuffles
+    * on (id, h). */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__s"))
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(shinglesOf(col("__ws"), n)).as("__s"))
       .select(col(idCol), strHash(col("__s")).as("h"))
       .distinct()
 
@@ -227,5 +237,30 @@ object LlmOps {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("probe_id"), col("cand_id"), col("bucket"),
         round(col("c"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup method):
+    * vectors sharing an LSH bucket whose cosine clears `threshold`.
+    * `keep_id` (the smaller id) survives dedup, `dup_id` is the
+    * removable near-duplicate — downstream dedup is an anti-join on
+    * dup_id. Bucketed like annTopKLsh: the only shuffle is on the
+    * bucket id; cost scales with bucket occupancy, never n². */
+  def embedNearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val v = vecs
+      .select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("bucket", lshBucket(col("e"), planes, dims))
+      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+    val a = v.select(col("vid").as("keep_id"), col("e").as("ea"),
+      col("bucket"), col("nrm").as("na"))
+    val b = v.select(col("vid").as("dup_id"), col("e").as("eb"),
+      col("bucket"), col("nrm").as("nb"))
+    val cosine = dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))
+    a.join(b, Seq("bucket"))
+      .filter(col("keep_id") < col("dup_id"))
+      .withColumn("c", cosine)
+      .filter(col("c") >= threshold)
+      .select(col("keep_id"), col("dup_id"), round(col("c"), 6).as("cosine"))
   }
 }

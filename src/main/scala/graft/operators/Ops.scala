@@ -288,6 +288,24 @@ object Ops {
       forceBroadcast: Boolean = false)(df: DataFrame): DataFrame =
     df.join(if (forceBroadcast) broadcast(lookup) else lookup, Seq(key), how)
 
+  /** Skew-mitigating equi join. A hot join key funnels its whole group
+    * through one task in a plain shuffle join; salting scatters the
+    * probe (left, large) side across `salt` sub-keys — deterministically,
+    * by hashing the full probe row — and replicates the build (right,
+    * small-ish) side once per sub-key, so the hot key's work spreads
+    * over `salt` tasks. Result is row-identical to the unsalted join.
+    * Use when AQE's skew handling isn't available (e.g. forced
+    * shuffle-hash) or a single key dominates beyond what AQE splits. */
+  def saltedJoin(right: DataFrame, key: String, salt: Int, how: String = "inner")(
+      left: DataFrame): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val scatter = pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int")
+    val saltedLeft = left.withColumn("__salt", scatter)
+    val saltedRight = right.withColumn(
+      "__salt", explode(array((0 until salt).map(lit): _*)))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), how).drop("__salt")
+  }
+
   // ---------------------------------------------------------------------
   // Union sources (SURVEY §2.1 S6/S7)
   // ---------------------------------------------------------------------

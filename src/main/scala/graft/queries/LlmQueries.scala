@@ -180,5 +180,44 @@ object LlmQueries {
       LlmOps.annTopKLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = _ < 20, k = 3, planes = 8)
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    },
+
+    // ----- Embedding-cosine near-duplicate dedup pairs -----------------
+    // Fifth dedup method: LSH-bucketed cosine threshold; keep_id is the
+    // dedup survivor, dup_id the removable near-duplicate.
+    QDef.sql(
+      "llm_embed_neardup",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |),
+         |dots AS (
+         |  SELECT vec_id, h,
+         |    ${duckFold("""list_transform(generate_series(1,64),
+           |      i -> e[i] * CAST(((1103515245 * (h * 64 + i - 1)) + 12345) % 2001 - 1000 AS DOUBLE))""".stripMargin)} AS d
+         |  FROM v, generate_series(0, 7) g(h)
+         |),
+         |bk AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |),
+         |vn AS (
+         |  SELECT v.vec_id, e, bucket,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS nrm
+         |  FROM v JOIN bk USING (vec_id)
+         |),
+         |pairs AS (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> a.e[i] * b.e[i])")}
+         |      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+         |  FROM vn a JOIN vn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT keep_id, dup_id, round(cos, 6) AS cosine
+         |FROM pairs WHERE cos >= 0.2
+         |ORDER BY keep_id, dup_id""".stripMargin) { (s, dir) =>
+      LlmOps.embedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, planes = 8)
+        .orderBy("keep_id", "dup_id")
     })
 }

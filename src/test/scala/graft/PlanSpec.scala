@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ops
+
+/** Physical-plan audits: the properties that make the engine hold at
+  * 100 TB (pushdown, pruning, partition-parallel indexing, salted-join
+  * equivalence) asserted on the actual executed plans. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = "/root/testdata/sf0.001/documents.parquet"
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val plan = spark.read.parquet(docs)
+      .filter(col("doc_id") < 50)
+      .select("doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan(doc_id,50)"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val plan = spark.read.parquet(docs)
+      .select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"))
+    assert(!readSchema.contains("text"),
+      s"unprojected column read from parquet:\n$readSchema")
+  }
+
+  test("record_index output stays partition-parallel (no single-task funnel)") {
+    // AQE legitimately coalesces this tiny exchange by byte size; turn it
+    // off to expose the structural property round 1 violated (a global
+    // window forcing ONE partition regardless of data volume).
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(100000).toDF("v").repartition(8)
+      val indexed = Ops.withRecordIndex("idx", Seq(col("v")))(df)
+      assert(indexed.rdd.getNumPartitions > 1,
+        "partition-offset indexing must not collapse to one partition")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("saltedJoin is row-equivalent to the plain join on skewed data") {
+    // 10k rows of one hot key + a tail; dimension of 3 keys
+    val left = spark.range(10000)
+      .select(when($"id" < 9000, 1).otherwise(($"id" % 3).cast("int")).as("k"),
+        $"id".as("payload"))
+    val right = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "name")
+    val salted = Ops.saltedJoin(right, "k", salt = 8)(left)
+      .select("k", "payload", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("minhash candidate generation plans a keyed aggregate, not a cartesian") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = graft.operators.LlmOps
+      .minHashCandidatePairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in LSH plan:\n$plan")
+  }
+}
