@@ -36,14 +36,17 @@ object LlmOps {
 
   /** Deterministic char-level polynomial hash of a string column:
     * fold over code points, acc = (acc*31 + cp) mod 1e9+7. Sequential
-    * left fold → identical in any engine that folds arrays in order.
-    * Empty-string array elements are dropped (Spark's split keeps a
-    * trailing "" that DuckDB's string_split does not). */
+    * left fold → identical in any engine that folds in order (the
+    * DuckDB oracle renders it as list_reduce over string_split).
+    * Implemented as the native codegen'd expression
+    * [[graft.functions.PolyHash]] — one loop over the string, no
+    * per-character array materialization; the SQL-composable
+    * `aggregate(split(...))` form it replaced cost ~2 allocations per
+    * corpus character through interpreted higher-order functions. */
   def strHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => length(ch) > 0),
-      lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch).cast("long")) % HashP)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Lowercased whitespace tokens of a text column. */
   def words(textCol: Column): Column = split(lower(textCol), " ")
