@@ -266,4 +266,65 @@ object LlmOps {
       .filter(col("c") >= threshold)
       .select(col("keep_id"), col("dup_id"), round(col("c"), 6).as("cosine"))
   }
+
+  /** Connected-components canonicalization over near-duplicate pairs:
+    * every document gets the MINIMUM id of its duplicate cluster as
+    * `canonical_id` (docs in no pair stay their own canonical). The
+    * final step of corpus dedup — keep rows where id == canonical_id.
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the least label seen; converges in diameter(G)
+    * rounds (each one keyed shuffle join + aggregation, all
+    * partition-parallel — the standard large-graph CC pattern). Rounds
+    * persist their frame and drop the previous one so lineage stays
+    * bounded. Throws if `maxIters` is hit before the fixpoint, rather
+    * than returning a silently-wrong labeling. */
+  def dedupGroups(
+      ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    // localCheckpoint (eager), NOT persist: each round references the
+    // previous labels twice, so without lineage truncation the logical
+    // plan doubles per round — exponential analysis cost and an OOM by
+    // ~iteration 20. Checkpointing pins the rows and cuts the plan to a
+    // constant-size scan per round.
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids
+      .select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // hop 1: min label among graph neighbors
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("nl").as("nmin"))
+      // hop 2 (pointer jumping): my label's own label — halves the
+      // remaining distance to the component min every round, so
+      // convergence is O(log diameter) rounds instead of O(diameter)
+      val labelOfLabel = labels.alias("l1")
+        .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("ll"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(labelOfLabel, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"),
+            coalesce(col("nmin"), col("label")),
+            coalesce(col("ll"), col("label"))).as("newLabel"),
+          col("label").as("oldLabel"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("newLabel") < col("oldLabel")).count()
+      labels = next.select(col("id"), col("newLabel").as("label"))
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups did not converge within $maxIters rounds")
+    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+  }
 }

@@ -219,5 +219,51 @@ object LlmQueries {
       LlmOps.embedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.2, planes = 8)
         .orderBy("keep_id", "dup_id")
+    },
+
+    // ----- Connected-components dedup canonicalization -----------------
+    // Iterative min-label propagation in Spark; transitive closure via
+    // WITH RECURSIVE in the oracle — both converge to the component min.
+    QDef.sql(
+      "llm_dedup_groups",
+      s"""WITH RECURSIVE ${duckShingleHashes()},
+         |mh AS (
+         |  SELECT doc_id,
+         |    min((1000003 * h + 12345) % 2147483647) AS m0,
+         |    min((1000033 * h + 54321) % 2147483647) AS m1,
+         |    min((1000037 * h + 11111) % 2147483647) AS m2,
+         |    min((1000039 * h + 22222) % 2147483647) AS m3,
+         |    min((1000081 * h + 33333) % 2147483647) AS m4,
+         |    min((1000099 * h + 44444) % 2147483647) AS m5,
+         |    min((1000117 * h + 55555) % 2147483647) AS m6,
+         |    min((1000121 * h + 66666) % 2147483647) AS m7
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+         |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+         |),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |                           AND a.doc_id < b.doc_id
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs
+         |),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+         |)
+         |SELECT doc_id, min(label) AS canonical_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      LlmOps.dedupGroups(docs, "doc_id",
+        LlmOps.minHashCandidatePairs(docs, "doc_id", "text"))
+        .orderBy("doc_id")
     })
 }

@@ -74,6 +74,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) === 1.0)
   }
 
+  test("dedup groups: min-label propagation finds component minima") {
+    val ids = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = LlmOps.dedupGroups(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("record index: partition-offset indexing matches the global order") {
     val df = spark.range(1000).toDF("v").repartition(7)
     val out = Ops.withRecordIndex("idx", Seq(col("v").desc))(df)
