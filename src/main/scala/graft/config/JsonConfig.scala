@@ -118,6 +118,13 @@ object JsonConfig {
     } else None,
     mergeWithPrevious = bool(n.path("merge_with_previous")).getOrElse(false),
     mergeKey = str(n.path("merge_key")).getOrElse("id"),
+    nearDedup = if (n.path("near_dedup").isObject) {
+      val nd = n.path("near_dedup")
+      Some(NearDedupDef(
+        idField = str(nd.path("id_field")).getOrElse(sys.error("near_dedup missing id_field")),
+        textField = str(nd.path("text_field")).getOrElse(sys.error("near_dedup missing text_field")),
+        shingleSize = int(nd.path("shingle_size")).getOrElse(2)))
+    } else None,
     addProcessedFlags = bool(n.path("add_processed_flags")).getOrElse(true),
     intermediate = if (n.path("intermediate").isObject) {
       val i = n.path("intermediate")

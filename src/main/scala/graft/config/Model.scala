@@ -93,6 +93,8 @@ final case class TransformDef(
     /** J1 — merge previous output into this one, API-wins. */
     mergeWithPrevious: Boolean = false,
     mergeKey: String = "id",
+    /** LLM-extension: MinHash near-dup removal (LD2 + CC keep-min). */
+    nearDedup: Option[NearDedupDef] = None,
     addProcessedFlags: Boolean = true,
     intermediate: Option[IntermediateDef] = None)
 
@@ -101,6 +103,16 @@ final case class LookupDef(
     format: String = "csv",
     key: String,
     options: Map[String, String] = Map.empty)
+
+/** LLM-extension: near-duplicate removal inside a pipeline's transform —
+  * banded MinHash LSH candidates → connected components → keep each
+  * cluster's minimum-id row (see LlmOps.minHashCandidatePairs /
+  * dedupGroups). Note: clustering is iterative and therefore EAGER (it
+  * runs Spark jobs during the transform build). */
+final case class NearDedupDef(
+    idField: String,
+    textField: String,
+    shingleSize: Int = 2)
 
 /** Sinks (§2.10): formats ∈ {csv,tsv,json,parquet}; zip packages the
   * formats into one archive (reference W6). */

@@ -316,6 +316,15 @@ object Orchestrator {
         df = Ops.mergeWithPrevious(prevUnique, t.mergeKey)(df)
       }
     }
+    t.nearDedup.foreach { nd =>
+      val pairs = graft.operators.LlmOps
+        .minHashCandidatePairs(df, nd.idField, nd.textField, nd.shingleSize)
+      val groups = graft.operators.LlmOps.dedupGroups(df, nd.idField, pairs)
+      val keepers = groups
+        .filter(col(nd.idField) === col("canonical_id"))
+        .select(nd.idField)
+      df = df.join(keepers, Seq(nd.idField), "left_semi")
+    }
     if (t.computedFields.nonEmpty) {
       val orderCols = df.columns.headOption.map(c => col(c)).toSeq
       df = Ops.computedFields(t.computedFields, p.name, ctx.executionId, orderCols)(df)

@@ -163,6 +163,26 @@ object Sinks {
 
   private def ext(fmt: String) = if (fmt == "tsv") "tsv" else fmt
 
+  /** Bucketed table write: pre-shuffles on `bucketCols` into `buckets`
+    * files per partition so later equi joins/aggregations on those
+    * columns read co-located data and skip the shuffle entirely (both
+    * sides bucketed the same way → SortMergeJoin with NO Exchange).
+    * The big-table join strategy at 100 TB: pay the shuffle once at
+    * write time, amortize it over every downstream join. Bucketing
+    * requires the table catalog (saveAsTable), not a bare path. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      sortCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Driver byte write through the Hadoop FileSystem API so local and
     * object-store URIs take the same path (W8: unlike the reference,
     * write errors propagate — documented fix of the swallow at

@@ -126,6 +126,27 @@ class OrchestratorSpec extends AnyFunSuite {
       (3L, "api3", null)))    // unmatched api row passes through
   }
 
+  // ----- LLM extension: config-driven near-dup removal ----------------
+  test("near_dedup transform drops near-duplicate docs, keeping the min id per cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd").toString
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("delta", "CHANGED")), // near-dup of 1
+      (4L, "totally different content with none of the same words at all ok")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("nd"), Seq(
+      PipelineDef("nd", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          nearDedup = Some(NearDedupDef("doc_id", "text"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("nd").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L)) // 2 and 3 collapse into cluster of 1
+  }
+
   // ----- lazy materialization -----------------------------------------
   test("a pipeline with no sink, no conditions, no export triggers zero Spark jobs") {
     val p = fixture(Seq("""{"id":1}""", """{"id":2}"""), "lazy")

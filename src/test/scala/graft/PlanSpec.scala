@@ -60,6 +60,29 @@ class PlanSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("co-bucketed tables join without any Exchange (pre-shuffled at write)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a non-broadcast join so the shuffle question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sinks.Sinks.writeBucketed(
+        spark.range(10000).select($"id", ($"id" % 100).as("v")),
+        "bk_left", Seq("id"), buckets = 8, sortCols = Seq("id"))
+      graft.sinks.Sinks.writeBucketed(
+        spark.range(10000).select($"id", ($"id" % 7).as("w")),
+        "bk_right", Seq("id"), buckets = 8, sortCols = Seq("id"))
+      val joined = spark.table("bk_left").join(spark.table("bk_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
   test("minhash candidate generation plans a keyed aggregate, not a cartesian") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = graft.operators.LlmOps
