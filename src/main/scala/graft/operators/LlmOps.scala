@@ -68,23 +68,30 @@ object LlmOps {
   def wordShingles(textCol: Column, n: Int): Column =
     shinglesOf(words(textCol), n)
 
-  /** (id, shingle-hash h) — one row per DISTINCT shingle per document.
-    * Words are projected once per row BEFORE the shingle lambda (the
-    * projection boundary stops Catalyst from inlining the split into
-    * the lambda); the explode is the scale-out, the distinct shuffles
-    * on (id, h). */
-  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), words(col(textCol)).as("__ws"))
+  /** (id, shingle-hash h). Words are projected once per row BEFORE the
+    * shingle lambda (the projection boundary stops Catalyst from
+    * inlining the split into the lambda); the explode is the scale-out.
+    * `dedup = true` shuffles on (id, h) to one row per distinct shingle
+    * — required when the consumer COUNTS hashes (Jaccard). Min-style
+    * consumers (MinHash) are duplicate-insensitive and skip the shuffle
+    * with `dedup = false`. */
+  def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      dedup: Boolean = true): DataFrame = {
+    val hashed = df
+      .select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(shinglesOf(col("__ws"), n)).as("__s"))
       .select(col(idCol), strHash(col("__s")).as("h"))
-      .distinct()
+    if (dedup) hashed.distinct() else hashed
+  }
 
   /** MinHash signature: one row per document, columns m0..m{k-1}.
     * Single hash pass + one groupBy(id) with k min aggregates — partial
     * (map-side) aggregation keeps the shuffle narrow. */
   def minHashSignature(
       df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val hashed = shingleHashes(df, idCol, textCol, n)
+    // min() is duplicate-insensitive → skip the distinct shuffle
+    val hashed = shingleHashes(df, idCol, textCol, n, dedup = false)
     val aggs = SeedA.zip(SeedB).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P31).as(s"m$i")
     }
@@ -265,6 +272,47 @@ object LlmOps {
       .withColumn("c", cosine)
       .filter(col("c") >= threshold)
       .select(col("keep_id"), col("dup_id"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** IVF-style cell assignment: each vector joins the cell of its
+    * nearest centroid (deterministic seed centroids: the first `k` ids
+    * stand in for a trained codebook — swap in k-means centroids at
+    * production scale, the plan shape is identical). One broadcast of
+    * k tiny centroid rows against a single pass over the vectors. */
+  def ivfCells(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+    val cents = v.filter(col("vid") < k)
+      .select(col("vid").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val cos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
+    val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos", cos)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vid"), col("e"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** ANN top-k, IVF-bucketed: probes scored only against vectors in the
+    * same centroid cell — the second scale path next to annTopKLsh
+    * (coarser cells, data-adaptive when given real centroids). */
+  def annTopKIvf(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, topK: Int, k: Int = 8): DataFrame = {
+    val cells = ivfCells(vecs, idCol, vecCol, k)
+    val probes = cells.filter(probeFilter(col("vid")))
+      .select(col("vid").as("probe_id"), col("e").as("pe"),
+        col("cell"), col("nrm").as("pnrm"))
+    val cands = cells.select(col("vid").as("cand_id"), col("e"),
+      col("cell"), col("nrm"))
+    val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    probes.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("cell"), cosine.as("c"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .select(col("probe_id"), col("cand_id"), col("cell"),
+        round(col("c"), 6).as("cosine"))
   }
 
   /** Connected-components canonicalization over near-duplicate pairs:

@@ -221,6 +221,43 @@ object LlmQueries {
         .orderBy("keep_id", "dup_id")
     },
 
+    // ----- ANN top-k via IVF cells (deterministic seed centroids) ------
+    QDef.sql(
+      "llm_ann_ivf",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+         |  FROM embeddings
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8
+         |),
+         |assign AS (
+         |  SELECT vec_id, e, nrm, cid AS cell
+         |  FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, c.cid,
+         |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+         |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+         |    FROM v, cents c
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+         |),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.cell AS cell,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> p.e[i] * c.e[i])")}
+         |      / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM assign p JOIN assign c ON p.cell = c.cell AND c.vec_id != p.vec_id
+         |  WHERE p.vec_id < 20
+         |)
+         |SELECT probe_id, cand_id, cell, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 3
+         |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, topK = 3, k = 8)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    },
+
     // ----- Connected-components dedup canonicalization -----------------
     // Iterative min-label propagation in Spark; transitive closure via
     // WITH RECURSIVE in the oracle — both converge to the component min.
