@@ -25,6 +25,7 @@ object Main {
       dryRun: Boolean = false,
       executionId: Option[String] = None,
       metricsOut: Option[String] = None,
+      monitor: Boolean = false,
       master: String = "local[*]")
 
   def parseArgs(argv: Array[String]): Args = {
@@ -38,6 +39,7 @@ object Main {
         case "--dry-run" => a = a.copy(dryRun = true); i += 1
         case "--execution-id" => a = a.copy(executionId = Some(argv(i + 1))); i += 2
         case "--metrics-out" => a = a.copy(metricsOut = Some(argv(i + 1))); i += 2
+        case "--monitor" => a = a.copy(monitor = true); i += 1
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
         case other => sys.error(s"unknown flag: $other")
       }
@@ -90,6 +92,9 @@ object Main {
     * (0 success, 1 execution failure, 2 invalid config). */
   def run(spark: SparkSession, seq: graft.config.SequenceDef, args: Args): Int = {
     val execId = args.executionId.getOrElse(s"seq_${System.currentTimeMillis()}")
+    val monitor = if (args.monitor) {
+      val m = new graft.engine.SystemMonitor(); m.start(); Some(m)
+    } else None
     val ctx =
       try Orchestrator.execute(spark, seq, execId, args.only, args.skip)
       catch {
@@ -97,13 +102,13 @@ object Main {
           System.err.println(s"invalid config: ${e.msg}"); return 2
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"sequence failed: ${e.getMessage}"); return 1
-      }
+      } finally monitor.foreach(_.stop())
     val metricsPath = args.metricsOut.getOrElse {
       val dir = seq.pipelines.flatMap(_.load).headOption
         .map(_.outputPath).getOrElse(".")
       s"$dir/sequence_metrics.json"
     }
-    Orchestrator.writeMetrics(spark, ctx, metricsPath)
+    Orchestrator.writeMetrics(spark, ctx, metricsPath, monitor)
     ctx.results.values.foreach { o =>
       println(s"[graft] ${o.name}: ${o.status} records=${o.recordCount} " +
         s"in ${o.durationMs}ms (E=${o.extractMs} T=${o.transformMs} L=${o.loadMs})" +

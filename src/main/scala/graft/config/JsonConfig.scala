@@ -141,6 +141,7 @@ object JsonConfig {
     includeMetadata = bool(n.path("compression").path("include_metadata"))
       .orElse(bool(n.path("include_metadata"))).getOrElse(false),
     filenames = strMap(n.path("filenames")),
+    partitionBy = strSeq(n.path("partition_by")),
     singleFile = bool(n.path("single_file")).getOrElse(false),
     singleFileMaxRows = long(n.path("single_file_max_rows")).getOrElse(1000000L))
 

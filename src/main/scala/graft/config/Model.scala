@@ -125,6 +125,11 @@ final case class LoadDef(
     includeMetadata: Boolean = false,
     /** W9 — per-format filenames (declared-only in reference). */
     filenames: Map[String, String] = Map.empty,
+    /** Hive-style partition columns for the distributed writers:
+      * `partition_by = ["date"]` lays files out as `date=.../part-*` so
+      * downstream scans with a partition predicate prune whole
+      * directories (PartitionFilters, zero I/O for skipped partitions). */
+    partitionBy: Seq[String] = Nil,
     /** Reference-parity escape hatch: render one file per format on the
       * driver (required for zip). DEFAULT IS DISTRIBUTED — the
       * DataFrameWriter path scales to any size; the single-file path is

@@ -383,19 +383,24 @@ object Orchestrator {
   /** W7 — metrics export, shape-compatible with the reference's
     * sequence_metrics.json (sequence_etl.rs:336-400), extended with the
     * per-phase timings of etl_engine.rs:25-65. */
-  def metricsJson(ctx: RunContext): String = {
+  def metricsJson(ctx: RunContext, monitor: Option[SystemMonitor] = None): String = {
     val pipelines = ctx.results.values.map { o =>
       s"""{"name":"${o.name}","duration_ms":${o.durationMs},"extract_ms":${o.extractMs},"transform_ms":${o.transformMs},"load_ms":${o.loadMs},"records_count":${o.recordCount},"output_path":${o.outputPath.map("\"" + _ + "\"").getOrElse("null")},"status":"${o.status}"}"""
     }.mkString("[", ",", "]")
     val executed = ctx.succeeded.map(o => "\"" + o.name + "\"").mkString("[", ",", "]")
+    val mon = monitor
+      .map(m => s""","peak_heap_bytes":${m.peakHeapBytes},"monitor_samples":${m.sampleCount}""")
+      .getOrElse("")
     val ts = java.time.format.DateTimeFormatter.ISO_INSTANT.format(java.time.Instant.now())
-    s"""{"pipelines":$pipelines,"summary":{"executed_pipelines":$executed,"total_duration_ms":${ctx.results.values.map(_.durationMs).sum},"total_pipelines":${ctx.succeeded.size},"total_records":${ctx.succeeded.map(_.recordCount).sum}},"execution_id":"${ctx.executionId}","timestamp":"$ts"}"""
+    s"""{"pipelines":$pipelines,"summary":{"executed_pipelines":$executed,"total_duration_ms":${ctx.results.values.map(_.durationMs).sum},"total_pipelines":${ctx.succeeded.size},"total_records":${ctx.succeeded.map(_.recordCount).sum}$mon},"execution_id":"${ctx.executionId}","timestamp":"$ts"}"""
   }
 
   /** W7 — write `sequence_metrics.json` (any Hadoop-FS target). The
     * reference's runner always writes this file (sequence_etl.rs:336-400);
     * round 1 built the JSON but never wrote it — now the CLI does. */
-  def writeMetrics(spark: SparkSession, ctx: RunContext, path: String): Unit =
+  def writeMetrics(
+      spark: SparkSession, ctx: RunContext, path: String,
+      monitor: Option[SystemMonitor] = None): Unit =
     Sinks.writeBytes(spark, path,
-      metricsJson(ctx).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      metricsJson(ctx, monitor).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -44,28 +44,37 @@ object Sinks {
       load.outputPath
     } else {
       load.formats.foreach { fmt =>
-        writeDistributed(df, fmt, s"${load.outputPath}/${baseName}_$fmt")
+        writeDistributed(df, fmt, s"${load.outputPath}/${baseName}_$fmt",
+          load.partitionBy)
       }
       load.outputPath
     }
   }
 
   /** W1/W2/W3 distributed: CSV with RFC-4180 quoting, TSV with X5
-    * sanitization and no quoting, JSON as NDJSON, parquet native. */
-  def writeDistributed(df: DataFrame, format: String, path: String): Unit =
+    * sanitization and no quoting, JSON as NDJSON, parquet native.
+    * Optional Hive-style partition layout for directory pruning. */
+  def writeDistributed(
+      df: DataFrame, format: String, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    def base(d: DataFrame) = {
+      val w = d.write.mode(SaveMode.Overwrite)
+      if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    }
     format match {
       case "csv" =>
-        df.write.mode(SaveMode.Overwrite)
+        base(df)
           .option("header", "true").option("quote", "\"").option("escape", "\"")
           .csv(path)
       case "tsv" =>
-        Ops.sanitizeTsv(df).write.mode(SaveMode.Overwrite)
+        base(Ops.sanitizeTsv(df))
           .option("header", "true").option("sep", "\t").option("quote", "\u0000")
           .csv(path)
-      case "json" => df.write.mode(SaveMode.Overwrite).json(path)
-      case "parquet" => df.write.mode(SaveMode.Overwrite).parquet(path)
+      case "json" => base(df).json(path)
+      case "parquet" => base(df).parquet(path)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
+  }
 
   final case class SingleFileTooLarge(rows: Long, cap: Long)
       extends RuntimeException(

@@ -89,6 +89,24 @@ class MainSpec extends AnyFunSuite {
       Orchestrator.validate(SequenceDef("s", Nil, Nil, retryAttempts = 99)))
   }
 
+  test("--monitor samples heap and lands peaks in the metrics file") {
+    val (dir, src) = writeFixture()
+    import graft.config._
+    val seq = SequenceDef("s", Seq("p"), Seq(
+      PipelineDef("p", FileSource(src),
+        transform = TransformDef(addProcessedFlags = false),
+        load = Some(LoadDef(s"$dir/mon_out", formats = Seq("parquet"))))))
+    val code = Main.run(spark, seq,
+      Main.Args("cfg", monitor = true, metricsOut = Some(s"$dir/mon.json")))
+    assert(code === 0)
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/mon.json")))
+    assert(metrics.contains(""""peak_heap_bytes":"""))
+    val peak = """"peak_heap_bytes":(\d+)""".r
+      .findFirstMatchIn(metrics).get.group(1).toLong
+    assert(peak > 0L)
+  }
+
   test("--only/--skip select pipelines like the CLI flags") {
     val (_, src) = writeFixture()
     import graft.config._

@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("partitioned writes prune directories on partition predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    val df = spark.range(1000)
+      .select($"id", ($"id" % 4).cast("string").as("grp"))
+    graft.sinks.Sinks.writeDistributed(df, "parquet", s"$dir/t", Seq("grp"))
+    val plan = spark.read.parquet(s"$dir/t")
+      .filter($"grp" === "2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition pruning:\n$plan")
+    assert(plan.contains("(grp = 2)") || plan.contains("grp#"),
+      s"partition predicate missing:\n$plan")
+  }
+
   test("co-bucketed tables join without any Exchange (pre-shuffled at write)") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // force a non-broadcast join so the shuffle question is real
