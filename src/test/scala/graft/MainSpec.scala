@@ -89,6 +89,22 @@ class MainSpec extends AnyFunSuite {
       Orchestrator.validate(SequenceDef("s", Nil, Nil, retryAttempts = 99)))
   }
 
+  test("shipped example config parses, validates, dry-runs, and executes") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("configs/sequence-example.json")))
+    val seq = JsonConfig.loadSequence(text)
+    assert(seq.pipelines.map(_.name) === Seq("ingest", "curate", "export"))
+    val plan = Orchestrator.dryRun(seq)
+    assert(plan.contains("ingest -> curate -> export"))
+    val code = Main.run(spark, seq, Main.Args("configs/sequence-example.json",
+      executionId = Some("exec-example"),
+      metricsOut = Some("/tmp/graft_example_out/metrics.json")))
+    assert(code === 0)
+    val out = spark.read.json("/tmp/graft_example_out/export_exec-example_json")
+    assert(out.count() > 0)
+    assert(out.columns.contains("lang")) // partition column round-trips
+  }
+
   test("--monitor samples heap and lands peaks in the metrics file") {
     val (dir, src) = writeFixture()
     import graft.config._
