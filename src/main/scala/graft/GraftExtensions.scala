@@ -14,7 +14,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PolyHash(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"graft_polyhash expects exactly 1 argument, got ${children.size}")
+        PolyHash(children.head)
+      }))
   }
 }

@@ -95,26 +95,38 @@ object Main {
     val monitor = if (args.monitor) {
       val m = new graft.engine.SystemMonitor(); m.start(); Some(m)
     } else None
+    // Keep caches alive through metrics/reporting: writeMetrics forces
+    // each pipeline's deferred recordCount, which without the cache would
+    // recompute every DAG (and re-fire fan-out HTTP side effects) AFTER
+    // the sequence finished. Unpersist once reporting is done.
     val ctx =
-      try Orchestrator.execute(spark, seq, execId, args.only, args.skip)
+      try Orchestrator.execute(spark, seq, execId, args.only, args.skip,
+        unpersistOnEnd = false)
       catch {
         case e: Orchestrator.ValidationException =>
           System.err.println(s"invalid config: ${e.msg}"); return 2
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"sequence failed: ${e.getMessage}"); return 1
-      } finally monitor.foreach(_.stop())
-    val metricsPath = args.metricsOut.getOrElse {
-      val dir = seq.pipelines.flatMap(_.load).headOption
-        .map(_.outputPath).getOrElse(".")
-      s"$dir/sequence_metrics.json"
+      }
+    try {
+      val metricsPath = args.metricsOut.getOrElse {
+        val dir = seq.pipelines.flatMap(_.load).headOption
+          .map(_.outputPath).getOrElse(".")
+        s"$dir/sequence_metrics.json"
+      }
+      ctx.results.values.foreach(_.recordCount) // force counts under monitor
+      monitor.foreach(_.stop())
+      Orchestrator.writeMetrics(spark, ctx, metricsPath, monitor)
+      ctx.results.values.foreach { o =>
+        println(s"[graft] ${o.name}: ${o.status} records=${o.recordCount} " +
+          s"in ${o.durationMs}ms (E=${o.extractMs} T=${o.transformMs} L=${o.loadMs})" +
+          o.outputPath.map(p => s" -> $p").getOrElse(""))
+      }
+      println(s"[graft] metrics -> $metricsPath")
+      if (ctx.results.values.exists(_.status == "failed")) 1 else 0
+    } finally {
+      monitor.foreach(_.stop())
+      ctx.unpersistAll()
     }
-    Orchestrator.writeMetrics(spark, ctx, metricsPath, monitor)
-    ctx.results.values.foreach { o =>
-      println(s"[graft] ${o.name}: ${o.status} records=${o.recordCount} " +
-        s"in ${o.durationMs}ms (E=${o.extractMs} T=${o.transformMs} L=${o.loadMs})" +
-        o.outputPath.map(p => s" -> $p").getOrElse(""))
-    }
-    println(s"[graft] metrics -> $metricsPath")
-    if (ctx.results.values.exists(_.status == "failed")) 1 else 0
   }
 }

@@ -109,6 +109,11 @@ object Orchestrator {
           throw ValidationException(
             s"pipeline '${p.name}': unsupported formats ${bad.mkString(",")} " +
               s"(allowed: ${FormatWhitelist.toSeq.sorted.mkString(",")})")
+        // parquet is a distributed-only format: the single-file/zip
+        // renderers are text-based and would fail mid-run otherwise
+        if ((l.singleFile || l.zip) && l.formats.contains("parquet"))
+          throw ValidationException(
+            s"pipeline '${p.name}': parquet cannot be rendered single-file/zip")
         if (l.outputPath.isEmpty)
           throw ValidationException(s"pipeline '${p.name}': empty output_path")
         if (l.singleFileMaxRows <= 0)
@@ -169,18 +174,24 @@ object Orchestrator {
     val selected = seq.executionOrder
       .filter(n => only.isEmpty || only.contains(n))
       .filterNot(skip.contains)
-    // Persist a pipeline's frame only when some LATER selected pipeline
-    // consumes previous outputs — otherwise caching doubles I/O for
-    // nothing (the round-1 eager persist+count anti-pattern).
-    def consumesPrevious(p: PipelineDef): Boolean = p.source match {
+    // Persist a pipeline's frame only when something will evaluate it
+    // more than once — otherwise caching doubles I/O for nothing (the
+    // round-1 eager persist+count anti-pattern). "More than once" means:
+    // a later pipeline consumes previous outputs (source or merge), a
+    // later pipeline's count-based condition forces a previous count,
+    // or the pipeline's own load runs one action per format / zip entry.
+    def consumesPrevious(p: PipelineDef): Boolean = (p.source match {
       case _: PreviousSource | CombinedSource | _: MergedApiSource |
           _: ParameterizedApiSource => true
       case _ => p.transform.mergeWithPrevious
-    }
+    }) || p.conditions.whenRecordsCount.nonEmpty || p.conditions.skipIfEmpty
+    def multiActionLoad(p: PipelineDef): Boolean =
+      p.load.exists(l => l.formats.size > 1 || l.zip)
     selected.zipWithIndex.foreach { case (name, i) =>
       val p = byName(name)
       val consumedLater =
-        selected.drop(i + 1).exists(n => consumesPrevious(byName(n)))
+        selected.drop(i + 1).exists(n => consumesPrevious(byName(n))) ||
+          multiActionLoad(p)
       if (!shouldExecute(p, ctx)) {
         ctx.results(name) = PipelineOutcome(name, None, None, 0L, "skipped")
       } else {
@@ -383,16 +394,28 @@ object Orchestrator {
   /** W7 — metrics export, shape-compatible with the reference's
     * sequence_metrics.json (sequence_etl.rs:336-400), extended with the
     * per-phase timings of etl_engine.rs:25-65. */
+  /** JSON string escape for interpolated names/paths/ids. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def metricsJson(ctx: RunContext, monitor: Option[SystemMonitor] = None): String = {
     val pipelines = ctx.results.values.map { o =>
-      s"""{"name":"${o.name}","duration_ms":${o.durationMs},"extract_ms":${o.extractMs},"transform_ms":${o.transformMs},"load_ms":${o.loadMs},"records_count":${o.recordCount},"output_path":${o.outputPath.map("\"" + _ + "\"").getOrElse("null")},"status":"${o.status}"}"""
+      s"""{"name":${jstr(o.name)},"duration_ms":${o.durationMs},"extract_ms":${o.extractMs},"transform_ms":${o.transformMs},"load_ms":${o.loadMs},"records_count":${o.recordCount},"output_path":${o.outputPath.map(jstr).getOrElse("null")},"status":"${o.status}"}"""
     }.mkString("[", ",", "]")
-    val executed = ctx.succeeded.map(o => "\"" + o.name + "\"").mkString("[", ",", "]")
+    val executed = ctx.succeeded.map(o => jstr(o.name)).mkString("[", ",", "]")
     val mon = monitor
       .map(m => s""","peak_heap_bytes":${m.peakHeapBytes},"monitor_samples":${m.sampleCount}""")
       .getOrElse("")
     val ts = java.time.format.DateTimeFormatter.ISO_INSTANT.format(java.time.Instant.now())
-    s"""{"pipelines":$pipelines,"summary":{"executed_pipelines":$executed,"total_duration_ms":${ctx.results.values.map(_.durationMs).sum},"total_pipelines":${ctx.succeeded.size},"total_records":${ctx.succeeded.map(_.recordCount).sum}$mon},"execution_id":"${ctx.executionId}","timestamp":"$ts"}"""
+    s"""{"pipelines":$pipelines,"summary":{"executed_pipelines":$executed,"total_duration_ms":${ctx.results.values.map(_.durationMs).sum},"total_pipelines":${ctx.succeeded.size},"total_records":${ctx.succeeded.map(_.recordCount).sum}$mon},"execution_id":${jstr(ctx.executionId)},"timestamp":"$ts"}"""
   }
 
   /** W7 — write `sequence_metrics.json` (any Hadoop-FS target). The

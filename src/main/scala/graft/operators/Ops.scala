@@ -182,7 +182,12 @@ object Ops {
     * assigns offset + local index). No single-partition window, no
     * driver funnel; every stage is partition-parallel.
     * With an empty `orderBy` the index follows current partition order
-    * (deterministic only for a deterministic input layout). */
+    * (deterministic only for a deterministic input layout).
+    * CAVEATS: zipWithIndex runs its partition-size pass eagerly at
+    * construction (one extra job), and the upstream is evaluated again
+    * by the downstream action — a NON-DETERMINISTIC upstream (HTTP
+    * fan-out, unordered limit) must be persisted/checkpointed first or
+    * offsets can shift between the two passes. */
   def withRecordIndex(name: String, orderBy: Seq[Column])(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField}
@@ -299,6 +304,12 @@ object Ops {
   def saltedJoin(right: DataFrame, key: String, salt: Int, how: String = "inner")(
       left: DataFrame): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit one null-extended row PER SALT REPLICA
+    // for unmatched build-side keys — only probe-preserving joins keep
+    // the row-identical-to-unsalted contract
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(how.toLowerCase),
+      s"saltedJoin supports probe-preserving joins only, got '$how'")
     val scatter = pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int")
     val saltedLeft = left.withColumn("__salt", scatter)
     val saltedRight = right.withColumn(

@@ -15,12 +15,7 @@ import Tables.t
   */
 object LlmQueries {
 
-  /** DuckDB rendering of LlmOps.strHash(expr). */
-  private def duckHash(expr: String): String =
-    s"""list_reduce(
-       |  list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+  import DuckSql.{duckFold, duckHash}
 
   /** DuckDB CTEs: distinct (doc_id, shingle-hash h) over 2-gram shingles. */
   private def duckShingleHashes(where: String = ""): String =
@@ -35,10 +30,6 @@ object LlmQueries {
        |hashed AS (
        |  SELECT DISTINCT doc_id, ${duckHash("s")} AS h FROM shingles
        |)""".stripMargin
-
-  /** Sequential left-fold sum in DuckDB (mirrors LlmOps fold order). */
-  private def duckFold(terms: String): String =
-    s"list_reduce(list_prepend(0.0, $terms), (a, x) -> a + x)"
 
   val defs: Seq[QDef] = Seq(
 

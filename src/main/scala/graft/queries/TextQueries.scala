@@ -15,11 +15,7 @@ object TextQueries {
   private def duckStopCount(list: Seq[String]): String =
     s"len(list_filter(ws, x -> list_contains(${duckList(list)}, x)))"
 
-  private def duckHash(expr: String): String =
-    s"""list_reduce(
-       |  list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+  import DuckSql.duckHash
 
   val defs: Seq[QDef] = Seq(
 
