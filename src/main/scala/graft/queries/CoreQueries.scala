@@ -110,6 +110,41 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ----- F2: hardcoded threshold filter (simple_pipeline.rs:113-116) -----
+    QDef.sql(
+      "f2_threshold",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 20 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 20)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ----- F3: MVP id filter (mvp_pipeline.rs:192-195) -----
+    QDef.sql(
+      "f3_id_filter",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey = 1 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Ops.equalityFilter(Map("o_orderkey" -> 1))(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // ----- Skew-salted join equivalence (LX1): same rows as a plain join -----
+    QDef.sql(
+      "x_salted_join",
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_brand
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      val part = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Ops.saltedJoin(part, "l_partkey", salt = 8)(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ----- F4: row limit after deterministic order (mvp_pipeline.rs:74-109) -----
     QDef.sql(
       "f4_limit",
