@@ -1,7 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed rows for the custom-state operator (Dataset[T] + Encoders:
+  * type safety where the state logic is imperative). */
+final case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+final case class KeyedTotals(key: String, n: Long, total: Double)
 
 /** Structured Streaming extension (SURVEY §2.11: absent in the reference;
   * the natural Spark extension over the `events` table). Every builder
@@ -58,6 +64,45 @@ object Streams {
       .withColumn("session_start", col("session_window.start"))
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
+  }
+
+  /** Custom per-key state via mapGroupsWithState: running count + sum
+    * per key, updated each micro-batch. With `stateTtl` set, state is
+    * dropped after that much processing-time inactivity (bounded state
+    * — an idle key's memory is reclaimed, its totals restart if it
+    * reappears); note ProcessingTimeTimeout makes the query run
+    * timeout-evaluation batches continuously, so tests and drain-style
+    * callers should use the default NoTimeout. The escape hatch for
+    * state machines the declarative window/session operators can't
+    * express. Works on a batch Dataset too (one group pass, no state). */
+  def runningTotals(
+      ds: Dataset[KeyedEvent],
+      stateTtl: Option[String] = None): Dataset[KeyedTotals] = {
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming // resolved on the driver; the update
+                                   // closure must not capture the Dataset
+    val ttl = stateTtl
+    def update(
+        key: String,
+        events: Iterator[KeyedEvent],
+        state: GroupState[KeyedTotals]): KeyedTotals = {
+      if (state.hasTimedOut) {
+        val last = state.get
+        state.remove()
+        last
+      } else {
+        val prev = state.getOption.getOrElse(KeyedTotals(key, 0L, 0.0))
+        val out = events.foldLeft(prev)((acc, e) =>
+          KeyedTotals(key, acc.n + 1, acc.total + e.value))
+        state.update(out)
+        if (streaming) ttl.foreach(state.setTimeoutDuration)
+        out
+      }
+    }
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[KeyedTotals, KeyedTotals](
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Streaming exact dedup with BOUNDED state: duplicates arriving

@@ -81,6 +81,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-key running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val typed = input.toDF().toDF("ts", "key", "value")
+      .selectExpr("key", "ts", "value")
+      .as[graft.streaming.KeyedEvent]
+    val q = graft.streaming.Streams.runningTotals(typed)
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "b", 5.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 4.0)) // second batch: state carries over
+      q.processAllAvailable()
+      // memory sink keeps every update; latest state = max n per key
+      val latest = spark.table("totals")
+        .groupBy("key").agg(max("n").as("n"), max("total").as("total"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(latest("a") === ((3L, 7.0))) // 1+2 in batch 1, +4 in batch 2
+      assert(latest("b") === ((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
     import spark.implicits._
     val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))
