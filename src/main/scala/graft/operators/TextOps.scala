@@ -66,6 +66,31 @@ object TextOps {
       ceil(length(text) / lit(4.0)).cast("long").as("bpe_est"))
   }
 
+  /** TF/DF components for TF-IDF scoring, integer-exact (the float
+    * tf*ln(N/df) product is one multiply away for the caller; keeping
+    * the engine output integral makes it verifiable bit-for-bit and
+    * engine-portable — ln differs in final ulps across math libraries).
+    * One explode + two keyed aggregations; shuffles on (doc, term) then
+    * term. */
+  def tfDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(LlmOps.words(col(textCol))).as("w"))
+      .select(col(idCol), LlmOps.strHash(col("w")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"), col("df"))
+  }
+
+  /** Global top-k n-grams by frequency (hash-identified; deterministic
+    * tie-break on the hash). Partial aggregation keeps the shuffle
+    * narrow; the final top-k is a single ordered limit. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+      .groupBy("h").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("h"))
+      .limit(k)
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

@@ -98,6 +98,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- TF/DF components (integer-exact TF-IDF inputs) --------------
+    QDef.sql(
+      "llm_tfdf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+         |),
+         |terms AS (
+         |  SELECT doc_id, ${duckHash("w")} AS term FROM toks
+         |),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY doc_id, term
+         |),
+         |dfreq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |)
+         |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
+         |FROM tf JOIN dfreq USING (term)
+         |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+      TextOps.tfDf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "term")
+    },
+
+    // ----- Global top-20 2-grams ---------------------------------------
+    QDef.sql(
+      "llm_top_ngrams",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+         |),
+         |shingles AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS s
+         |  FROM words
+         |),
+         |hashed AS (
+         |  SELECT ${duckHash("s")} AS h FROM shingles
+         |)
+         |SELECT h, CAST(count(*) AS BIGINT) AS freq
+         |FROM hashed GROUP BY h
+         |ORDER BY freq DESC, h LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.topNgrams(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 20)
+    },
+
     // ----- Multimodal payload metadata (BinaryType plumbing) -----------
     // Spark side routes text through a real BinaryType payload column;
     // the oracle hashes the same UTF-8 bytes (DuckDB md5(VARCHAR) hashes
