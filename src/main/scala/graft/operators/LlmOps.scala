@@ -138,13 +138,21 @@ object LlmOps {
       .distinct()
   }
 
+  /** (id, token-hash) — one row per token occurrence (frequency
+    * preserved). The shared tokenizer+hash projection for SimHash,
+    * TF-IDF, and any other token-level consumer: one definition keeps
+    * every Spark call site in lockstep with the DuckSql oracle
+    * rendering. */
+  def tokenHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+      .select(col(idCol), strHash(col("__w")).as("h"))
+
   /** SimHash (frequency-weighted, `bits`-bit) from token hashes: bit b of
     * the fingerprint is 1 iff the sum over tokens of ±1 (sign of bit b of
     * the token hash) is positive. One explode + two keyed aggregations;
     * near-dup lookup is then Hamming distance on the compact code. */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
-      .select(col(idCol), strHash(col("w")).as("h"))
+    val toks = tokenHashes(df, idCol, textCol)
     toks
       .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
       .groupBy(col(idCol), col("b"))

@@ -73,8 +73,8 @@ object TextOps {
     * One explode + two keyed aggregations; shuffles on (doc, term) then
     * term. */
   def tfDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(LlmOps.words(col(textCol))).as("w"))
-      .select(col(idCol), LlmOps.strHash(col("w")).as("term"))
+    val toks = LlmOps.tokenHashes(df, idCol, textCol)
+      .withColumnRenamed("h", "term")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("term"))

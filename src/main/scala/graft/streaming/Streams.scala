@@ -81,29 +81,32 @@ object Streams {
     import ds.sparkSession.implicits._
     val streaming = ds.isStreaming // resolved on the driver; the update
                                    // closure must not capture the Dataset
-    val ttl = stateTtl
-    def update(
-        key: String,
-        events: Iterator[KeyedEvent],
-        state: GroupState[KeyedTotals]): KeyedTotals = {
-      if (state.hasTimedOut) {
-        val last = state.get
-        state.remove()
-        last
-      } else {
-        val prev = state.getOption.getOrElse(KeyedTotals(key, 0L, 0.0))
-        val out = events.foldLeft(prev)((acc, e) =>
-          KeyedTotals(key, acc.n + 1, acc.total + e.value))
-        state.update(out)
-        if (streaming) ttl.foreach(state.setTimeoutDuration)
-        out
-      }
-    }
     ds.groupByKey(_.key)
       .mapGroupsWithState[KeyedTotals, KeyedTotals](
-        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-        else GroupStateTimeout.NoTimeout)(update)
+        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
+        updateTotals(if (streaming) stateTtl else None))
   }
+
+  /** The state-update function of [[runningTotals]], exposed so the
+    * timeout branch is unit-testable with TestGroupState. */
+  private[graft] def updateTotals(ttl: Option[String])(
+      key: String,
+      events: Iterator[KeyedEvent],
+      state: GroupState[KeyedTotals]): KeyedTotals =
+    if (state.hasTimedOut) {
+      // idle key reclaimed: emit the final totals, drop the state
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(KeyedTotals(key, 0L, 0.0))
+      val out = events.foldLeft(prev)((acc, e) =>
+        KeyedTotals(key, acc.n + 1, acc.total + e.value))
+      state.update(out)
+      ttl.foreach(state.setTimeoutDuration)
+      out
+    }
 
   /** Streaming exact dedup with BOUNDED state: duplicates arriving
     * within the watermark horizon are dropped; state for older keys is

@@ -105,6 +105,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("updateTotals timeout branch: idle key emits final totals and drops state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.{KeyedEvent, KeyedTotals, Streams}
+    // accumulate branch registers a timeout when a TTL is set
+    val live = TestGroupState.create[KeyedTotals](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    val out = Streams.updateTotals(Some("10 seconds"))(
+      "a", Iterator(KeyedEvent("a", ts(0), 2.0), KeyedEvent("a", ts(1), 3.0)), live)
+    assert(out === KeyedTotals("a", 2L, 5.0))
+    assert(live.get === KeyedTotals("a", 2L, 5.0))
+    assert(live.getTimeoutTimestampMs.isPresent, "TTL must register a timeout")
+
+    // timed-out branch: emit last known totals, remove state
+    val timedOut = TestGroupState.create[KeyedTotals](
+      optionalState = org.apache.spark.api.java.Optional.of(KeyedTotals("a", 7L, 9.0)),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 99999L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = true)
+    val fin = Streams.updateTotals(Some("10 seconds"))("a", Iterator.empty, timedOut)
+    assert(fin === KeyedTotals("a", 7L, 9.0))
+    assert(timedOut.isRemoved, "timed-out state must be reclaimed")
+  }
+
   test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
     import spark.implicits._
     val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))
