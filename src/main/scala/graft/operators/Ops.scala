@@ -103,7 +103,7 @@ object Ops {
   /** P8 — deterministic column order (sorted by name), the reference's
     * header normalization (contextual_pipeline.rs:990-1009). */
   def sortColumns(df: DataFrame): DataFrame =
-    df.select(df.columns.sorted.map(col): _*)
+    df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
 
   // ---------------------------------------------------------------------
   // Filters (SURVEY §2.3)
@@ -265,7 +265,7 @@ object Ops {
           if (overlap.contains(c)) coalesce(col(s"a.$c"), col(s"p.$c")).as(c)
           else col(s"a.$c").as(c)
         } ++ prevOnly.map(c => col(s"p.$c").as(c)))
-    joined.select(cols: _*)
+    joined.select(cols.toIndexedSeq: _*)
   }
 
   /** J3 — lookup enrichment. The reference only ships the placeholder
@@ -310,7 +310,7 @@ object Ops {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti").contains(how.toLowerCase),
       s"saltedJoin supports probe-preserving joins only, got '$how'")
-    val scatter = pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int")
+    val scatter = pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int")
     val saltedLeft = left.withColumn("__salt", scatter)
     val saltedRight = right.withColumn(
       "__salt", explode(array((0 until salt).map(lit): _*)))
