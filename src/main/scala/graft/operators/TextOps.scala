@@ -66,6 +66,18 @@ object TextOps {
       ceil(length(text) / lit(4.0)).cast("long").as("bpe_est"))
   }
 
+  /** Stopword removal: drop listed tokens from the text, preserving the
+    * order and single-space joining of the survivors. Per-row lambda,
+    * shuffle-free; the words array is projected before the filter
+    * lambda (same recompute trap as shingling). */
+  def removeStopwords(df: DataFrame, textCol: String, stops: Seq[String]): DataFrame = {
+    val stopsArr = array(stops.map(lit): _*)
+    df.withColumn("__ws", LlmOps.words(col(textCol)))
+      .withColumn(textCol,
+        concat_ws(" ", filter(col("__ws"), w => !array_contains(stopsArr, w))))
+      .drop("__ws")
+  }
+
   /** TF/DF components for TF-IDF scoring, integer-exact (the float
     * tf*ln(N/df) product is one multiply away for the caller; keeping
     * the engine output integral makes it verifiable bit-for-bit and

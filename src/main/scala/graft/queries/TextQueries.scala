@@ -98,6 +98,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Stopword removal --------------------------------------------
+    QDef.sql(
+      "llm_stopword_strip",
+      s"""SELECT doc_id,
+         |  array_to_string(list_filter(string_split(lower(text), ' '),
+         |    w -> NOT list_contains(${TextOps.StopEn.map(w => s"'$w'").mkString("[", ",", "]")}, w)), ' ') AS text
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.removeStopwords(
+        t(s, dir, "documents").select("doc_id", "text"), "text", TextOps.StopEn)
+        .orderBy("doc_id")
+    },
+
     // ----- TF/DF components (integer-exact TF-IDF inputs) --------------
     QDef.sql(
       "llm_tfdf",
