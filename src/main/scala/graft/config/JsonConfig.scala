@@ -125,6 +125,18 @@ object JsonConfig {
         textField = str(nd.path("text_field")).getOrElse(sys.error("near_dedup missing text_field")),
         shingleSize = int(nd.path("shingle_size")).getOrElse(2)))
     } else None,
+    langFilter = if (n.path("lang_filter").isObject) {
+      val lf = n.path("lang_filter")
+      Some(LangFilterDef(
+        field = str(lf.path("field")).getOrElse(sys.error("lang_filter missing field")),
+        allowed = strSeq(lf.path("allowed"))))
+    } else None,
+    qualityFilter = if (n.path("quality_filter").isObject) {
+      val qf = n.path("quality_filter")
+      Some(QualityFilterDef(
+        field = str(qf.path("field")).getOrElse(sys.error("quality_filter missing field")),
+        min = if (qf.path("min").isNumber) qf.path("min").asDouble() else 0.0))
+    } else None,
     addProcessedFlags = bool(n.path("add_processed_flags")).getOrElse(true),
     intermediate = if (n.path("intermediate").isObject) {
       val i = n.path("intermediate")

@@ -95,6 +95,12 @@ final case class TransformDef(
     mergeKey: String = "id",
     /** LLM-extension: MinHash near-dup removal (LD2 + CC keep-min). */
     nearDedup: Option[NearDedupDef] = None,
+    /** LLM-extension: keep only docs whose predicted language (LT1
+      * stopword heuristic over `field`) is in the allowed set. */
+    langFilter: Option[LangFilterDef] = None,
+    /** LLM-extension: keep only docs whose LT2 quality score over
+      * `field` clears `min`. */
+    qualityFilter: Option[QualityFilterDef] = None,
     addProcessedFlags: Boolean = true,
     intermediate: Option[IntermediateDef] = None)
 
@@ -113,6 +119,10 @@ final case class NearDedupDef(
     idField: String,
     textField: String,
     shingleSize: Int = 2)
+
+final case class LangFilterDef(field: String, allowed: Seq[String])
+
+final case class QualityFilterDef(field: String, min: Double)
 
 /** Sinks (§2.10): formats ∈ {csv,tsv,json,parquet}; zip packages the
   * formats into one archive (reference W6). */

@@ -336,6 +336,14 @@ object Orchestrator {
         .select(nd.idField)
       df = df.join(keepers, Seq(nd.idField), "left_semi")
     }
+    t.langFilter.foreach { lf =>
+      df = df.filter(graft.operators.TextOps.langId(col(lf.field))
+        .isin(lf.allowed: _*))
+    }
+    t.qualityFilter.foreach { qf =>
+      df = df.filter(
+        graft.operators.TextOps.qualityScore(col(qf.field)) >= qf.min)
+    }
     if (t.computedFields.nonEmpty) {
       val orderCols = df.columns.headOption.map(c => col(c)).toSeq
       df = Ops.computedFields(t.computedFields, p.name, ctx.executionId, orderCols)(df)

@@ -37,9 +37,20 @@ object TextOps {
       .otherwise("und")
   }
 
-  /** Quality signals + composite score in [0,1]:
+  /** Composite quality score in [0,1] as a single Column expression:
     * 0.4 * min(1, words/50) + 0.3 * stopword_ratio + 0.3 * (1 - punct_ratio).
     * Deterministic double arithmetic (same op order in the oracle). */
+  def qualityScore(text: Column): Column = {
+    val ws = LlmOps.words(text)
+    val nWords = size(ws).cast("long")
+    val stopRatio = stopCount(ws, StopEn).cast("double") / nWords
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(text)
+    least(lit(1.0), nWords / lit(50.0)) * 0.4 +
+      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
+  }
+
+  /** Quality signals + the composite score, one row per document. */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val ws = LlmOps.words(text)
@@ -47,12 +58,10 @@ object TextOps {
     val stopRatio = stopCount(ws, StopEn).cast("double") / nWords
     val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
     val punctRatio = punct.cast("double") / length(text)
-    val score = least(lit(1.0), nWords / lit(50.0)) * 0.4 +
-      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
     df.select(col(idCol), nWords.as("n_words"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(score, 6).as("quality"))
+      round(qualityScore(text), 6).as("quality"))
   }
 
   /** Token counts: whitespace tokens, alphanumeric regex tokens, and the

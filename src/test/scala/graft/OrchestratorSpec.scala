@@ -147,6 +147,25 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L)) // 2 and 3 collapse into cluster of 1
   }
 
+  test("lang_filter and quality_filter transforms curate by predicted language and score") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    Seq(
+      (1L, "the cat is in the house and it was warm today here now"), // en, decent
+      (2L, "der hund ist nicht mit der katze zu hause heute"),        // de
+      (3L, "xy")                                                      // junk
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("cur"), Seq(
+      PipelineDef("cur", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          langFilter = Some(LangFilterDef("text", Seq("en"))),
+          qualityFilter = Some(QualityFilterDef("text", 0.3))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("cur").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L))
+  }
+
   // ----- lazy materialization -----------------------------------------
   test("a pipeline with no sink, no conditions, no export triggers zero Spark jobs") {
     val p = fixture(Seq("""{"id":1}""", """{"id":2}"""), "lazy")
