@@ -347,8 +347,13 @@ object LlmOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = ids
-      .select(col(idCol).as("id"), col(idCol).as("label"))
+    // Only edge-connected nodes need label propagation; everything else
+    // is trivially its own canonical and rejoins at the end. In a real
+    // corpus near-dups are a small fraction, so the iterated set — and
+    // every per-round shuffle — shrinks by orders of magnitude.
+    val connected = edges.select(col("src").as("id")).distinct()
+    var labels = connected
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -381,6 +386,10 @@ object LlmOps {
     if (!converged)
       throw new IllegalStateException(
         s"dedupGroups did not converge within $maxIters rounds")
-    labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    val isolated = ids.select(col(idCol).as("id"))
+      .join(connected, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.union(isolated)
+      .select(col("id").as(idCol), col("label").as("canonical_id"))
   }
 }
