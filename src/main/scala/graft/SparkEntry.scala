@@ -13,16 +13,27 @@ object SparkEntry {
   def allDefs: Seq[QDef] =
     CoreQueries.defs ++ LlmQueries.defs ++ TextQueries.defs ++ ExtQueries.defs
 
-  /** Flagship: the SURVEY §7.5 minimum slice as one declarative chain —
-    * parquet scan → rename P1 → filter (l_quantity > 20, mirroring the
-    * reference's hardcoded F2 at simple_pipeline.rs:113-116) → dedup D2 →
-    * sort O1 → limit F4. Driver smoke-checks rows > 0 on sf0.001. */
+  /** Flagship: the training-data curation chain the engine exists for —
+    * reference-parity row shaping (P1 rename, X1 clean_text, F filter)
+    * fused with the round-2 curation operators (language ID, quality
+    * scoring, exact-dedup fingerprints) in one declarative plan.
+    * Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    val renamed = Ops.rename(Map("l_orderkey" -> "order_id", "l_quantity" -> "qty"))(li)
-    val filtered = renamed.filter(col("qty") > 20)
-    val deduped = Ops.dedupFields(Seq("order_id"), Seq(col("qty").desc, col("l_linenumber")))(filtered)
-    Ops.limitRows(1000)(Ops.sortBy("order_id")(deduped))
+    import graft.operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shaped = Ops.cleanText(
+      Ops.rename(Map("source" -> "origin"))(docs))
+    // exact dedup: keep the min-id representative of each fingerprint
+    val reps = Ops.dedupFields(Seq("fp"), Seq(col("doc_id")))(
+      TextOps.fingerprints(shaped, "doc_id", "text"))
+      .select("doc_id", "fp")
+    shaped
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
+      .filter(col("quality") >= 0.2)
+      .join(reps, Seq("doc_id"))
+      .select("doc_id", "origin", "lang", "lang_pred", "quality", "fp")
+      .orderBy("doc_id")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
