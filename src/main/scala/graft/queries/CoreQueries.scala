@@ -39,6 +39,34 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // ----- P2b: the pathCol struct walker itself (Ops.pathCol), driven
+    // over constructed nested structs + arrays-of-structs so the oracle
+    // validates the exact GetStructField / try_element_at / [*] chain the
+    // engine compiles for config mappings -----
+    QDef.sql(
+      "p2_struct_walk",
+      """SELECT o_orderkey,
+        |       o_custkey AS cust_id,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS first_price,
+        |       o_totalprice AS last_price
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").orderBy("o_orderkey").limit(500)
+      // nested struct + array of structs built from real columns
+      val nested = o.select(
+        col("o_orderkey"),
+        struct(struct(col("o_custkey").as("id")).as("who")).as("meta"),
+        when(col("o_orderkey") % 3 === 0, array().cast("array<struct<p:double>>"))
+          .otherwise(array(struct(col("o_totalprice").as("p")),
+            struct(col("o_totalprice").as("p")))).as("items"),
+        array(struct(col("o_totalprice").as("p"))).as("tail"))
+      nested.select(
+        col("o_orderkey"),
+        Ops.pathCol("meta.who.id").as("cust_id"),        // P2 deep walk
+        Ops.pathCol("items[0].p").as("first_price"),     // P3 index (empty → null)
+        Ops.pathCol("tail[-1].p").as("last_price"))      // P3 negative index
+        .orderBy("o_orderkey")
+    },
+
     // ----- P3: array index incl. negative (contextual_pipeline.rs:746-815) -----
     QDef.sql(
       "p3_array_index",
