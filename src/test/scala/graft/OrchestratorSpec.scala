@@ -126,6 +126,37 @@ class OrchestratorSpec extends AnyFunSuite {
       (3L, "api3", null)))    // unmatched api row passes through
   }
 
+  // ----- S6/S7: combined + merged-API sources -------------------------
+  test("S6 combined source unions all previous outputs with schema drift") {
+    val a = fixture(Seq("""{"id":1,"only_a":"x"}"""), "ca")
+    val b = fixture(Seq("""{"id":2,"only_b":true}"""), "cb")
+    val seq = SequenceDef("s", Seq("a", "b", "all"), Seq(
+      filePipeline("a", a), filePipeline("b", b),
+      PipelineDef("all", CombinedSource,
+        transform = TransformDef(addProcessedFlags = false))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("all").df.get
+    assert(out.count() === 2)
+    assert(out.columns.sorted.toSeq === Seq("id", "only_a", "only_b"))
+  }
+
+  test("S7 merged-API source concatenates previous outputs with a fresh API read") {
+    val p = fixture(Seq("""{"id":1,"src":"prev"}"""), "mp")
+    TestHttp.withServer("/m" ->
+      (TestHttp.respond(_, 200, """[{"id":9,"src":"api"}]"""))) { base =>
+      val seq = SequenceDef("s", Seq("prev", "merged"), Seq(
+        filePipeline("prev", p),
+        PipelineDef("merged",
+          MergedApiSource(HttpRequestDef(s"$base/m")),
+          extract = ExtractDef(onApiFailure = "fail"),
+          transform = TransformDef(addProcessedFlags = false))))
+      val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+      val srcs = ctx.results("merged").df.get
+        .select("src").collect().map(_.getString(0)).sorted
+      assert(srcs.toSeq === Seq("api", "prev"))
+    }
+  }
+
   // ----- LLM extension: config-driven near-dup removal ----------------
   test("near_dedup transform drops near-duplicate docs, keeping the min id per cluster") {
     import spark.implicits._
