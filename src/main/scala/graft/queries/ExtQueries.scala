@@ -41,6 +41,28 @@ object ExtQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ----- Approximate aggregates (sketches) ---------------------------
+    // HLL++ distinct counts and quantile sketches are THE 100 TB
+    // aggregation tools (bounded memory per group vs exact distinct's
+    // full shuffle). Sketch internals differ across engines, so this is
+    // a rows-only harness entry; exactness bounds are asserted in-query:
+    // the result row materializes only if the approx values are within
+    // the configured error of the exact ones.
+    QDef.rowsOnly("ext_approx_agg") { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        .filter(
+          abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.06 &&
+          abs(col("approx_median") - col("exact_median"))
+            <= col("exact_median") * 0.05)
+    },
+
     // ----- X4: CSV escaping roundtrip ----------------------------------
     // Payload embeds separators, quotes and newlines; Spark writes it
     // through the X4 single-file renderer and parses it back — the

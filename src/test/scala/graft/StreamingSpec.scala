@@ -133,6 +133,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(timedOut.isRemoved, "timed-out state must be reclaimed")
   }
 
+  test("file stream over the real events table matches the batch plan's counts") {
+    import spark.implicits._
+    // events.parquet carries TIMESTAMP(NANOS) → read as long (legacy
+    // conf set in TestSpark), convert to µs timestamps like Tables.t
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val toTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.windowedAgg(toTs(df), "ts", "1 hour", "1 day",
+        keys = Seq("event_type"))
+    val expected = agg(raw)
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // FileStreamSource wants a directory; stage the single file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+    val q = agg(stream).writeStream.format("memory")
+      .queryName("ev_win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_win")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected, "stream and batch runs of the same plan must agree")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
     import spark.implicits._
     val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))
