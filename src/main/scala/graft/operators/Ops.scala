@@ -58,11 +58,17 @@ object Ops {
         case Field(n) +: rest => walk(c.getField(n), rest, underStar)
         case Index(i) +: rest =>
           // reference indexing is 0-based; element_at is 1-based.
-          // try_element_at: out-of-bounds → null (the reference's
-          // "absent") even under ANSI mode, where plain element_at
-          // would fail the whole job on one bad index.
+          // Out-of-bounds → null (the reference's "absent") even under
+          // ANSI mode. A size-guarded CASE WHEN is used instead of
+          // try_element_at: TryEval's generated code trips a Janino
+          // compile error ("isNull_N is not an rvalue") when its result
+          // feeds GetStructField, silently dropping the whole stage to
+          // interpreted mode — the guard stays inside codegen, and
+          // CaseWhen's lazy branch evaluation keeps ANSI from ever
+          // seeing a bad index. null array → null passes through.
           val idx = if (i >= 0) i + 1 else i
-          walk(try_element_at(c, lit(idx)), rest, underStar)
+          val guarded = when(size(c) >= math.abs(idx), element_at(c, lit(idx)))
+          walk(guarded, rest, underStar)
         case Star +: rest =>
           val projected = walk(c, rest, underStar = true)
           if (rest.isEmpty) projected

@@ -44,23 +44,47 @@ object ExtQueries {
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's
-    // full shuffle). Sketch internals differ across engines, so this is
-    // a rows-only harness entry; exactness bounds are asserted in-query:
-    // the result row materializes only if the approx values are within
-    // the configured error of the exact ones.
-    QDef.rowsOnly("ext_approx_agg") { (s, dir) =>
-      import org.apache.spark.sql.functions._
+    // full shuffle). Sketch internals differ across engines, so the
+    // OUTPUT carries only engine-portable values: the exact aggregates
+    // plus booleans asserting each engine's own sketch lands within the
+    // error bound. DuckDB recomputes the same bounds with its own
+    // approx_count_distinct / approx_quantile — both engines must answer
+    // "my sketch is within tolerance of the exact value" with true.
+    //
+    // Plan shape: the distinct aggregate runs ALONE (two-stage hash agg,
+    // no Expand), and the object-hash aggregates (percentile sketches +
+    // HLL) run in a second single-row pass — mixing them in one agg
+    // forces an Expand + sort-aggregate fallback over a doubled row
+    // stream, which benched 17 s at sf0.1. Two 1-row frames cross-joined
+    // is the cheap shape.
+    QDef.sql(
+      "ext_approx_agg",
+      """WITH a AS (
+        |  SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |         approx_count_distinct(l_orderkey) AS approx_orders,
+        |         median(l_extendedprice) AS exact_median,
+        |         approx_quantile(l_extendedprice, 0.5) AS approx_median
+        |  FROM lineitem)
+        |SELECT CAST(exact_orders AS BIGINT) AS exact_orders,
+        |       round(exact_median, 6) AS exact_median,
+        |       abs(approx_orders - exact_orders) <= exact_orders * 0.06
+        |         AS orders_in_bounds,
+        |       abs(approx_median - exact_median) <= exact_median * 0.05
+        |         AS median_in_bounds
+        |FROM a""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      li.agg(
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val sketch = li.agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
-        .filter(
-          abs(col("approx_orders") - col("exact_orders"))
-            <= col("exact_orders") * 0.06 &&
-          abs(col("approx_median") - col("exact_median"))
-            <= col("exact_median") * 0.05)
+      exact.crossJoin(sketch).select(
+        col("exact_orders"),
+        round(col("exact_median"), 6).as("exact_median"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.06).as("orders_in_bounds"),
+        (abs(col("approx_median") - col("exact_median"))
+          <= col("exact_median") * 0.05).as("median_in_bounds"))
     },
 
     // ----- X4: CSV escaping roundtrip ----------------------------------
