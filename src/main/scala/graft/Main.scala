@@ -95,16 +95,25 @@ object Main {
     val monitor = if (args.monitor) {
       val m = new graft.engine.SystemMonitor(); m.start(); Some(m)
     } else None
-    // Keep caches alive through metrics/reporting: writeMetrics forces
-    // each pipeline's deferred recordCount, which without the cache would
-    // recompute every DAG (and re-fire fan-out HTTP side effects) AFTER
-    // the sequence finished. Unpersist once reporting is done.
-    val ctx =
-      try Orchestrator.execute(spark, seq, execId, args.only, args.skip,
-        unpersistOnEnd = false)
-      catch {
+    // persistAll: the metrics pass below forces every pipeline's deferred
+    // recordCount — an unpersisted frame would re-run its whole DAG (and
+    // re-fire fan-out HTTP side effects) AFTER the sink already wrote.
+    // Lazy persist costs nothing until the first materialization, and
+    // the sink/count is exactly that materialization. Unpersist once
+    // reporting is done. On a stop-on-failure abort the orchestrator
+    // hands back the partial context: the reference's runner writes
+    // sequence_metrics.json for failed runs too (sequence_etl.rs:336-400).
+    val (ctx, abortErr) =
+      try {
+        val c = Orchestrator.execute(spark, seq, execId, args.only, args.skip,
+          unpersistOnEnd = false, persistAll = true)
+        (c, None)
+      } catch {
         case e: Orchestrator.ValidationException =>
           System.err.println(s"invalid config: ${e.msg}"); return 2
+        case e: Orchestrator.SequenceFailed =>
+          System.err.println(s"sequence failed: ${e.msg}")
+          (e.ctx, Some(e.msg))
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"sequence failed: ${e.getMessage}"); return 1
       }
@@ -123,7 +132,7 @@ object Main {
           o.outputPath.map(p => s" -> $p").getOrElse(""))
       }
       println(s"[graft] metrics -> $metricsPath")
-      if (ctx.results.values.exists(_.status == "failed")) 1 else 0
+      if (abortErr.nonEmpty || ctx.results.values.exists(_.status == "failed")) 1 else 0
     } finally {
       monitor.foreach(_.stop())
       ctx.unpersistAll()

@@ -107,6 +107,7 @@ object JsonConfig {
     trimWhitespace = bool(n.path("trim_whitespace")).getOrElse(false),
     removeHtmlTagsFields = strSeq(n.path("remove_html_tags_fields")),
     computedFields = strMap(n.path("computed_fields")),
+    recordIndexOrderBy = strSeq(n.path("record_index_order_by")),
     enrichment = strMap(n.path("data_enrichment").path("lookup_data")),
     lookup = if (n.path("lookup").isObject) {
       val l = n.path("lookup")
@@ -145,7 +146,17 @@ object JsonConfig {
         sharedKey = str(i.path("shared_key")).getOrElse("")))
     } else None)
 
-  private def parseLoad(n: JsonNode): LoadDef = LoadDef(
+  private def parseLoad(n: JsonNode): LoadDef = {
+    // The reference renders one file per format; graft defaults to the
+    // scalable distributed part-file layout. A config that omits the key
+    // gets a different output shape than it would under the reference —
+    // say so once instead of silently changing the layout.
+    if (!n.path("single_file").isBoolean && !n.path("zip").asBoolean(false))
+      System.err.println(
+        "[graft] load.single_file not set: defaulting to DISTRIBUTED part-file " +
+          "output (reference wrote one file per format; set single_file=true " +
+          "for that layout)")
+    LoadDef(
     outputPath = str(n.path("output_path")).getOrElse(sys.error("load missing output_path")),
     formats = strSeq(n.path("formats")) match { case Nil => Seq("csv"); case xs => xs },
     filenamePattern = str(n.path("filename_pattern")).getOrElse("{pipeline_name}_output"),
@@ -156,6 +167,7 @@ object JsonConfig {
     partitionBy = strSeq(n.path("partition_by")),
     singleFile = bool(n.path("single_file")).getOrElse(false),
     singleFileMaxRows = long(n.path("single_file_max_rows")).getOrElse(1000000L))
+  }
 
   private def parseConditions(n: JsonNode): ConditionsDef = ConditionsDef(
     enabled = bool(n.path("enabled")).getOrElse(true),

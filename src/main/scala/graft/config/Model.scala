@@ -86,6 +86,11 @@ final case class TransformDef(
     trimWhitespace: Boolean = false,
     removeHtmlTagsFields: Seq[String] = Nil,
     computedFields: Map[String, String] = Map.empty,
+    /** X3 record_index determinism: explicit total-order columns for the
+      * index. Empty = fall back to the frame's first column, which is
+      * only deterministic when that column is unique — configs indexing
+      * fan-out/HTTP results should always set this. */
+    recordIndexOrderBy: Seq[String] = Nil,
     /** J3 placeholder enrichment: src -> dst. */
     enrichment: Map[String, String] = Map.empty,
     /** S9/J3 real lookup: path of a small table broadcast-joined on key. */

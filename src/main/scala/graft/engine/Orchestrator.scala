@@ -66,6 +66,13 @@ object Orchestrator {
 
   final case class ValidationException(msg: String) extends RuntimeException(msg)
 
+  /** A stop-on-failure abort carrying the partial run context, so the
+    * caller can still report/write metrics for the pipelines that DID
+    * run (the reference's runner always writes sequence_metrics.json,
+    * sequence_etl.rs:336-400 — including for failed sequences). */
+  final case class SequenceFailed(msg: String, ctx: RunContext)
+      extends RuntimeException(msg)
+
   /** Formats the sinks accept (reference whitelist csv|tsv|json,
     * toml_config.rs:168-173, plus the Spark-native parquet). */
   private val FormatWhitelist = Set("csv", "tsv", "json", "parquet")
@@ -167,7 +174,14 @@ object Orchestrator {
       executionId: String = s"seq_${System.currentTimeMillis()}",
       only: Set[String] = Set.empty,
       skip: Set[String] = Set.empty,
-      unpersistOnEnd: Boolean = true): RunContext = {
+      unpersistOnEnd: Boolean = true,
+      /** Persist every succeeded pipeline's frame regardless of the
+        * consumed-later heuristic. Set by callers that will force every
+        * deferred recordCount afterwards (the CLI's metrics pass) — an
+        * unpersisted frame would re-run its whole DAG at count time,
+        * re-firing fan-out HTTP side effects after the sink already
+        * wrote. Lazy persist: costs nothing until first materialization. */
+      persistAll: Boolean = false): RunContext = {
     validate(seq)
     val ctx = new RunContext(executionId)
     val byName = seq.pipelines.map(p => p.name -> p).toMap
@@ -189,7 +203,7 @@ object Orchestrator {
       p.load.exists(l => l.formats.size > 1 || l.zip)
     selected.zipWithIndex.foreach { case (name, i) =>
       val p = byName(name)
-      val consumedLater =
+      val consumedLater = persistAll ||
         selected.drop(i + 1).exists(n => consumesPrevious(byName(n))) ||
           multiActionLoad(p)
       if (!shouldExecute(p, ctx)) {
@@ -211,8 +225,9 @@ object Orchestrator {
           durationMs = (System.nanoTime() - t0) / 1000000L)
         ctx.results(name) = outcome
         if (outcome.status == "failed" && seq.onPipelineFailure == "stop")
-          throw new RuntimeException(
-            s"pipeline '$name' failed: ${outcome.error.getOrElse("")} (sequence aborted)")
+          throw SequenceFailed(
+            s"pipeline '$name' failed: ${outcome.error.getOrElse("")} (sequence aborted)",
+            ctx)
       }
     }
     if (unpersistOnEnd) ctx.unpersistAll()
@@ -295,6 +310,15 @@ object Orchestrator {
     df
   }
 
+  /** True when re-evaluating this pipeline's frame may yield different
+    * rows: an unordered `limit` can pick different rows per evaluation.
+    * HTTP sources are NOT in this set — single calls fetch eagerly on
+    * the driver, and the fan-out pins its responses with an eager
+    * localCheckpoint inside `Http.fanOut`, so both re-evaluate
+    * deterministically without re-firing calls. */
+  private def nondeterministicSource(p: PipelineDef): Boolean =
+    p.extract.firstRecordOnly || p.extract.maxRecords.nonEmpty
+
   /** Transform phase in the reference's operator order
     * (contextual_pipeline.rs:879-1121): text ops → mapping → projection
     * → enrichment → merge → computed → flags → column order; then the
@@ -345,8 +369,23 @@ object Orchestrator {
         graft.operators.TextOps.qualityScore(col(qf.field)) >= qf.min)
     }
     if (t.computedFields.nonEmpty) {
-      val orderCols = df.columns.headOption.map(c => col(c)).toSeq
-      df = Ops.computedFields(t.computedFields, p.name, ctx.executionId, orderCols)(df)
+      if (t.computedFields.valuesIterator.contains("record_index")) {
+        // zipWithIndex evaluates the upstream twice (sizing pass + data
+        // pass). A nondeterministic upstream — HTTP fan-out re-firing
+        // its calls, an unordered limit picking different rows — can
+        // shift offsets between the passes and duplicate side effects,
+        // so pin the frame first. localCheckpoint (not persist): cache
+        // blocks can be evicted and silently recomputed; checkpoint
+        // blocks cannot.
+        if (nondeterministicSource(p)) df = df.localCheckpoint(true)
+        // order key: explicit config wins; the first-column fallback is
+        // only deterministic when that column is unique (documented).
+        val orderCols =
+          if (t.recordIndexOrderBy.nonEmpty) t.recordIndexOrderBy.map(col)
+          else df.columns.headOption.map(col).toSeq
+        df = Ops.computedFields(t.computedFields, p.name, ctx.executionId, orderCols)(df)
+      } else
+        df = Ops.computedFields(t.computedFields, p.name, ctx.executionId, Nil)(df)
     }
     if (t.addProcessedFlags) df = Ops.constants(p.name)(df)
     df = Ops.sortColumns(df)

@@ -109,7 +109,7 @@ object Http {
     import spark.implicits._
     val reqB = req // stable local for closure capture
     val sharedB = shared
-    val bodies: Dataset[String] = prev.toJSON.mapPartitions { rows =>
+    val fetched: Dataset[String] = prev.toJSON.mapPartitions { rows =>
       val client = newClient(reqB.timeoutSeconds)
       rows.flatMap { recordJson =>
         if (rateLimitMs > 0) Thread.sleep(rateLimitMs)
@@ -118,6 +118,13 @@ object Http {
         Json.bodyToRecords(body)
       }
     }
+    // Pin the responses before handing them to read.json: schema
+    // inference alone is a full pass, and every downstream action would
+    // be another — each pass re-firing the HTTP calls. The eager
+    // localCheckpoint materializes the fan-out exactly once per run
+    // (per task attempt — at-least-once under task retry, documented
+    // SURVEY §7.4) and downstream evaluation reads the pinned blocks.
+    val bodies = fetched.localCheckpoint(true)
     spark.read.json(bodies)
   }
 

@@ -123,6 +123,24 @@ class MainSpec extends AnyFunSuite {
     assert(peak > 0L)
   }
 
+  test("a stop-on-failure run still writes metrics for the completed pipelines") {
+    val (dir, src) = writeFixture()
+    import graft.config._
+    val seq = SequenceDef("s", Seq("ok", "boom"), Seq(
+      PipelineDef("ok", FileSource(src),
+        transform = TransformDef(addProcessedFlags = false)),
+      PipelineDef("boom", FileSource("/nonexistent/path/nowhere"),
+        transform = TransformDef(addProcessedFlags = false))))
+    val code = Main.run(spark, seq,
+      Main.Args("cfg", metricsOut = Some(s"$dir/fail.json")))
+    assert(code === 1)
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/fail.json")))
+    assert(metrics.contains(""""name":"ok""""))
+    assert(metrics.contains(""""status":"succeeded""""))
+    assert(metrics.contains(""""status":"failed""""))
+  }
+
   test("--only/--skip select pipelines like the CLI flags") {
     val (_, src) = writeFixture()
     import graft.config._

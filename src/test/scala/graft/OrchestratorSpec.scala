@@ -67,11 +67,17 @@ class OrchestratorSpec extends AnyFunSuite {
   // ----- C3: failure policy ------------------------------------------
   test("C3: first failure aborts under stop (reference behavior)") {
     val good = fixture(Seq("""{"id":1}"""), "g")
-    val seq = SequenceDef("s", Seq("bad", "after"), Seq(
+    val seq = SequenceDef("s", Seq("ok", "bad", "after"), Seq(
+      filePipeline("ok", good),
       filePipeline("bad", "/nonexistent/path/nowhere"),
       filePipeline("after", good)))
-    val e = intercept[RuntimeException](Orchestrator.execute(spark, seq))
+    val e = intercept[Orchestrator.SequenceFailed](Orchestrator.execute(spark, seq))
     assert(e.getMessage.contains("sequence aborted"))
+    // the abort carries the partial context: completed work is reportable
+    // (the reference writes sequence_metrics.json for failed runs too)
+    assert(e.ctx.results("ok").status === "succeeded")
+    assert(e.ctx.results("bad").status === "failed")
+    assert(!e.ctx.results.contains("after"))
   }
 
   test("C3: continue policy records the failure and proceeds") {
@@ -195,6 +201,36 @@ class OrchestratorSpec extends AnyFunSuite {
     val kept = ctx.results("cur").df.get.select("doc_id")
       .collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(1L))
+  }
+
+  // ----- X3 wiring: record_index determinism over fan-out --------------
+  test("X3: record_index on a fan-out source is stable across materializations " +
+    "and fires each HTTP call exactly once") {
+    val ids = fixture(Seq("""{"pid":1}""", """{"pid":2}""", """{"pid":3}"""), "fanids")
+    val rec = new TestHttp.Recorded
+    TestHttp.withServer("/item" -> { ex =>
+      rec.synchronized { rec.calls += 1 }
+      val pid = ex.getRequestURI.getPath.split('/').last
+      TestHttp.respond(ex, 200, s"""[{"pid":$pid,"val":"v$pid"}]""")
+    }) { base =>
+      val seq = SequenceDef("s", Seq("ids", "fan"), Seq(
+        filePipeline("ids", ids),
+        PipelineDef("fan",
+          ParameterizedApiSource(HttpRequestDef(s"$base/item/{pid}")),
+          transform = TransformDef(addProcessedFlags = false,
+            computedFields = Map("idx" -> "record_index"),
+            recordIndexOrderBy = Seq("pid")))))
+      val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+      val df = ctx.results("fan").df.get
+      def snap() = df.select("pid", "idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val first = snap()
+      assert(first === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+      assert(snap() === first) // second materialization: identical indices
+      // schema inference + sizing pass + two collects would have been 4
+      // full passes = 12 calls without the fan-out checkpoint pin
+      assert(rec.calls === 3)
+    }
   }
 
   // ----- lazy materialization -----------------------------------------
