@@ -2,17 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.config.JsonConfig
+import graft.config.{JsonConfig, TomlConfig}
 import graft.engine.Orchestrator
 
 /** CLI entry point — the engine's `sequence_etl` (reference:
-  * src/bin/sequence_etl.rs:10-166): run a JSON pipeline-sequence config
-  * with `--only/--skip/--dry-run/--execution-id`, write the W7 metrics
+  * src/bin/sequence_etl.rs:10-166): run a pipeline-sequence config
+  * (`.toml` in the reference's own layout, or the JSON rendering) with
+  * `--only/--skip/--dry-run/--execution-id`, write the W7 metrics
   * file, exit by error severity (validation 2, execution 1, success 0 —
   * reference main.rs:59-68).
   *
   * Usage:
-  *   graft.Main <config.json>
+  *   graft.Main <config.toml|config.json>
   *     [--only p1,p2] [--skip p3] [--dry-run]
   *     [--execution-id ID] [--metrics-out PATH] [--master local[N]]
   */
@@ -59,7 +60,10 @@ object Main {
       case e: java.io.IOException =>
         System.err.println(s"cannot read config: ${e.getMessage}"); sys.exit(2)
     }
-    val seq = try JsonConfig.loadSequence(text) catch {
+    val seq = try {
+      if (args.configPath.endsWith(".toml")) TomlConfig.loadSequence(text)
+      else JsonConfig.loadSequence(text)
+    } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"config parse error: ${e.getMessage}"); sys.exit(2)
     }

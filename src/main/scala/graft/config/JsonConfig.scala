@@ -79,6 +79,7 @@ object JsonConfig {
   }
 
   private def parseExtract(n: JsonNode): ExtractDef = ExtractDef(
+    fieldMapping = strMap(n.path("field_mapping")),
     maxRecords = int(n.path("max_records")),
     firstRecordOnly = bool(n.path("first_record_only")).getOrElse(false),
     filters = obj(n.path("filters")),

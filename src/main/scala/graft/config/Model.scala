@@ -60,6 +60,12 @@ final case class DataProcessingDef(
 
 /** F4/F5/F6/S8 + D/O block. Reference: sequence_config.rs:60-80. */
 final case class ExtractDef(
+    /** Reference-location field mapping (sequence_config.rs:73): applied
+      * right after the source, so the filters/dedup/sort below see the
+      * MAPPED names — the reference's extract-phase semantics. Graft's
+      * JSON configs may instead use transform.field_mapping (applied
+      * later, in the transform phase). */
+    fieldMapping: Map[String, String] = Map.empty,
     maxRecords: Option[Int] = None,
     firstRecordOnly: Boolean = false,
     filters: Map[String, Any] = Map.empty,

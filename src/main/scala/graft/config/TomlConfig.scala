@@ -1,0 +1,224 @@
+package graft.config
+
+/** TOML config front-end: loads a REFERENCE-SHAPED `.toml` sequence
+  * config (reference: configs/sequence-example.toml, parser surface
+  * src/config/sequence_config.rs:8-276) into the same `SequenceDef`
+  * model `JsonConfig` builds, so a reference user's existing file runs
+  * unconverted.
+  *
+  * Layout adaptations (reference field → graft model):
+  *  - `extract.field_mapping`      → `TransformDef.fieldMapping` (graft
+  *    applies path extraction in the transform phase)
+  *  - `transform.operations.*`     → flat TransformDef flags;
+  *    `remove_html_tags = true`    → all string columns (`Seq("*")`)
+  *  - `transform.data_enrichment`  → enrichment / computedFields
+  *  - `load.output_formats`        → `LoadDef.formats`
+  *  - `load.compression.enabled`   → `LoadDef.zip` (+ includeMetadata)
+  *  - `error_handling.retry_delay_seconds` → retryDelayMs
+  *  - source dispatch: `type="api"` + `data_source.merge_with_api` →
+  *    MergedApiSource; `{param}` endpoint or
+  *    `payload.use_previous_data_as_params` → ParameterizedApiSource;
+  *    `type="previous"|"combined"|"file"` as in JsonConfig.
+  *
+  * TOML-loaded loads default to `singleFile = true`: the reference
+  * renders one file per format, and a reference config should produce
+  * reference-shaped output (JSON configs keep the scalable distributed
+  * default).
+  *
+  * Same two-phase `${VAR}` substitution as the reference: environment
+  * first, then `[global.shared_variables]` (sequence_config.rs:195-276).
+  */
+object TomlConfig {
+
+  def loadSequence(text: String, env: Map[String, String] = sys.env): SequenceDef = {
+    val afterEnv = Templates.substEnv(text, env)
+    val pre = Toml.parse(afterEnv)
+    val sharedVars = strMap(tbl(pre.get("global")).get("shared_variables"))
+    val root = Toml.parse(Templates.substShared(afterEnv, sharedVars))
+    parseSequence(root, sharedVars)
+  }
+
+  private def parseSequence(root: Map[String, Any], sharedVars: Map[String, String]): SequenceDef = {
+    val seqT = tbl(root.get("sequence"))
+    val pipelines = arr(root.get("pipelines")).collect {
+      case t: Map[String, Any] @unchecked => parsePipeline(t)
+    }
+    val eh = tbl(root.get("error_handling"))
+    SequenceDef(
+      name = str(seqT.get("name")).getOrElse("sequence"),
+      executionOrder = strSeq(seqT.get("execution_order")) match {
+        case Nil => pipelines.map(_.name)
+        case xs => xs
+      },
+      pipelines = pipelines,
+      sharedVariables = sharedVars,
+      onPipelineFailure = str(eh.get("on_pipeline_failure")).getOrElse("stop"),
+      retryAttempts = long(eh.get("retry_attempts")).getOrElse(0L).toInt,
+      retryDelayMs = long(eh.get("retry_delay_ms"))
+        .orElse(long(eh.get("retry_delay_seconds")).map(_ * 1000L))
+        .getOrElse(0L))
+  }
+
+  private def parsePipeline(n: Map[String, Any]): PipelineDef = {
+    val name = str(n.get("name")).getOrElse(sys.error("pipeline missing name"))
+    val extractT = tbl(n.get("extract"))
+    val transformT = tbl(n.get("transform"))
+    PipelineDef(
+      name = name,
+      source = parseSource(tbl(n.get("source"))),
+      extract = parseExtract(extractT),
+      transform = parseTransform(transformT),
+      load = n.get("load").collect { case t: Map[String, Any] @unchecked => parseLoad(t) },
+      dependencies = strSeq(n.get("dependencies")),
+      conditions = parseConditions(tbl(n.get("conditions")),
+        enabled = bool(n.get("enabled")).getOrElse(true)))
+  }
+
+  private def parseHttp(n: Map[String, Any]): HttpRequestDef = {
+    val payloadT = tbl(n.get("payload"))
+    HttpRequestDef(
+      endpoint = str(n.get("endpoint")).getOrElse(sys.error("source missing endpoint")),
+      method = str(n.get("method")).getOrElse("GET"),
+      headers = strMap(n.get("headers")),
+      queryParams = strMap(n.get("parameters")).++(strMap(n.get("query_params"))),
+      payload = str(payloadT.get("body")).orElse(str(n.get("payload_body"))),
+      contentType = str(payloadT.get("content_type")),
+      timeoutSeconds = long(n.get("timeout_seconds")).getOrElse(30L).toInt)
+  }
+
+  private def parseSource(n: Map[String, Any]): SourceDef = {
+    val ds = tbl(n.get("data_source"))
+    val payloadT = tbl(n.get("payload"))
+    str(n.get("type")).getOrElse("api") match {
+      case "file" => FileSource(
+        path = str(n.get("path")).getOrElse(sys.error("file source missing path")),
+        format = str(n.get("format")).getOrElse("parquet"),
+        options = strMap(n.get("options")))
+      case "previous" => PreviousSource(str(ds.get("from_pipeline")))
+      case "combined" =>
+        if (bool(ds.get("merge_with_api")).getOrElse(false)) MergedApiSource(parseHttp(n))
+        else CombinedSource
+      case "parameterized" => ParameterizedApiSource(
+        parseHttp(n), str(ds.get("from_pipeline")),
+        long(n.get("rate_limit_ms")).getOrElse(0L))
+      case _ => // "api"
+        val http = parseHttp(n)
+        val fansOut =
+          bool(payloadT.get("use_previous_data_as_params")).getOrElse(false) ||
+            (bool(ds.get("use_previous_output")).getOrElse(false) &&
+              hasSingleBraceParam(http.endpoint))
+        if (bool(ds.get("merge_with_api")).getOrElse(false)) MergedApiSource(http)
+        else if (fansOut)
+          ParameterizedApiSource(http, str(ds.get("from_pipeline")),
+            long(n.get("rate_limit_ms")).getOrElse(0L))
+        else ApiSource(http)
+    }
+  }
+
+  private def parseExtract(n: Map[String, Any]): ExtractDef = {
+    val proc = tbl(n.get("data_processing"))
+    val eh = tbl(n.get("error_handling"))
+    ExtractDef(
+      fieldMapping = strMap(n.get("field_mapping")),
+      maxRecords = long(n.get("max_records")).map(_.toInt),
+      firstRecordOnly = bool(n.get("first_record_only")).getOrElse(false),
+      filters = tbl(n.get("filters")),
+      processing = DataProcessingDef(
+        deduplicate = bool(proc.get("deduplicate")).getOrElse(false),
+        deduplicateFields = strSeq(proc.get("deduplicate_fields")),
+        sortBy = str(proc.get("sort_by")),
+        sortOrder = str(proc.get("sort_order")).getOrElse("asc"),
+        sortAsString = bool(proc.get("sort_as_string")).getOrElse(false)),
+      onApiFailure = str(eh.get("on_api_failure")).getOrElse("use_sample_data"),
+      sampleData = arr(n.get("sample_data")).map(String.valueOf))
+  }
+
+  private def parseTransform(n: Map[String, Any]): TransformDef = {
+    val ops = tbl(n.get("operations"))
+    val enrich = tbl(n.get("data_enrichment"))
+    val interT = tbl(n.get("intermediate"))
+    TransformDef(
+      fieldMapping = strMap(n.get("field_mapping")),
+      keepOnlyFields = strSeq(ops.get("keep_only_fields")),
+      excludeFields = strSeq(ops.get("exclude_fields")),
+      cleanText = bool(ops.get("clean_text")).getOrElse(false),
+      normalizeFields = strSeq(ops.get("normalize_fields")),
+      trimWhitespace = bool(ops.get("trim_whitespace")).getOrElse(false),
+      removeHtmlTagsFields =
+        if (bool(ops.get("remove_html_tags")).getOrElse(false)) Seq("*") else Nil,
+      computedFields = strMap(enrich.get("computed_fields")),
+      recordIndexOrderBy = strSeq(n.get("record_index_order_by")),
+      enrichment = strMap(enrich.get("lookup_data")),
+      lookup = None,
+      mergeWithPrevious = bool(n.get("merge_with_previous")).getOrElse(false),
+      mergeKey = str(n.get("merge_key")).getOrElse("id"),
+      addProcessedFlags = bool(n.get("add_processed_flags")).getOrElse(true),
+      intermediate =
+        if (interT.nonEmpty) Some(IntermediateDef(
+          conditions = tbl(interT.get("conditions")),
+          sharedKey = str(interT.get("shared_key")).getOrElse("")))
+        else None)
+  }
+
+  private def parseLoad(n: Map[String, Any]): LoadDef = {
+    val comp = tbl(n.get("compression"))
+    val zip = bool(comp.get("enabled")).getOrElse(false)
+    LoadDef(
+      outputPath = str(n.get("output_path")).getOrElse(sys.error("load missing output_path")),
+      formats = strSeq(n.get("output_formats")) ++ strSeq(n.get("formats")) match {
+        case Nil => Seq("csv"); case xs => xs
+      },
+      // the reference names the archive via compression.filename; graft's
+      // zip target is "<pattern>.zip", so the stripped filename wins
+      filenamePattern =
+        str(comp.get("filename")).filter(_ => zip).map(_.stripSuffix(".zip"))
+          .orElse(str(n.get("filename_pattern")))
+          .getOrElse("{pipeline_name}_output"),
+      zip = zip,
+      includeMetadata = bool(comp.get("include_metadata")).getOrElse(false),
+      filenames = strMap(n.get("filenames")),
+      partitionBy = strSeq(n.get("partition_by")),
+      // reference parity: the reference writes one file per format
+      singleFile = bool(n.get("single_file")).getOrElse(true),
+      singleFileMaxRows = long(n.get("single_file_max_rows")).getOrElse(1000000L))
+  }
+
+  private def parseConditions(n: Map[String, Any], enabled: Boolean): ConditionsDef = {
+    val rc = tbl(n.get("when_records_count"))
+    ConditionsDef(
+      enabled = enabled && bool(n.get("enabled")).getOrElse(true),
+      whenPreviousSucceeded = bool(n.get("when_previous_succeeded")).getOrElse(false),
+      whenRecordsCount =
+        if (rc.nonEmpty) Some(RecordsCountCond(
+          min = long(rc.get("min")), max = long(rc.get("max")),
+          fromPipeline = str(rc.get("from_pipeline"))))
+        else None,
+      whenSharedData = tbl(n.get("when_shared_data")),
+      skipIfEmpty = bool(n.get("skip_if_empty")).getOrElse(false))
+  }
+
+  /** A `{param}` endpoint placeholder (T5 fan-out marker) that is not a
+    * `{{shared}}` template. */
+  private def hasSingleBraceParam(endpoint: String): Boolean =
+    """(?<!\{)\{[A-Za-z0-9_.]+\}(?!\})""".r.findFirstIn(endpoint).nonEmpty
+
+  // ----- typed readers over the Toml value universe -----
+  private def tbl(v: Option[Any]): Map[String, Any] = v match {
+    case Some(m: Map[String, Any] @unchecked) => m
+    case _ => Map.empty
+  }
+  private def arr(v: Option[Any]): Vector[Any] = v match {
+    case Some(a: Vector[Any] @unchecked) => a
+    case _ => Vector.empty
+  }
+  private def str(v: Option[Any]): Option[String] =
+    v.collect { case s: String => s }
+  private def long(v: Option[Any]): Option[Long] =
+    v.collect { case l: Long => l; case d: Double => d.toLong }
+  private def bool(v: Option[Any]): Option[Boolean] =
+    v.collect { case b: Boolean => b }
+  private def strSeq(v: Option[Any]): Seq[String] =
+    arr(v).collect { case s: String => s }
+  private def strMap(v: Option[Any]): Map[String, String] =
+    tbl(v).map { case (k, x) => k -> String.valueOf(x) }
+}

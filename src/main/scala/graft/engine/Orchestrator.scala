@@ -293,6 +293,7 @@ object Orchestrator {
         Http.fanOut(spark, prev, http, shared, rateMs)
     }
     var df = src
+    if (p.extract.fieldMapping.nonEmpty) df = Ops.extractPaths(p.extract.fieldMapping)(df)
     p.extract.filters.foreach { case (f, v) =>
       v match {
         case vs: Seq[_] => df = Ops.inFilter(f, vs)(df)
@@ -333,7 +334,14 @@ object Orchestrator {
     if (t.cleanText) df = Ops.cleanText(df)
     if (t.trimWhitespace) df = Ops.trimWhitespace(df)
     if (t.normalizeFields.nonEmpty) df = Ops.normalizeFields(t.normalizeFields)(df)
-    if (t.removeHtmlTagsFields.nonEmpty) df = Ops.removeHtmlTags(t.removeHtmlTagsFields)(df)
+    if (t.removeHtmlTagsFields.nonEmpty) {
+      // "*" (TOML `remove_html_tags = true`): every string column
+      val fields =
+        if (t.removeHtmlTagsFields == Seq("*"))
+          df.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSeq
+        else t.removeHtmlTagsFields
+      df = Ops.removeHtmlTags(fields)(df)
+    }
     if (t.fieldMapping.nonEmpty) df = Ops.extractPaths(t.fieldMapping)(df)
     if (t.keepOnlyFields.nonEmpty) df = Ops.keepOnly(t.keepOnlyFields)(df)
     else if (t.excludeFields.nonEmpty) df = Ops.exclude(t.excludeFields)(df)

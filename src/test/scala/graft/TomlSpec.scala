@@ -1,0 +1,349 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+/** TOML front-end: the minimal parser plus the reference-layout adapter
+  * (reference config: configs/sequence-example.toml, parser surface
+  * src/config/sequence_config.rs:8-276). The end-to-end test runs a
+  * 4-pipeline sequence shaped exactly like the reference example —
+  * api → merged-api → previous → combined+zip — against a local HTTP
+  * stub, producing the reference's sequence_metrics shape. */
+class TomlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ----- parser ------------------------------------------------------
+  test("parser: tables, arrays of tables, dotted/quoted keys, scalars") {
+    val doc = Toml.parse(
+      """# top comment
+        |title = "root"
+        |n = 42
+        |neg = -7
+        |pi = 3.5
+        |flag = true
+        |off = false
+        |[a.b]
+        |k = 'literal'
+        |"User-Agent" = "ETL/1.0"
+        |[[items]]
+        |name = "first"
+        |tags = ["x", "y",
+        |        "z"]   # multiline array + comment
+        |[[items]]
+        |name = "second"
+        |inline = { id = "i1", count = 2 }
+        |""".stripMargin)
+    assert(doc("title") === "root")
+    assert(doc("n") === 42L && doc("neg") === -7L && doc("pi") === 3.5)
+    assert(doc("flag") === true && doc("off") === false)
+    val ab = doc("a").asInstanceOf[Map[String, Any]]("b").asInstanceOf[Map[String, Any]]
+    assert(ab("k") === "literal")
+    assert(ab("User-Agent") === "ETL/1.0")
+    val items = doc("items").asInstanceOf[Vector[Map[String, Any]]]
+    assert(items.map(_("name")) === Vector("first", "second"))
+    assert(items(0)("tags") === Vector("x", "y", "z"))
+    assert(items(1)("inline") === Map("id" -> "i1", "count" -> 2L))
+  }
+
+  test("parser: string escapes and key-vals after an array-of-tables header") {
+    val doc = Toml.parse(
+      """[[p]]
+        |s = "line1\nline2\t\"q\" \\ A"
+        |[p.sub]
+        |x = 1
+        |""".stripMargin)
+    val p0 = doc("p").asInstanceOf[Vector[Map[String, Any]]].head
+    assert(p0("s") === "line1\nline2\t\"q\" \\ A")
+    // [p.sub] after [[p]] attaches to the LAST array element
+    assert(p0("sub") === Map("x" -> 1L))
+  }
+
+  test("parser: errors carry line numbers") {
+    val e = intercept[Toml.TomlParseException](Toml.parse("ok = 1\nbad = @"))
+    assert(e.line === 2)
+  }
+
+  // ----- adapter -----------------------------------------------------
+  test("adapter: reference field layout maps onto the SequenceDef model") {
+    val seq = TomlConfig.loadSequence(
+      """[sequence]
+        |name = "s"
+        |execution_order = ["a", "b"]
+        |[global.shared_variables]
+        |base = "http://h"
+        |[error_handling]
+        |on_pipeline_failure = "continue"
+        |retry_attempts = 2
+        |retry_delay_seconds = 10
+        |[[pipelines]]
+        |name = "a"
+        |enabled = true
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "${base}/posts"
+        |timeout_seconds = 20
+        |[pipelines.source.headers]
+        |"User-Agent" = "ETL/1.0"
+        |[pipelines.extract]
+        |max_records = 10
+        |[pipelines.extract.field_mapping]
+        |id = "post_id"
+        |[pipelines.extract.data_processing]
+        |deduplicate_fields = ["post_id"]
+        |sort_by = "post_id"
+        |[pipelines.transform.operations]
+        |clean_text = true
+        |trim_whitespace = true
+        |normalize_fields = ["t"]
+        |[pipelines.load]
+        |output_path = "/out"
+        |output_formats = ["json", "csv"]
+        |[pipelines.load.compression]
+        |enabled = true
+        |include_metadata = true
+        |[[pipelines]]
+        |name = "b"
+        |dependencies = ["a"]
+        |[pipelines.source]
+        |type = "previous"
+        |[pipelines.source.data_source]
+        |from_pipeline = "a"
+        |[pipelines.conditions]
+        |when_previous_succeeded = true
+        |skip_if_empty = true
+        |[pipelines.conditions.when_records_count]
+        |min = 1
+        |from_pipeline = "a"
+        |""".stripMargin, env = Map.empty)
+    assert(seq.onPipelineFailure === "continue")
+    assert(seq.retryAttempts === 2 && seq.retryDelayMs === 10000L)
+    val a = seq.pipelines(0)
+    val http = a.source.asInstanceOf[ApiSource].http
+    assert(http.endpoint === "http://h/posts") // ${base} shared-var pass
+    assert(http.headers === Map("User-Agent" -> "ETL/1.0"))
+    assert(http.timeoutSeconds === 20)
+    assert(a.extract.fieldMapping === Map("id" -> "post_id"))
+    assert(a.extract.processing.deduplicateFields === Seq("post_id"))
+    assert(a.transform.cleanText && a.transform.trimWhitespace)
+    assert(a.transform.normalizeFields === Seq("t"))
+    val load = a.load.get
+    assert(load.formats === Seq("json", "csv"))
+    assert(load.zip && load.includeMetadata)
+    assert(load.singleFile) // reference parity: one file per format
+    val b = seq.pipelines(1)
+    assert(b.source === PreviousSource(Some("a")))
+    assert(b.conditions.whenPreviousSucceeded && b.conditions.skipIfEmpty)
+    assert(b.conditions.whenRecordsCount.get.min === Some(1L))
+  }
+
+  test("adapter: api + use_previous_data_as_params / {param} endpoint fan out; " +
+    "merge_with_api merges") {
+    val seq = TomlConfig.loadSequence(
+      """[[pipelines]]
+        |name = "fan"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/item/{id}"
+        |[pipelines.source.data_source]
+        |use_previous_output = true
+        |[[pipelines]]
+        |name = "payload_fan"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/post"
+        |method = "POST"
+        |[pipelines.source.payload]
+        |body = "{\"q\": \"{{id}}\"}"
+        |use_previous_data_as_params = true
+        |[[pipelines]]
+        |name = "merged"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/users"
+        |[pipelines.source.data_source]
+        |use_previous_output = true
+        |merge_with_api = true
+        |""".stripMargin, env = Map.empty)
+    assert(seq.pipelines(0).source.isInstanceOf[ParameterizedApiSource])
+    val pf = seq.pipelines(1).source.asInstanceOf[ParameterizedApiSource]
+    assert(pf.http.payload === Some("""{"q": "{{id}}"}"""))
+    assert(seq.pipelines(2).source.isInstanceOf[MergedApiSource])
+  }
+
+  test("shipped configs/sequence-example.toml parses, validates and dry-runs") {
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("configs/sequence-example.toml"))
+    val seq = TomlConfig.loadSequence(text, env = Map.empty)
+    assert(seq.pipelines.map(_.name) === Seq(
+      "data-extraction", "data-enrichment", "data-aggregation", "final-export"))
+    val plan = graft.engine.Orchestrator.dryRun(seq)
+    assert(plan.contains(
+      "data-extraction -> data-enrichment -> data-aggregation -> final-export"))
+  }
+
+  // ----- end-to-end: the reference example's 4-pipeline shape ---------
+  test("reference-shaped sequence-example.toml runs end-to-end: " +
+    "api -> merged-api -> previous -> combined+zip, metrics for all 4") {
+    val rec = new TestHttp.Recorded
+    TestHttp.withServer(
+      "/posts" -> { ex =>
+        rec.synchronized { rec.calls += 1 }
+        TestHttp.respond(ex, 200,
+          """[{"id":1,"title":"  First Post  ","body":"body one","userId":7},
+            |{"id":2,"title":"Second\nPost","body":"body two","userId":8},
+            |{"id":1,"title":"  First Post  ","body":"body one","userId":7}]"""
+            .stripMargin)
+      },
+      "/users" -> (TestHttp.respond(_, 200,
+        """[{"id":7,"name":"User Seven","email":"u7@x"},
+          |{"id":8,"name":"User Eight","email":"u8@x"}]""".stripMargin))
+    ) { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_toml_e2e").toString
+      val toml =
+        s"""[sequence]
+           |name = "data-processing-sequence"
+           |description = "Multi-stage data processing pipeline sequence"
+           |version = "1.0.0"
+           |execution_order = ["data-extraction", "data-enrichment", "data-aggregation", "final-export"]
+           |
+           |[global.shared_variables]
+           |api_base_url = "$base"
+           |out_dir = "$dir"
+           |
+           |[error_handling]
+           |on_pipeline_failure = "stop"
+           |retry_attempts = 2
+           |retry_delay_seconds = 0
+           |
+           |[[pipelines]]
+           |name = "data-extraction"
+           |enabled = true
+           |[pipelines.source]
+           |type = "api"
+           |endpoint = "$${api_base_url}/posts"
+           |timeout_seconds = 30
+           |[pipelines.source.headers]
+           |"User-Agent" = "ETL-Sequence/1.0"
+           |[pipelines.extract]
+           |max_records = 10
+           |[pipelines.extract.field_mapping]
+           |id = "post_id"
+           |title = "post_title"
+           |body = "post_content"
+           |userId = "author_id"
+           |[pipelines.extract.data_processing]
+           |deduplicate = true
+           |deduplicate_fields = ["post_id"]
+           |sort_by = "post_id"
+           |sort_order = "asc"
+           |[pipelines.transform.operations]
+           |clean_text = true
+           |trim_whitespace = true
+           |normalize_fields = ["post_title"]
+           |[pipelines.load]
+           |output_path = "$${out_dir}/seq"
+           |output_formats = ["json", "csv"]
+           |filename_pattern = "{pipeline_name}_out"
+           |
+           |[[pipelines]]
+           |name = "data-enrichment"
+           |enabled = true
+           |dependencies = ["data-extraction"]
+           |[pipelines.source]
+           |type = "api"
+           |endpoint = "$${api_base_url}/users"
+           |[pipelines.source.data_source]
+           |use_previous_output = true
+           |merge_with_api = true
+           |[pipelines.transform.data_enrichment]
+           |computed_fields = { "row_no" = "record_index", "source_pipeline" = "pipeline_name" }
+           |[pipelines.load]
+           |output_path = "$${out_dir}/seq"
+           |output_formats = ["json"]
+           |filename_pattern = "{pipeline_name}_out"
+           |
+           |[[pipelines]]
+           |name = "data-aggregation"
+           |enabled = true
+           |dependencies = ["data-enrichment"]
+           |[pipelines.source]
+           |type = "previous"
+           |[pipelines.source.data_source]
+           |use_previous_output = true
+           |from_pipeline = "data-enrichment"
+           |[pipelines.conditions]
+           |when_previous_succeeded = true
+           |skip_if_empty = true
+           |[pipelines.conditions.when_records_count]
+           |min = 1
+           |from_pipeline = "data-enrichment"
+           |[pipelines.load]
+           |output_path = "$${out_dir}/seq"
+           |output_formats = ["json", "csv"]
+           |filename_pattern = "{pipeline_name}_out"
+           |
+           |[[pipelines]]
+           |name = "final-export"
+           |enabled = true
+           |dependencies = ["data-aggregation"]
+           |[pipelines.source]
+           |type = "combined"
+           |[pipelines.transform.operations]
+           |clean_text = true
+           |[pipelines.load]
+           |output_path = "$${out_dir}/seq"
+           |output_formats = ["json", "csv", "tsv"]
+           |filename_pattern = "final_export_{execution_id}"
+           |[pipelines.load.compression]
+           |enabled = true
+           |filename = "complete_sequence_output.zip"
+           |include_metadata = true
+           |""".stripMargin
+      val cfgPath = s"$dir/seq.toml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), toml)
+
+      val seq = TomlConfig.loadSequence(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath)))
+      assert(seq.pipelines.map(_.name) === Seq(
+        "data-extraction", "data-enrichment", "data-aggregation", "final-export"))
+
+      val code = Main.run(spark, seq, Main.Args(cfgPath,
+        executionId = Some("exec-toml"),
+        metricsOut = Some(s"$dir/sequence_metrics.json")))
+      assert(code === 0)
+
+      // pipeline 1: dedup on mapped post_id (3 raw rows -> 2), mapped +
+      // cleaned + normalized single-file outputs
+      val p1 = spark.read.option("multiLine", "true").json(s"$dir/seq/data-extraction_out.json")
+      assert(p1.count() === 2)
+      assert(p1.columns.contains("post_id") && p1.columns.contains("post_title"))
+      assert(p1.select("post_title").collect().map(_.getString(0)).sorted
+        === Array("first post", "second post")) // trim + newline + lowercase
+      // pipeline 2: merged-api = union(prev, users)
+      val p2 = spark.read.option("multiLine", "true").json(s"$dir/seq/data-enrichment_out.json")
+      assert(p2.count() === 4) // 2 posts + 2 users
+      assert(p2.columns.contains("row_no") && p2.columns.contains("source_pipeline"))
+      // pipeline 4: zip named by compression.filename (reference parity),
+      // carrying all three formats + metadata
+      val zipPath = java.nio.file.Paths.get(s"$dir/seq/complete_sequence_output.zip")
+      assert(java.nio.file.Files.exists(zipPath))
+      val zf = new java.util.zip.ZipFile(zipPath.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        val names = zf.entries().asScala.map(_.getName).toSet
+        assert(names.exists(_.endsWith(".json")) && names.exists(_.endsWith(".csv"))
+          && names.exists(_.endsWith(".tsv")))
+        assert(names.exists(_.contains("metadata")))
+      } finally zf.close()
+
+      // W7 metrics: the reference's 4-pipeline sequence_metrics shape
+      val metrics = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/sequence_metrics.json"))
+      Seq("data-extraction", "data-enrichment", "data-aggregation", "final-export")
+        .foreach(n => assert(metrics.contains(s""""name":"$n"""")))
+      assert(metrics.contains(""""total_pipelines":4"""))
+      assert(metrics.contains(""""execution_id":"exec-toml""""))
+    }
+  }
+}
