@@ -27,6 +27,9 @@ object Main {
       executionId: Option[String] = None,
       metricsOut: Option[String] = None,
       monitor: Boolean = false,
+      /** MVP override (reference toml_etl --mvp, toml_etl.rs:54-57):
+        * forces first_record_only on/off over the config's value. */
+      mvp: Option[Boolean] = None,
       master: String = "local[*]")
 
   def parseArgs(argv: Array[String]): Args = {
@@ -41,6 +44,8 @@ object Main {
         case "--execution-id" => a = a.copy(executionId = Some(argv(i + 1))); i += 2
         case "--metrics-out" => a = a.copy(metricsOut = Some(argv(i + 1))); i += 2
         case "--monitor" => a = a.copy(monitor = true); i += 1
+        case "--mvp" => a = a.copy(mvp = Some(true)); i += 1
+        case "--no-mvp" => a = a.copy(mvp = Some(false)); i += 1
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
         case other => sys.error(s"unknown flag: $other")
       }
@@ -60,13 +65,14 @@ object Main {
       case e: java.io.IOException =>
         System.err.println(s"cannot read config: ${e.getMessage}"); sys.exit(2)
     }
-    val seq = try {
+    val seq0 = try {
       if (args.configPath.endsWith(".toml")) TomlConfig.loadSequence(text)
       else JsonConfig.loadSequence(text)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"config parse error: ${e.getMessage}"); sys.exit(2)
     }
+    val seq = applyMvp(seq0, args.mvp)
 
     if (args.dryRun) {
       // C6: plan only — no Spark session, no jobs (toml_etl.rs:154-227)
@@ -91,6 +97,15 @@ object Main {
     val code = try run(spark, seq, args) finally spark.stop()
     if (code != 0) sys.exit(code)
   }
+
+  /** MVP override: force first_record_only across the config, exactly
+    * the reference's `--mvp` behavior (toml_etl.rs:54-57). */
+  def applyMvp(seq: graft.config.SequenceDef, mvp: Option[Boolean]): graft.config.SequenceDef =
+    mvp match {
+      case None => seq
+      case Some(v) => seq.copy(pipelines = seq.pipelines.map(p =>
+        p.copy(extract = p.extract.copy(firstRecordOnly = v))))
+    }
 
   /** Execute + report + write W7 metrics; returns the exit code
     * (0 success, 1 execution failure, 2 invalid config). */

@@ -35,7 +35,39 @@ object TomlConfig {
     val pre = Toml.parse(afterEnv)
     val sharedVars = strMap(tbl(pre.get("global")).get("shared_variables"))
     val root = Toml.parse(Templates.substShared(afterEnv, sharedVars))
-    parseSequence(root, sharedVars)
+    // Layout dispatch: `[[pipelines]]` = sequence config
+    // (sequence_config.rs); top-level `[pipeline]`+`[source]` = the
+    // reference's single-pipeline toml_etl layout (toml_config.rs:9-19),
+    // wrapped as a one-pipeline sequence.
+    if (root.contains("pipelines") || !root.contains("pipeline"))
+      parseSequence(root, sharedVars)
+    else parseSingle(root, sharedVars)
+  }
+
+  /** Single-pipeline layout (reference `toml_etl` / MVP, toml_config.rs):
+    * top-level [pipeline]/[source]/[extract]/[transform]/[load] tables,
+    * with [error_handling].on_api_failure at the root and retry knobs on
+    * the source. */
+  private def parseSingle(root: Map[String, Any], sharedVars: Map[String, String]): SequenceDef = {
+    val pT = tbl(root.get("pipeline"))
+    val name = str(pT.get("name")).getOrElse("pipeline")
+    val eh = tbl(root.get("error_handling"))
+    val srcT = tbl(root.get("source"))
+    val extract0 = parseExtract(tbl(root.get("extract")))
+    val pipeline = PipelineDef(
+      name = name,
+      source = parseSource(srcT),
+      extract = str(eh.get("on_api_failure"))
+        .map(v => extract0.copy(onApiFailure = v)).getOrElse(extract0),
+      transform = parseTransform(tbl(root.get("transform"))),
+      load = root.get("load").collect { case t: Map[String, Any] @unchecked => parseLoad(t) })
+    SequenceDef(
+      name = name,
+      executionOrder = Seq(name),
+      pipelines = Seq(pipeline),
+      sharedVariables = sharedVars,
+      retryAttempts = long(srcT.get("retry_attempts")).getOrElse(0L).toInt,
+      retryDelayMs = long(srcT.get("retry_delay_seconds")).map(_ * 1000L).getOrElse(0L))
   }
 
   private def parseSequence(root: Map[String, Any], sharedVars: Map[String, String]): SequenceDef = {

@@ -182,6 +182,94 @@ class TomlSpec extends AnyFunSuite {
       "data-extraction -> data-enrichment -> data-aggregation -> final-export"))
   }
 
+  // ----- single-pipeline layout (toml_etl / MVP) ----------------------
+  test("single-pipeline MVP layout runs one pipeline end-to-end: " +
+    "first record only, zip named by compression.filename") {
+    TestHttp.withServer("/posts" -> (TestHttp.respond(_, 200,
+      """[{"id":1,"title":"t1"},{"id":2,"title":"t2"},{"id":3,"title":"t3"}]"""))
+    ) { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvp").toString
+      val toml =
+        s"""# MVP single-pipeline config (reference configs/mvp-simple.toml shape)
+           |[pipeline]
+           |name = "mvp-simple"
+           |description = "MVP mode - process only first record"
+           |version = "1.0.0"
+           |
+           |[source]
+           |type = "api"
+           |endpoint = "$base/posts"
+           |timeout_seconds = 10
+           |
+           |[extract]
+           |first_record_only = true
+           |max_records = 1
+           |
+           |[transform]
+           |
+           |[error_handling]
+           |on_api_failure = "fail"
+           |
+           |[load]
+           |output_path = "$dir"
+           |output_formats = ["csv", "json"]
+           |
+           |[load.compression]
+           |enabled = true
+           |filename = "mvp_output.zip"
+           |""".stripMargin
+      val seq = TomlConfig.loadSequence(toml, env = Map.empty)
+      assert(seq.pipelines.map(_.name) === Seq("mvp-simple"))
+      assert(seq.pipelines.head.extract.firstRecordOnly)
+      assert(seq.pipelines.head.extract.onApiFailure === "fail")
+      val code = Main.run(spark, seq, Main.Args("mvp.toml",
+        executionId = Some("exec-mvp"), metricsOut = Some(s"$dir/m.json")))
+      assert(code === 0)
+      val zipPath = java.nio.file.Paths.get(s"$dir/mvp_output.zip")
+      assert(java.nio.file.Files.exists(zipPath))
+      val zf = new java.util.zip.ZipFile(zipPath.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        val entries = zf.entries().asScala.map(e => e.getName).toSet
+        assert(entries.exists(_.endsWith(".csv")) && entries.exists(_.endsWith(".json")))
+        val json = new String(zf.getInputStream(
+          zf.getEntry(entries.find(_.endsWith(".json")).get)).readAllBytes())
+        assert(json.contains(""""id":1""") && !json.contains(""""id":2"""))
+      } finally zf.close()
+    }
+  }
+
+  test("--mvp flag overrides first_record_only like the reference toml_etl") {
+    val a = Main.parseArgs(Array("cfg.toml", "--mvp"))
+    assert(a.mvp === Some(true))
+    val seq = TomlConfig.loadSequence(
+      """[[pipelines]]
+        |name = "p"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/x"
+        |""".stripMargin, env = Map.empty)
+    assert(!seq.pipelines.head.extract.firstRecordOnly)
+    assert(Main.applyMvp(seq, Some(true)).pipelines.head.extract.firstRecordOnly)
+    assert(!Main.applyMvp(
+      Main.applyMvp(seq, Some(true)), Some(false)).pipelines.head.extract.firstRecordOnly)
+  }
+
+  // ----- lambda-style one-shot entry ----------------------------------
+  test("Lambda.handle runs one API pipeline to a storage URI and reports the count") {
+    TestHttp.withServer("/data" -> (TestHttp.respond(_, 200,
+      """[{"id":1,"v":"a"},{"id":2,"v":"b"}]"""))
+    ) { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_lambda").toString
+      val resp = Lambda.handle(spark,
+        Lambda.Event(apiEndpoint = Some(s"$base/data")),
+        env = Map("S3_BUCKET" -> s"file://$dir", "S3_PREFIX" -> "etl-out"))
+      assert(resp.recordsProcessed === 2L)
+      val out = spark.read.option("multiLine", "true").json(s"$dir/etl-out/output.json")
+      assert(out.count() === 2)
+    }
+  }
+
   // ----- end-to-end: the reference example's 4-pipeline shape ---------
   test("reference-shaped sequence-example.toml runs end-to-end: " +
     "api -> merged-api -> previous -> combined+zip, metrics for all 4") {
