@@ -397,9 +397,13 @@ object Orchestrator {
     }
     if (t.addProcessedFlags) df = Ops.constants(p.name)(df)
     df = Ops.sortColumns(df)
-    val intermediate = t.intermediate
-      .filter(_.conditions.nonEmpty)
-      .map(i => Ops.equalityFilter(i.conditions)(df))
+    // empty conditions = whole frame (the reference's refresh flow
+    // exports an unconditioned intermediate, auth_integration_test.rs:
+    // 488-492); with conditions it's the F1 equality branch
+    val intermediate = t.intermediate.map {
+      case i if i.conditions.nonEmpty => Ops.equalityFilter(i.conditions)(df)
+      case _ => df
+    }
     (df, intermediate)
   }
 

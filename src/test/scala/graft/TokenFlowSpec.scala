@@ -59,6 +59,111 @@ class TokenFlowSpec extends AnyFunSuite {
     }
   }
 
+  // ----- failure scenario (reference auth_integration_test.rs:354-458) -
+  test("auth failure: token fetch 401 aborts under stop; " +
+    "use_sample_data falls back to a sample token instead") {
+    val rec = new TestHttp.Recorded
+    TestHttp.withServer(
+      "/auth/token" -> (TestHttp.respond(_, 401,
+        """{"error":"invalid_client","error_description":"Client authentication failed"}""")),
+      "/protected" -> TestHttp.recording(rec, """[{"id":1}]""")
+    ) { base =>
+      def seqWith(onApiFailure: String, sample: Seq[String]) = SequenceDef(
+        name = "auth-failure",
+        executionOrder = Seq("auth_token", "protected_api"),
+        pipelines = Seq(
+          PipelineDef(
+            name = "auth_token",
+            source = ApiSource(HttpRequestDef(s"$base/auth/token", method = "POST",
+              payload = Some("""{"client_id": "invalid_client"}"""))),
+            extract = ExtractDef(
+              fieldMapping = Map("response.access_token" -> "access_token"),
+              onApiFailure = onApiFailure, sampleData = sample),
+            transform = TransformDef(addProcessedFlags = false,
+              intermediate = Some(IntermediateDef()))),
+          PipelineDef(
+            name = "protected_api",
+            source = ApiSource(HttpRequestDef(s"$base/protected",
+              headers = Map("Authorization" -> "Bearer {{token}}"))),
+            extract = ExtractDef(onApiFailure = "fail"),
+            transform = TransformDef(addProcessedFlags = false))))
+
+      // reference behavior: the 401 fails the pipeline and aborts the run
+      val e = intercept[Orchestrator.SequenceFailed](
+        Orchestrator.execute(spark, seqWith("fail", Nil)))
+      assert(e.ctx.results("auth_token").status === "failed")
+      assert(!e.ctx.results.contains("protected_api")) // never ran
+      assert(rec.calls === 0) // no call without a token
+
+      // S8 path: sample data stands in for the failed fetch and its
+      // token flows into the next pipeline's Bearer header (sample
+      // mirrors the wrapped object shape a real fetch would produce)
+      val ctx = Orchestrator.execute(spark,
+        seqWith("use_sample_data", Seq("""{"response":{"access_token":"sample_tok_1"}}""")))
+      assert(ctx.results("auth_token").status === "succeeded")
+      assert(ctx.shared("token") === "sample_tok_1")
+      assert(rec.headers("Authorization") === "Bearer sample_tok_1")
+    }
+  }
+
+  // ----- refresh scenario (reference auth_integration_test.rs:460-620) -
+  test("token refresh mid-sequence: re-export overwrites shared token and " +
+    "the next call carries the new Bearer") {
+    val recData = new TestHttp.Recorded
+    val recRefresh = new TestHttp.Recorded
+    val recMore = new TestHttp.Recorded
+    TestHttp.withServer(
+      "/auth/token" -> (TestHttp.respond(_, 200, """{"access_token":"initial_token_123"}""")),
+      "/data" -> TestHttp.recording(recData, """[{"data":"first_call"}]"""),
+      "/auth/refresh" -> { ex =>
+        recRefresh.synchronized {
+          recRefresh.calls += 1
+          val hs = ex.getRequestHeaders
+          recRefresh.headers = hs.keySet().toArray(Array.empty[String])
+            .map(k => k -> hs.getFirst(k)).toMap
+        }
+        TestHttp.respond(ex, 200, """{"access_token":"refreshed_token_456"}""")
+      },
+      "/more-data" -> TestHttp.recording(recMore, """[{"data":"second_call_with_new_token"}]""")
+    ) { base =>
+      def authPipeline(name: String, path: String) = PipelineDef(
+        name = name,
+        source = ApiSource(HttpRequestDef(s"$base$path", method = "POST",
+          headers = if (name == "token_refresh")
+            Map("Authorization" -> "Bearer {{token}}") else Map.empty)),
+        extract = ExtractDef(
+          fieldMapping = Map("response.access_token" -> "access_token"),
+          onApiFailure = "fail"),
+        transform = TransformDef(addProcessedFlags = false,
+          intermediate = Some(IntermediateDef()))) // unconditioned export
+      def apiPipeline(name: String, path: String) = PipelineDef(
+        name = name,
+        source = ApiSource(HttpRequestDef(s"$base$path",
+          headers = Map("Authorization" -> "Bearer {{token}}"))),
+        extract = ExtractDef(onApiFailure = "fail"),
+        transform = TransformDef(addProcessedFlags = false))
+
+      val seq = SequenceDef(
+        name = "token-refresh",
+        executionOrder = Seq("auth_token", "api_call_1", "token_refresh", "api_call_2"),
+        pipelines = Seq(
+          authPipeline("auth_token", "/auth/token"),
+          apiPipeline("api_call_1", "/data"),
+          authPipeline("token_refresh", "/auth/refresh"),
+          apiPipeline("api_call_2", "/more-data")))
+
+      val ctx = Orchestrator.execute(spark, seq)
+      assert(ctx.results.values.forall(_.status == "succeeded"))
+      // first call used the initial token
+      assert(recData.headers("Authorization") === "Bearer initial_token_123")
+      // refresh presented the initial token and re-exported the new one
+      assert(recRefresh.headers("Authorization") === "Bearer initial_token_123")
+      assert(ctx.shared("token") === "refreshed_token_456")
+      // second call carried the refreshed Bearer
+      assert(recMore.headers("Authorization") === "Bearer refreshed_token_456")
+    }
+  }
+
   test("non-token fields export under '{shared_key}_{field}' (prefixed keys)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sh").toString
     import spark.implicits._
