@@ -166,6 +166,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ----- recovery: file sink + checkpoint, kill and restart ------------
+  // At scale, restart semantics ARE the feature: the checkpoint must
+  // restore both source offsets (no duplicated/retried output in the
+  // sink) and operator state (open windows / dedup horizon survive).
+
+  test("recovery: windowedAgg restarts from checkpoint — closed windows " +
+    "appear exactly once, open-window state merges across the restart") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rec_out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_rec_cp").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "10 minutes", "1 hour", keys = Seq("event_type"))
+      .select("window_start", "event_type", "n_events")
+    def start() = agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData((tsH(0, 5), "click", 1.0), (tsH(0, 30), "click", 2.0))
+    q1.processAllAvailable()
+    // hour-2 event advances the watermark past hour 0 → hour-0 window
+    // finalized and appended; the hour-2 window stays OPEN in state
+    input.addData((tsH(2, 0), "tick", 9.0))
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    // restart from the same checkpoint: committed batches must not
+    // replay into the sink, and the open hour-2 window state must be
+    // restored so pre- and post-restart events count together
+    val q2 = start()
+    input.addData((tsH(2, 30), "tick", 1.0))
+    input.addData((tsH(4, 0), "poke", 0.0)) // advance watermark past hour 2
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // exactly once each — a replayed batch would double the hour-0 row
+    assert(rows((tsH(0, 0), "click", 2L)) === 1)
+    // 1 event before the kill + 1 after = 2 in one window row
+    assert(rows((tsH(2, 0), "tick", 2L)) === 1)
+    assert(!rows.keySet.exists(_._2 == "poke")) // hour-4 window still open
+  }
+
+  test("recovery: streamingDedup restarts from checkpoint — dedup state " +
+    "survives, a duplicate arriving after the restart is still dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dd_out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_dd_cp").toString
+    val input = MemoryStream[(Timestamp, Long)]
+    val dd = Streams.streamingDedup(
+      input.toDF().toDF("ts", "id"), "ts", "30 minutes", Seq("id"))
+    def start() = dd.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    val q2 = start()
+    // id=1 arrives again INSIDE the watermark horizon: only the restored
+    // state can know it's a duplicate
+    input.addData((ts(3), 1L), (ts(4), 3L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(outDir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L), "exactly-once per id across the restart")
+  }
+
   test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
     import spark.implicits._
     val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))
