@@ -282,17 +282,62 @@ object LlmOps {
       .select(col("keep_id"), col("dup_id"), round(col("c"), 6).as("cosine"))
   }
 
-  /** IVF-style cell assignment: each vector joins the cell of its
-    * nearest centroid (deterministic seed centroids: the first `k` ids
-    * stand in for a trained codebook — swap in k-means centroids at
-    * production scale, the plan shape is identical). One broadcast of
-    * k tiny centroid rows against a single pass over the vectors. */
-  def ivfCells(
-      vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** Deterministic k-means codebook: seeded init (the first `k` ids),
+    * then `iters` rounds of assign + per-dimension mean recompute. Every
+    * step is engine-portable arithmetic — seeded init, argmax with an
+    * id tiebreak, per-dimension `avg` (float jitter ~1e-16 from sum
+    * order, far below the harness round-6 compare) — so a DuckDB oracle
+    * can reproduce the exact codebook. Plan shape per round: one
+    * broadcast of k tiny centroid rows against one pass over the
+    * vectors, then a (cell, dim) partial-aggregated mean — both
+    * partition-parallel, the standard Spark k-means shape. A cell that
+    * loses all members keeps its previous centroid. */
+  def kmeansCentroids(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
-    val cents = v.filter(col("vid") < k)
-      .select(col("vid").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    var cents = v.filter(col("vid") < k)
+      .select(col("vid").as("cid"), col("e").as("ce"))
+    for (_ <- 1 to iters) {
+      val cc = cents.withColumn(
+        "cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
+      val cos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
+      val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+      val assign = v.crossJoin(broadcast(cc))
+        .withColumn("ccos", cos)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("vid"), col("e"), col("cid").as("cell"))
+      val means = assign
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), p => p.getField("m")).as("ce"))
+      // empty cell keeps its previous centroid; k tiny rows, pinned so
+      // the iteration's lineage stays constant-size
+      cents = cents.select(col("cid"), col("ce").as("ce_prev"))
+        .join(means.select(col("cid"), col("ce").as("ce_new")), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce_new"), col("ce_prev")).as("ce"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF-style cell assignment: each vector joins the cell of its
+    * nearest centroid. `iters` = 0 uses the deterministic seed codebook
+    * (the first `k` ids); `iters` > 0 trains it with that many k-means
+    * rounds ([[kmeansCentroids]]). One broadcast of k tiny centroid
+    * rows against a single pass over the vectors. */
+  def ivfCells(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 0): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+    val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
+      .select(col("cid"), col("ce"))
+      .withColumn("cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
     val cos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
     val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
     v.crossJoin(broadcast(cents))
@@ -306,8 +351,9 @@ object LlmOps {
     * (coarser cells, data-adaptive when given real centroids). */
   def annTopKIvf(
       vecs: DataFrame, idCol: String, vecCol: String,
-      probeFilter: Column => Column, topK: Int, k: Int = 8): DataFrame = {
-    val cells = ivfCells(vecs, idCol, vecCol, k)
+      probeFilter: Column => Column, topK: Int, k: Int = 8,
+      iters: Int = 0): DataFrame = {
+    val cells = ivfCells(vecs, idCol, vecCol, k, iters)
     val probes = cells.filter(probeFilter(col("vid")))
       .select(col("vid").as("probe_id"), col("e").as("pe"),
         col("cell"), col("nrm").as("pnrm"))
@@ -365,10 +411,18 @@ object LlmOps {
         .agg(min("nl").as("nmin"))
       // hop 2 (pointer jumping): my label's own label — halves the
       // remaining distance to the component min every round, so
-      // convergence is O(log diameter) rounds instead of O(diameter)
-      val labelOfLabel = labels.alias("l1")
-        .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.label").as("ll"))
+      // convergence is O(log diameter) rounds instead of O(diameter).
+      // Round 1 skips it: labels are still the identity map, so the
+      // self-join would be a shuffle for a guaranteed no-op.
+      val labelOfLabel =
+        if (iter == 0) labels.select(col("id"), col("label").as("ll"))
+        else labels.alias("l1")
+          .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
+          .select(col("l1.id").as("id"), col("l2.label").as("ll"))
+      // LAZY localCheckpoint + immediate count: the count action is what
+      // materializes the checkpoint blocks, so convergence check and
+      // checkpoint share ONE job per round (eager + separate count was
+      // two full passes — half the round overhead for free)
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .join(labelOfLabel, Seq("id"), "left")
@@ -377,7 +431,7 @@ object LlmOps {
             coalesce(col("nmin"), col("label")),
             coalesce(col("ll"), col("label"))).as("newLabel"),
           col("label").as("oldLabel"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.filter(col("newLabel") < col("oldLabel")).count()
       labels = next.select(col("id"), col("newLabel").as("label"))
       converged = changed == 0

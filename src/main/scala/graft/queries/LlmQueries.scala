@@ -31,6 +31,39 @@ object LlmQueries {
        |  SELECT DISTINCT doc_id, ${duckHash("s")} AS h FROM shingles
        |)""".stripMargin
 
+  /** One k-means round in DuckDB, mirroring LlmOps.kmeansCentroids:
+    * assign every vector to its argmax-cosine centroid (id tiebreak),
+    * recompute each cell's centroid as the per-dimension mean, and keep
+    * the previous centroid for cells that lost all members. */
+  private def kmeansIterCte(inCents: String, outCents: String, tag: String): String =
+    s"""cw_$tag AS (
+       |  SELECT cid, ce,
+       |    ${duckFold("list_transform(generate_series(1,64), i -> ce[i] * ce[i])")} AS cnrm
+       |  FROM $inCents
+       |),
+       |asg_$tag AS (
+       |  SELECT vec_id, e, cell
+       |  FROM (
+       |    SELECT v.vec_id, v.e, c.cid AS cell,
+       |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+       |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+       |    FROM v, cw_$tag c
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+       |),
+       |mean_$tag AS (
+       |  SELECT cell, g.i AS i, avg(e[g.i]) AS m
+       |  FROM asg_$tag, generate_series(1, 64) AS g(i)
+       |  GROUP BY cell, g.i
+       |),
+       |pack_$tag AS (
+       |  SELECT cell AS cid, list(m ORDER BY i) AS ce FROM mean_$tag GROUP BY cell
+       |),
+       |$outCents AS (
+       |  SELECT p.cid, coalesce(q.ce, p.ce) AS ce
+       |  FROM $inCents p LEFT JOIN pack_$tag q ON p.cid = q.cid
+       |)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ----- MinHash + banded LSH near-duplicate candidates --------------
@@ -212,7 +245,12 @@ object LlmQueries {
         .orderBy("keep_id", "dup_id")
     },
 
-    // ----- ANN top-k via IVF cells (deterministic seed centroids) ------
+    // ----- ANN top-k via IVF cells (k-means-trained codebook) ----------
+    // Seeded init (first 8 ids) + 2 deterministic k-means rounds, both
+    // engines computing the identical codebook: argmax assignment with
+    // an id tiebreak, per-dimension mean recompute, empty cells keep
+    // their previous centroid. Float jitter from avg's sum order is
+    // ~1e-16 — far below the round-6 compare.
     QDef.sql(
       "llm_ann_ivf",
       s"""WITH v AS (
@@ -220,8 +258,15 @@ object LlmQueries {
          |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
          |  FROM embeddings
          |),
+         |cents_0 AS (
+         |  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+         |),
+         |${kmeansIterCte("cents_0", "cents_1", "t1")},
+         |${kmeansIterCte("cents_1", "cents_2", "t2")},
          |cents AS (
-         |  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v WHERE vec_id < 8
+         |  SELECT cid, ce,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> ce[i] * ce[i])")} AS cnrm
+         |  FROM cents_2
          |),
          |assign AS (
          |  SELECT vec_id, e, nrm, cid AS cell
@@ -245,7 +290,7 @@ object LlmQueries {
          |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 3
          |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
       LlmOps.annTopKIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
-        probeFilter = _ < 20, topK = 3, k = 8)
+        probeFilter = _ < 20, topK = 3, k = 8, iters = 2)
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     },
 

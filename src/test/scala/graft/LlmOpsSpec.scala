@@ -74,6 +74,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) === 1.0)
   }
 
+  test("ivf ann: k-means training moves the codebook and holds recall@3 " +
+    "against the brute-force baseline") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probe: Long => org.apache.spark.sql.Column = _ => col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(LlmOps.cosineTopK(
+      vecs, "vec_id", "embedding", col("vec_id") < 20, k = 3))
+    val seed = pairs(LlmOps.annTopKIvf(
+      vecs, "vec_id", "embedding", _ < 20, topK = 3, k = 8, iters = 0))
+    val trained = pairs(LlmOps.annTopKIvf(
+      vecs, "vec_id", "embedding", _ < 20, topK = 3, k = 8, iters = 2))
+    def recall(got: Set[(Long, Long)]) =
+      got.intersect(truth).size.toDouble / truth.size
+    info(f"recall@3: seed=${recall(seed)}%.3f trained=${recall(trained)}%.3f")
+    // training must actually move the codebook off the seed vectors
+    val seedCents = LlmOps.kmeansCentroids(vecs, "vec_id", "embedding", 8, 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val trainedCents = LlmOps.kmeansCentroids(vecs, "vec_id", "embedding", 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(trainedCents.keySet === seedCents.keySet)
+    assert(seedCents.exists { case (cid, ce) => trainedCents(cid) != ce },
+      "trained centroids must differ from the seed vectors")
+    // a coarse 8-cell partition of 500 random vectors keeps meaningful
+    // recall; trained cells must not be materially worse than seeds
+    assert(recall(trained) >= 0.2, s"trained recall ${recall(trained)}")
+    assert(recall(trained) >= recall(seed) - 0.15,
+      "training must not collapse recall vs the seed codebook")
+  }
+
   test("dedup groups: min-label propagation finds component minima") {
     val ids = (1L to 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
