@@ -165,20 +165,31 @@ object Ops {
   // Scalar transforms (SURVEY §2.7)
   // ---------------------------------------------------------------------
 
-  /** X1 — clean_text: trim + newline→space on every string column.
-    * Reference: contextual_pipeline.rs:882-889. */
-  def cleanText(df: DataFrame): DataFrame = {
-    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
-    stringCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, regexp_replace(trim(col(c)), "\n", " "))
-    }
+  /** Rewrite every string column through `f` in ONE `select` — a
+    * `withColumn` fold builds one Project node per column, which
+    * Catalyst collapses at runtime but pays O(cols²) analysis on wide
+    * schemas; a single projection is O(cols). */
+  private def mapStringCols(df: DataFrame, f: Column => Column): DataFrame = {
+    val stringCols =
+      df.schema.fields.filter(_.dataType.typeName == "string").map(_.name).toSet
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (stringCols.contains(c)) f(col(c)).as(c) else col(c)
+    }: _*)
   }
 
+  /** X1 — clean_text: trim + newline→space on every string column.
+    * Reference: contextual_pipeline.rs:882-889. */
+  def cleanText(df: DataFrame): DataFrame =
+    mapStringCols(df, c => regexp_replace(trim(c), "\n", " "))
+
   /** X2 — normalize_fields: lowercase the listed string fields. */
-  def normalizeFields(fields: Seq[String])(df: DataFrame): DataFrame =
-    fields.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      d.withColumn(c, lower(col(c)))
-    }
+  def normalizeFields(fields: Seq[String])(df: DataFrame): DataFrame = {
+    val targets = fields.filter(df.columns.contains).toSet
+    if (targets.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (targets.contains(c)) lower(col(c)).as(c) else col(c)
+    }: _*)
+  }
 
   /** X3 record_index — 0-based global position under `orderBy`, computed
     * scalably: range-repartition on the sort key (so partition i holds
@@ -232,23 +243,19 @@ object Ops {
     }
 
   /** X5 — TSV sanitization: tabs/newlines → space in string columns. */
-  def sanitizeTsv(df: DataFrame): DataFrame = {
-    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
-    stringCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, regexp_replace(col(c), "[\\t\\n]", " "))
-    }
-  }
+  def sanitizeTsv(df: DataFrame): DataFrame =
+    mapStringCols(df, c => regexp_replace(c, "[\\t\\n]", " "))
 
   /** X6 — trim_whitespace / remove_html_tags (declared-but-dead in the
     * reference, toml_config.rs:59-60; implemented honestly here). */
-  def trimWhitespace(df: DataFrame): DataFrame = {
-    val stringCols = df.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
-    stringCols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+  def trimWhitespace(df: DataFrame): DataFrame = mapStringCols(df, trim)
+  def removeHtmlTags(fields: Seq[String])(df: DataFrame): DataFrame = {
+    val targets = fields.filter(df.columns.contains).toSet
+    if (targets.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (targets.contains(c)) regexp_replace(col(c), "<[^>]*>", "").as(c) else col(c)
+    }: _*)
   }
-  def removeHtmlTags(fields: Seq[String])(df: DataFrame): DataFrame =
-    fields.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      d.withColumn(c, regexp_replace(col(c), "<[^>]*>", ""))
-    }
 
   // ---------------------------------------------------------------------
   // Joins / merges (SURVEY §2.4)

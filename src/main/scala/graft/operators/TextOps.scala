@@ -39,25 +39,33 @@ object TextOps {
 
   /** Composite quality score in [0,1] as a single Column expression:
     * 0.4 * min(1, words/50) + 0.3 * stopword_ratio + 0.3 * (1 - punct_ratio).
-    * Deterministic double arithmetic (same op order in the oracle). */
-  def qualityScore(text: Column): Column = {
-    val ws = LlmOps.words(text)
-    val nWords = size(ws).cast("long")
-    val stopRatio = stopCount(ws, StopEn).cast("double") / nWords
-    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
-    val punctRatio = punct.cast("double") / length(text)
-    least(lit(1.0), nWords / lit(50.0)) * 0.4 +
-      stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
-  }
+    * Deterministic double arithmetic (same op order in the oracle).
+    * Empty text scores an explicit 0.0 — without the guard the 0/0
+    * ratios go NaN and a quality_filter silently drops the row for the
+    * wrong reason (and `split("", " ")` would count one word). */
+  def qualityScore(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise {
+      val ws = LlmOps.words(text)
+      val nWords = size(ws).cast("long")
+      val stopRatio = stopCount(ws, StopEn).cast("double") / nWords
+      val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+      val punctRatio = punct.cast("double") / length(text)
+      least(lit(1.0), nWords / lit(50.0)) * 0.4 +
+        stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
+    }
 
-  /** Quality signals + the composite score, one row per document. */
+  /** Quality signals + the composite score, one row per document.
+    * Empty text yields all-zero signals (same guard as the score). */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val ws = LlmOps.words(text)
-    val nWords = size(ws).cast("long")
-    val stopRatio = stopCount(ws, StopEn).cast("double") / nWords
+    val empty = length(text) === 0
+    val nWords = when(empty, lit(0L)).otherwise(size(ws).cast("long"))
+    val stopRatio = when(empty, lit(0.0))
+      .otherwise(stopCount(ws, StopEn).cast("double") / size(ws).cast("long"))
     val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
-    val punctRatio = punct.cast("double") / length(text)
+    val punctRatio = when(empty, lit(0.0))
+      .otherwise(punct.cast("double") / length(text))
     df.select(col(idCol), nWords.as("n_words"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),

@@ -54,17 +54,22 @@ object TextQueries {
          |),
          |c AS (
          |  SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE) / CAST(len(ws) AS BIGINT) AS stop_ratio,
-         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |      / length(text) AS punct_ratio
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE CAST(len(ws) AS BIGINT) END AS n_words,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE) / CAST(len(ws) AS BIGINT) END AS stop_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct_ratio,
+         |    length(text) AS n_chars
          |  FROM w
          |)
          |SELECT doc_id, n_words,
          |  round(stop_ratio, 6) AS stop_ratio,
          |  round(punct_ratio, 6) AS punct_ratio,
-         |  round(least(1.0, n_words / 50.0) * 0.4 + stop_ratio * 0.3
-         |        + (1.0 - punct_ratio) * 0.3, 6) AS quality
+         |  round(CASE WHEN n_chars = 0 THEN 0.0
+         |             ELSE least(1.0, n_words / 50.0) * 0.4 + stop_ratio * 0.3
+         |                  + (1.0 - punct_ratio) * 0.3 END, 6) AS quality
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.qualitySignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")

@@ -76,4 +76,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getString(1) === "prev_2") // null api → prev fills
     assert(out(0).getDouble(2) === 9.5) // prev-only column carried
   }
+
+  test("cleanText/sanitizeTsv/trimWhitespace build ONE Project over a wide frame") {
+    import spark.implicits._
+    val wide = Seq(1).toDF("c0")
+      .select(col("c0") +: (1 to 60).map(i => lit(s" v$i\n").as(s"s$i")): _*)
+    def countProjects(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      (if (p.getClass.getSimpleName == "Project") 1 else 0) +
+        p.children.map(countProjects).sum
+    val baseline = countProjects(wide.queryExecution.logical)
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      Ops.cleanText, Ops.sanitizeTsv, Ops.trimWhitespace)) {
+      // the operator must contribute exactly ONE Project node (a
+      // withColumn fold would add one per string column — 60 here)
+      val after = countProjects(op(wide).queryExecution.logical)
+      assert(after === baseline + 1, s"expected one fused projection, got ${after - baseline}")
+    }
+    val out = Ops.cleanText(wide).select("s1").as[String].first()
+    assert(out === "v1 ") // space-trim + newline→space still applied
+  }
+
+  test("qualityScore: empty text scores an explicit 0.0 and keeps its row") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val df = Seq((1L, "the cat and the dog were here today now ok"),
+      (2L, "")).toDF("doc_id", "text")
+    val sig = TextOps.qualitySignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(sig.length === 2, "empty-text row must be retained")
+    assert(sig(1).getLong(1) === 0L)        // n_words
+    assert(sig(1).getDouble(2) === 0.0)     // stop_ratio, not NaN
+    assert(sig(1).getDouble(3) === 0.0)     // punct_ratio, not NaN
+    assert(sig(1).getDouble(4) === 0.0)     // quality
+    assert(sig(0).getDouble(4) > 0.0)
+  }
 }
