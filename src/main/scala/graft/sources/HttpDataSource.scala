@@ -58,9 +58,17 @@ class HttpTableProvider extends TableProvider with DataSourceRegister {
     Json.bodyToRecords(Http.call(req))
   }
 
+  /** Body fetched at inferSchema time, handed to getTable so one read
+    * hits the endpoint once. An INSTANCE field, not a global map: Spark
+    * instantiates a fresh provider per read, so concurrent identical
+    * reads can't steal each other's entry, and an aborted planning
+    * (inferSchema without getTable) is reclaimed with the provider
+    * instead of leaking in a process-wide cache. */
+  @volatile private var prefetched: Option[(Map[String, String], Seq[String])] = None
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val records = fetch(options)
-    HttpDataSource.cache.put(options.asCaseSensitiveMap().asScala.toMap, records)
+    prefetched = Some(options.asCaseSensitiveMap().asScala.toMap -> records)
     HttpDataSource.inferSchema(records)
   }
 
@@ -69,9 +77,12 @@ class HttpTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val key = properties.asScala.toMap
-    val records = HttpDataSource.cache.remove(key) match {
-      case Some(r) => r
-      case None => fetch(new CaseInsensitiveStringMap(properties))
+    val records = prefetched match {
+      case Some((k, r)) if k == key =>
+        prefetched = None
+        r
+      case _ => // user-supplied schema path: planning never fetched
+        fetch(new CaseInsensitiveStringMap(properties))
     }
     new HttpTable(schema, records)
   }
@@ -113,11 +124,6 @@ private[sources] class HttpReaderFactory(schema: StructType)
 }
 
 object HttpDataSource {
-  /** Hands the driver-fetched body from inferSchema to getTable so the
-    * endpoint is hit once per read, not once per planning step. */
-  private[sources] val cache =
-    scala.collection.concurrent.TrieMap.empty[Map[String, String], Seq[String]]
-
   /** Widest-type schema inference over the reference's scalar universe:
     * bool < long < double < string; arrays/objects → JSON string. */
   def inferSchema(records: Seq[String]): StructType = {
