@@ -111,7 +111,8 @@ object Main {
     * (0 success, 1 execution failure, 2 invalid config). */
   def run(spark: SparkSession, seq: graft.config.SequenceDef, args: Args): Int = {
     val execId = args.executionId.getOrElse(s"seq_${System.currentTimeMillis()}")
-    val monitor = if (args.monitor) {
+    // --monitor flag or the config's [monitoring].enabled
+    val monitor = if (args.monitor || seq.monitoringEnabled) {
       val m = new graft.engine.SystemMonitor(); m.start(); Some(m)
     } else None
     // persistAll: the metrics pass below forces every pipeline's deferred
@@ -137,10 +138,16 @@ object Main {
           System.err.println(s"sequence failed: ${e.getMessage}"); return 1
       }
     try {
+      // precedence: --metrics-out flag > [monitoring].metrics_file (a
+      // bare name lands in the first output dir) > the default name
       val metricsPath = args.metricsOut.getOrElse {
         val dir = seq.pipelines.flatMap(_.load).headOption
           .map(_.outputPath).getOrElse(".")
-        s"$dir/sequence_metrics.json"
+        seq.metricsFile match {
+          case Some(f) if f.contains('/') => f
+          case Some(f) => s"$dir/$f"
+          case None => s"$dir/sequence_metrics.json"
+        }
       }
       ctx.results.values.foreach(_.recordCount) // force counts under monitor
       monitor.foreach(_.stop())

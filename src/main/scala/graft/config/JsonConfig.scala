@@ -42,7 +42,9 @@ object JsonConfig {
       onPipelineFailure = str(root.path("error_handling").path("on_pipeline_failure"))
         .getOrElse("stop"),
       retryAttempts = int(root.path("error_handling").path("retry_attempts")).getOrElse(0),
-      retryDelayMs = long(root.path("error_handling").path("retry_delay_ms")).getOrElse(0L))
+      retryDelayMs = long(root.path("error_handling").path("retry_delay_ms")).getOrElse(0L),
+      monitoringEnabled = bool(root.path("monitoring").path("enabled")).getOrElse(false),
+      metricsFile = str(root.path("monitoring").path("metrics_file")))
   }
 
   def parsePipeline(n: JsonNode): PipelineDef = PipelineDef(
@@ -145,6 +147,13 @@ object JsonConfig {
       Some(IntermediateDef(
         conditions = obj(i.path("conditions")),
         sharedKey = str(i.path("shared_key")).getOrElse("")))
+    } else None,
+    validation = if (n.path("validation").isObject) {
+      val v = n.path("validation")
+      Some(ValidationDef(
+        requiredFields = strSeq(v.path("required_fields")),
+        minRecords = long(v.path("min_records")),
+        maxRecords = long(v.path("max_records"))))
     } else None)
 
   private def parseLoad(n: JsonNode): LoadDef = {

@@ -113,7 +113,17 @@ final case class TransformDef(
       * `field` clears `min`. */
     qualityFilter: Option[QualityFilterDef] = None,
     addProcessedFlags: Boolean = true,
-    intermediate: Option[IntermediateDef] = None)
+    intermediate: Option[IntermediateDef] = None,
+    /** Post-transform validation (declared-but-dead in the reference,
+      * sequence_config.rs:108-115; implemented honestly here): missing
+      * required columns or a record count outside [min,max] fail the
+      * pipeline. min/max force one count — a deliberate action barrier. */
+    validation: Option[ValidationDef] = None)
+
+final case class ValidationDef(
+    requiredFields: Seq[String] = Nil,
+    minRecords: Option[Long] = None,
+    maxRecords: Option[Long] = None)
 
 final case class LookupDef(
     path: String,
@@ -192,4 +202,8 @@ final case class SequenceDef(
     /** C3 — "stop" (reference behavior) | "continue". */
     onPipelineFailure: String = "stop",
     retryAttempts: Int = 0,
-    retryDelayMs: Long = 0L)
+    retryDelayMs: Long = 0L,
+    /** [monitoring] (reference sequence_config.rs:167-173): enables the
+      * system monitor and names the default metrics file. */
+    monitoringEnabled: Boolean = false,
+    metricsFile: Option[String] = None)

@@ -67,7 +67,9 @@ object TomlConfig {
       pipelines = Seq(pipeline),
       sharedVariables = sharedVars,
       retryAttempts = long(srcT.get("retry_attempts")).getOrElse(0L).toInt,
-      retryDelayMs = long(srcT.get("retry_delay_seconds")).map(_ * 1000L).getOrElse(0L))
+      retryDelayMs = long(srcT.get("retry_delay_seconds")).map(_ * 1000L).getOrElse(0L),
+      monitoringEnabled = bool(tbl(root.get("monitoring")).get("enabled")).getOrElse(false),
+      metricsFile = str(tbl(root.get("monitoring")).get("metrics_file")))
   }
 
   private def parseSequence(root: Map[String, Any], sharedVars: Map[String, String]): SequenceDef = {
@@ -88,7 +90,9 @@ object TomlConfig {
       retryAttempts = long(eh.get("retry_attempts")).getOrElse(0L).toInt,
       retryDelayMs = long(eh.get("retry_delay_ms"))
         .orElse(long(eh.get("retry_delay_seconds")).map(_ * 1000L))
-        .getOrElse(0L))
+        .getOrElse(0L),
+      monitoringEnabled = bool(tbl(root.get("monitoring")).get("enabled")).getOrElse(false),
+      metricsFile = str(tbl(root.get("monitoring")).get("metrics_file")))
   }
 
   private def parsePipeline(n: Map[String, Any]): PipelineDef = {
@@ -189,7 +193,15 @@ object TomlConfig {
         if (interT.nonEmpty) Some(IntermediateDef(
           conditions = tbl(interT.get("conditions")),
           sharedKey = str(interT.get("shared_key")).getOrElse("")))
-        else None)
+        else None,
+      validation = {
+        val v = tbl(n.get("validation"))
+        if (v.nonEmpty) Some(ValidationDef(
+          requiredFields = strSeq(v.get("required_fields")),
+          minRecords = long(v.get("min_records")),
+          maxRecords = long(v.get("max_records"))))
+        else None
+      })
   }
 
   private def parseLoad(n: Map[String, Any]): LoadDef = {

@@ -257,6 +257,22 @@ object Orchestrator {
         ctx.persisted += c
         c
       } else main0
+    // transform.validation (declared-but-dead in the reference,
+    // implemented honestly): schema check is free; min/max force ONE
+    // count — after persist, so the materialization is reused by the
+    // sink and the deferred metrics count
+    p.transform.validation.foreach { v =>
+      val missing = v.requiredFields.filterNot(main.columns.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"pipeline '${p.name}': missing required fields ${missing.mkString(",")}")
+      if (v.minRecords.nonEmpty || v.maxRecords.nonEmpty) {
+        val n = main.count()
+        v.minRecords.filter(n < _).foreach(m => throw new IllegalStateException(
+          s"pipeline '${p.name}': $n records < min_records $m"))
+        v.maxRecords.filter(n > _).foreach(m => throw new IllegalStateException(
+          s"pipeline '${p.name}': $n records > max_records $m"))
+      }
+    }
     exportShared(p, ctx, intermediate)
     val (outPath, lMs) = timed(p.load.map { l =>
       Sinks.write(spark, main, intermediate, l, p.name, ctx.executionId)

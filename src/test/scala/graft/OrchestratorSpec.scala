@@ -233,6 +233,28 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  // ----- transform.validation (declared-but-dead in reference) ---------
+  test("validation: missing required field / out-of-bounds count fail the pipeline; " +
+    "a passing config does not") {
+    val p = fixture(Seq("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}"""), "val")
+    def seqWith(v: ValidationDef) = SequenceDef("s", Seq("p"), Seq(
+      filePipeline("p", p,
+        transform = TransformDef(addProcessedFlags = false, validation = Some(v)))),
+      onPipelineFailure = "continue")
+    assert(Orchestrator.execute(spark,
+      seqWith(ValidationDef(requiredFields = Seq("id", "name"),
+        minRecords = Some(1), maxRecords = Some(10))))
+      .results("p").status === "succeeded")
+    val missing = Orchestrator.execute(spark,
+      seqWith(ValidationDef(requiredFields = Seq("id", "ghost"))))
+    assert(missing.results("p").status === "failed")
+    assert(missing.results("p").error.get.contains("ghost"))
+    val tooFew = Orchestrator.execute(spark,
+      seqWith(ValidationDef(minRecords = Some(5))))
+    assert(tooFew.results("p").status === "failed")
+    assert(tooFew.results("p").error.get.contains("min_records"))
+  }
+
   // ----- lazy materialization -----------------------------------------
   test("a pipeline with no sink, no conditions, no export triggers zero Spark jobs") {
     val p = fixture(Seq("""{"id":1}""", """{"id":2}"""), "lazy")

@@ -137,6 +137,29 @@ class TomlSpec extends AnyFunSuite {
     assert(b.conditions.whenRecordsCount.get.min === Some(1L))
   }
 
+  test("adapter: [monitoring] and [pipelines.transform.validation] map through") {
+    val seq = TomlConfig.loadSequence(
+      """[monitoring]
+        |enabled = true
+        |export_metrics = true
+        |metrics_file = "sequence_metrics.json"
+        |[[pipelines]]
+        |name = "p"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/x"
+        |[pipelines.transform.validation]
+        |required_fields = ["post_id", "post_title"]
+        |min_records = 1
+        |max_records = 50
+        |""".stripMargin, env = Map.empty)
+    assert(seq.monitoringEnabled)
+    assert(seq.metricsFile === Some("sequence_metrics.json"))
+    val v = seq.pipelines.head.transform.validation.get
+    assert(v.requiredFields === Seq("post_id", "post_title"))
+    assert(v.minRecords === Some(1L) && v.maxRecords === Some(50L))
+  }
+
   test("adapter: api + use_previous_data_as_params / {param} endpoint fan out; " +
     "merge_with_api merges") {
     val seq = TomlConfig.loadSequence(
