@@ -41,6 +41,59 @@ object ExtQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ----- Streams.sessionAgg in batch mode over events ----------------
+    // DuckDB has no session_window; the oracle derives identical
+    // sessions via gaps-and-islands (a new session starts where the gap
+    // from the previous event exceeds the threshold, sessions then
+    // aggregate by island id). Order-independent aggs only.
+    QDef.sql(
+      "ext_session_agg",
+      """WITH o AS (
+        |  SELECT event_type, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+        |),
+        |s AS (
+        |  SELECT event_type, ts,
+        |         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT event_type, min(ts) AS session_start,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY event_type, sid
+        |ORDER BY event_type, session_start""".stripMargin) { (s, dir) =>
+      Streams.sessionAgg(
+        t(s, dir, "events"),
+        tsCol = "ts", watermarkDelay = "10 minutes", gap = "30 minutes",
+        keys = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n_events")))
+        .select(col("event_type"), col("session_start"), col("n_events"))
+        .orderBy("event_type", "session_start")
+    },
+
+    // ----- Streams.runningTotals in batch mode over events -------------
+    // The mapGroupsWithState operator run as a single batch group pass —
+    // per-key totals equal a plain aggregate, which IS the oracle. The
+    // double sum is order-dependent across engines; round(6) absorbs it.
+    QDef.sql(
+      "ext_running_totals",
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 6) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val typed = t(s, dir, "events")
+        .select(col("event_type").as("key"), col("ts"), col("value"))
+        .as[graft.streaming.KeyedEvent]
+      Streams.runningTotals(typed).toDF()
+        .select(col("key"), col("n"), round(col("total"), 6).as("total"))
+        .orderBy("key")
+    },
+
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's
