@@ -397,10 +397,15 @@ object LlmOps {
     // is trivially its own canonical and rejoins at the end. In a real
     // corpus near-dups are a small fraction, so the iterated set — and
     // every per-round shuffle — shrinks by orders of magnitude.
-    val connected = edges.select(col("src").as("id")).distinct()
-    var labels = connected
-      .select(col("id"), col("id").as("label"))
+    // Initialization fuses the would-be first round: over identity
+    // labels, hop 1 reduces to "min neighbor id", so labels start at
+    // least(id, min_neighbor) for the cost of the same one aggregation
+    // the identity init needed — one fewer loop round.
+    var labels = edges
+      .groupBy(col("src").as("id")).agg(min("dst").as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .localCheckpoint(true)
+    val connected = labels.select(col("id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -411,14 +416,10 @@ object LlmOps {
         .agg(min("nl").as("nmin"))
       // hop 2 (pointer jumping): my label's own label — halves the
       // remaining distance to the component min every round, so
-      // convergence is O(log diameter) rounds instead of O(diameter).
-      // Round 1 skips it: labels are still the identity map, so the
-      // self-join would be a shuffle for a guaranteed no-op.
-      val labelOfLabel =
-        if (iter == 0) labels.select(col("id"), col("label").as("ll"))
-        else labels.alias("l1")
-          .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
-          .select(col("l1.id").as("id"), col("l2.label").as("ll"))
+      // convergence is O(log diameter) rounds instead of O(diameter)
+      val labelOfLabel = labels.alias("l1")
+        .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("ll"))
       // LAZY localCheckpoint + immediate count: the count action is what
       // materializes the checkpoint blocks, so convergence check and
       // checkpoint share ONE job per round (eager + separate count was
