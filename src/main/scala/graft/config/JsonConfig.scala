@@ -83,6 +83,7 @@ object JsonConfig {
   private def parseExtract(n: JsonNode): ExtractDef = ExtractDef(
     fieldMapping = strMap(n.path("field_mapping")),
     maxRecords = int(n.path("max_records")),
+    concurrentRequests = int(n.path("concurrent_requests")),
     firstRecordOnly = bool(n.path("first_record_only")).getOrElse(false),
     filters = obj(n.path("filters")),
     processing = {

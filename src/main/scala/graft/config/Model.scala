@@ -67,6 +67,11 @@ final case class ExtractDef(
       * later, in the transform phase). */
     fieldMapping: Map[String, String] = Map.empty,
     maxRecords: Option[Int] = None,
+    /** Fan-out parallelism (reference `concurrent_requests`, declared
+      * but sequential there): number of partitions — and therefore
+      * concurrent HTTP streams — the S4 fan-out runs with. Unset = keep
+      * the upstream partitioning. */
+    concurrentRequests: Option[Int] = None,
     firstRecordOnly: Boolean = false,
     filters: Map[String, Any] = Map.empty,
     processing: DataProcessingDef = DataProcessingDef(),

@@ -157,6 +157,7 @@ object TomlConfig {
     ExtractDef(
       fieldMapping = strMap(n.get("field_mapping")),
       maxRecords = long(n.get("max_records")).map(_.toInt),
+      concurrentRequests = long(n.get("concurrent_requests")).map(_.toInt),
       firstRecordOnly = bool(n.get("first_record_only")).getOrElse(false),
       filters = tbl(n.get("filters")),
       processing = DataProcessingDef(

@@ -306,7 +306,7 @@ object Orchestrator {
       case ParameterizedApiSource(http, from, rateMs) =>
         val prev = ctx.dfFor(from).getOrElse(
           throw new IllegalStateException(s"no previous output to parameterize ${p.name}"))
-        Http.fanOut(spark, prev, http, shared, rateMs)
+        Http.fanOut(spark, prev, http, shared, rateMs, p.extract.concurrentRequests)
     }
     var df = src
     if (p.extract.fieldMapping.nonEmpty) df = Ops.extractPaths(p.extract.fieldMapping)(df)

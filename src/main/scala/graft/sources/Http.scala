@@ -105,11 +105,17 @@ object Http {
       prev: DataFrame,
       req: HttpRequestDef,
       shared: Map[String, Any] = Map.empty,
-      rateLimitMs: Long = 0L): DataFrame = {
+      rateLimitMs: Long = 0L,
+      /** Partitions (= concurrent HTTP streams + per-partition rate
+        * limiters) the calls run with; None keeps the upstream layout.
+        * The honest form of the reference's declared-but-sequential
+        * `concurrent_requests`. */
+      concurrency: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val reqB = req // stable local for closure capture
     val sharedB = shared
-    val fetched: Dataset[String] = prev.toJSON.mapPartitions { rows =>
+    val src = concurrency.filter(_ > 0).map(prev.repartition(_)).getOrElse(prev)
+    val fetched: Dataset[String] = src.toJSON.mapPartitions { rows =>
       val client = newClient(reqB.timeoutSeconds)
       rows.flatMap { recordJson =>
         if (rateLimitMs > 0) Thread.sleep(rateLimitMs)

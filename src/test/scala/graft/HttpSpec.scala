@@ -97,6 +97,21 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("S4: concurrent_requests controls the fan-out's partition count") {
+    import spark.implicits._
+    TestHttp.withServer("/u" -> { ex =>
+      val id = ex.getRequestURI.getPath.split('/').last
+      TestHttp.respond(ex, 200, s"""[{"user_id":$id}]""")
+    }) { base =>
+      val prev = Seq.tabulate(8)(identity).toDF("uid").repartition(8)
+      val out = Http.fanOut(spark, prev,
+        HttpRequestDef(s"$base/u/{uid}"), concurrency = Some(2))
+      // the calls ran in exactly 2 partitions = 2 HTTP streams
+      assert(out.rdd.getNumPartitions === 2)
+      assert(out.count() === 8)
+    }
+  }
+
   test("S4: a missing {param} fails the fan-out (reference: hard error)") {
     import spark.implicits._
     TestHttp.withServer("/u" -> (TestHttp.respond(_, 200, "[]"))) { base =>

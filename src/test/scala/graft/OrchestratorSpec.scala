@@ -233,6 +233,25 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  // ----- schema evolution through FileSource options --------------------
+  test("FileSource options pass through: mergeSchema unions evolved parquet schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$dir/data/gen=1")
+    Seq((2L, 9.5)).toDF("id", "v2")
+      .write.mode("overwrite").parquet(s"$dir/data/gen=2")
+    val seq = SequenceDef("s", Seq("ev"), Seq(
+      PipelineDef("ev",
+        FileSource(s"$dir/data", options = Map(
+          "mergeSchema" -> "true", "recursiveFileLookup" -> "true")),
+        transform = TransformDef(addProcessedFlags = false))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("ev").df.get
+    assert(out.columns.sorted.toSeq === Seq("id", "v1", "v2"))
+    assert(out.count() === 2)
+  }
+
   // ----- transform.validation (declared-but-dead in reference) ---------
   test("validation: missing required field / out-of-bounds count fail the pipeline; " +
     "a passing config does not") {

@@ -33,6 +33,24 @@ class PlanSpec extends AnyFunSuite {
       s"unprojected column read from parquet:\n$readSchema")
   }
 
+  test("config-level extract.filters push down through the orchestrator " +
+    "to the parquet scan") {
+    import graft.config._
+    import graft.engine.Orchestrator
+    val seq = SequenceDef("s", Seq("p"), Seq(
+      PipelineDef("p", FileSource(docs),
+        extract = ExtractDef(filters = Map("lang" -> "en")),
+        transform = TransformDef(addProcessedFlags = false,
+          keepOnlyFields = Seq("doc_id", "lang")))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val plan = ctx.results("p").df.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(lang,en)"),
+      s"config filter not pushed into the scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"keep_only projection not pruned at the scan:\n$readSchema")
+  }
+
   test("record_index output stays partition-parallel (no single-task funnel)") {
     // AQE legitimately coalesces this tiny exchange by byte size; turn it
     // off to expose the structural property round 1 violated (a global
