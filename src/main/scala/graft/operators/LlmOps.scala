@@ -294,7 +294,7 @@ object LlmOps {
     * loses all members keeps its previous centroid. */
   def kmeansCentroids(
       vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, dims: Int = 64): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
     var cents = v.filter(col("vid") < k)
@@ -308,13 +308,15 @@ object LlmOps {
         .withColumn("ccos", cos)
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("vid"), col("e"), col("cid").as("cell"))
+      // per-dimension mean as `dims` scalar avg aggregates — one narrow
+      // groupBy(cell) with map-side partial aggregation, NO row blow-up
+      // (a posexplode would shuffle dims× the vector count)
+      val dimAggs = (0 until dims).map(i => avg(col("e")(i)).as(s"__m$i"))
       val means = assign
-        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(dimAggs.head, dimAggs.tail: _*)
         .select(col("cell").as("cid"),
-          transform(col("pm"), p => p.getField("m")).as("ce"))
+          array((0 until dims).map(i => col(s"__m$i")): _*).as("ce"))
       // empty cell keeps its previous centroid; k tiny rows, pinned so
       // the iteration's lineage stays constant-size
       cents = cents.select(col("cid"), col("ce").as("ce_prev"))
