@@ -306,6 +306,42 @@ object Ops {
       forceBroadcast: Boolean = false)(df: DataFrame): DataFrame =
     df.join(if (forceBroadcast) broadcast(lookup) else lookup, Seq(key), how)
 
+  /** As-of join: for every left row, the single most recent right row
+    * with `rightTs` at or before the left row's `leftTs` on the same
+    * key — the time-series point-in-time lookup Spark has no native
+    * operator for. Composed from built-ins (the preferred extension
+    * path): tag both sides, union, shuffle ONCE on the key, and carry
+    * the latest right payload forward with an ignore-nulls running
+    * `last` over (ts, side). No range join, no per-row subquery; cost
+    * is one keyed shuffle + one window pass regardless of how far back
+    * the match lies. A right row exactly at `leftTs` matches (ASOF >=
+    * semantics, right sorts before left on ties). Unmatched left rows
+    * keep null payloads (left-outer shape). Right rows should be
+    * unique per (key, ts) — the tie among exact duplicates is
+    * engine-arbitrary, as in any ASOF implementation. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payloadCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lStruct = struct(left.columns.toIndexedSeq.map(c => left(c).as(c)): _*)
+    val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lStruct.as("__l"))
+    val rStruct = struct(payloadCols.toIndexedSeq.map(c => right(c).as(c)): _*)
+    val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), rStruct.as("__p"))
+    val l2 = l.withColumn("__p", lit(null).cast(r.schema("__p").dataType))
+      .select("__k", "__ts", "__side", "__l", "__p")
+    val r2 = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
+      .select("__k", "__ts", "__side", "__l", "__p")
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.union(r2)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +:
+        payloadCols.toIndexedSeq.map(c => col(s"__last.$c").as(prefix + c)): _*)
+  }
+
   /** Skew-mitigating equi join. A hot join key funnels its whole group
     * through one task in a plain shuffle join; salting scatters the
     * probe (left, large) side across `salt` sub-keys — deterministically,

@@ -94,6 +94,41 @@ object ExtQueries {
         .orderBy("key")
     },
 
+    // ----- As-of join (point-in-time lookup) ---------------------------
+    // For every error event, the user's most recent purchase at or
+    // before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — the
+    // Spark side is the union + single-keyed-shuffle + running-last
+    // composition (Ops.asofJoin), so two independent implementations
+    // must agree row-for-row.
+    QDef.sql(
+      "x_asof_join",
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        |),
+        |r AS (
+        |  SELECT user_id, ts, event_id AS p_event, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id,
+        |       r.p_event AS asof_p_event,
+        |       round(r.p_value, 6) AS asof_p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event"), col("value").as("p_value"))
+      graft.operators.Ops.asofJoin(
+        l, r, key = "user_id", leftTs = "ts", rightTs = "ts",
+        payloadCols = Seq("p_event", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_event"), round(col("asof_p_value"), 6).as("asof_p_value"))
+        .orderBy("event_id")
+    },
+
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's

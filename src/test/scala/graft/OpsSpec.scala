@@ -77,6 +77,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) === 9.5) // prev-only column carried
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key; " +
+    "unmatched stays null") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val quotes = Seq( // (key, ts, price)
+      ("a", ts(1), 10.0), ("a", ts(5), 11.0), ("a", ts(9), 12.0),
+      ("b", ts(4), 99.0)
+    ).toDF("sym", "ts", "price")
+    val trades = Seq(
+      ("a", ts(0), 1L), // before any quote → null
+      ("a", ts(5), 2L), // exactly at a quote → that quote (>= semantics)
+      ("a", ts(7), 3L), // between quotes → the 5-minute one
+      ("b", ts(8), 4L), // b's only quote
+      ("c", ts(8), 5L)  // key with no quotes at all → null
+    ).toDF("sym", "ts", "trade_id")
+    val out = Ops.asofJoin(trades, quotes,
+      key = "sym", leftTs = "ts", rightTs = "ts", payloadCols = Seq("price"))
+      .select("trade_id", "asof_price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map(1L -> null, 2L -> 11.0, 3L -> 11.0, 4L -> 99.0, 5L -> null))
+  }
+
   test("cleanText/sanitizeTsv/trimWhitespace build ONE Project over a wide frame") {
     import spark.implicits._
     val wide = Seq(1).toDF("c0")
