@@ -342,6 +342,35 @@ object Ops {
         payloadCols.toIndexedSeq.map(c => col(s"__last.$c").as(prefix + c)): _*)
   }
 
+  /** Range (interval-containment) join: pairs every left row whose
+    * `leftTs` falls in a right row's `[startCol, endCol)` interval,
+    * optionally also matching on an equi `key`. A naive inequality
+    * join is a cartesian (or a broadcast-nested-loop) — quadratic and
+    * un-shuffleable; the scale shape is BINNING: each right interval
+    * explodes into the fixed-width time bins it covers, the left row
+    * computes its single bin, and the match becomes an equi join on
+    * (key, bin) with an exact residual filter. Each qualifying pair
+    * matches exactly once (the left row owns one bin), so no dedup
+    * pass. Cost ∝ rows × intervals-per-bin, never n·m. `binWidth` is
+    * seconds; size it near the typical interval length so intervals
+    * explode into O(1) bins. */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftTs: String, startCol: String, endCol: String,
+      binWidth: Long, key: Option[String] = None): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive seconds")
+    val lBin = (unix_timestamp(col(leftTs)) / binWidth).cast("long")
+    val rBins = sequence(
+      (unix_timestamp(col(startCol)) / binWidth).cast("long"),
+      (unix_timestamp(col(endCol)) / binWidth).cast("long"))
+    val l = left.withColumn("__bin", lBin)
+    val r = right.withColumn("__bin", explode(rBins))
+    val joinKeys = "__bin" +: key.toSeq
+    l.join(r, joinKeys)
+      .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
+      .drop("__bin")
+  }
+
   /** Skew-mitigating equi join. A hot join key funnels its whole group
     * through one task in a plain shuffle join; salting scatters the
     * probe (left, large) side across `salt` sub-keys — deterministically,

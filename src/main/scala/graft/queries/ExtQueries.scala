@@ -129,6 +129,36 @@ object ExtQueries {
         .orderBy("event_id")
     },
 
+    // ----- Range (interval-containment) join ---------------------------
+    // Every (error, purchase) pair of the same user where the error
+    // falls inside the purchase's 1-hour window. The oracle is the
+    // plain inequality join; the Spark side is the binned equi join
+    // (Ops.rangeJoin) — the shape that scales where an inequality join
+    // degenerates to a cartesian.
+    QDef.sql(
+      "x_range_join",
+      """SELECT l.event_id, l.user_id, r.event_id AS p_event
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') l
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+        |ORDER BY l.event_id, p_event""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"),
+          col("event_id").as("p_event"))
+      graft.operators.Ops.rangeJoin(
+        l, r, leftTs = "ts", startCol = "p_start", endCol = "p_end",
+        binWidth = 3600L, key = Some("user_id"))
+        .select(col("event_id"), col("user_id"), col("p_event"))
+        .orderBy("event_id", "p_event")
+    },
+
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's

@@ -99,6 +99,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> null, 2L -> 11.0, 3L -> 11.0, 4L -> 99.0, 5L -> null))
   }
 
+  test("rangeJoin: [start, end) containment incl. boundaries, multi-bin " +
+    "intervals match once, key scoping respected") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val points = Seq(
+      ("a", ts(0), 1L),  // == interval start → match (inclusive)
+      ("a", ts(10), 2L), // == interval end → NO match (exclusive)
+      ("a", ts(7), 3L),  // inside, several bins past the start
+      ("b", ts(7), 4L)   // same time, other key → only b's interval
+    ).toDF("k", "ts", "pid")
+    val intervals = Seq(
+      ("a", ts(0), ts(10), 100L), // spans many 60s bins
+      ("b", ts(5), ts(8), 200L)
+    ).toDF("k", "s", "e", "iid")
+    val out = Ops.rangeJoin(points, intervals,
+      leftTs = "ts", startCol = "s", endCol = "e",
+      binWidth = 60L, key = Some("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 100L), (3L, 100L), (4L, 200L)))
+  }
+
   test("cleanText/sanitizeTsv/trimWhitespace build ONE Project over a wide frame") {
     import spark.implicits._
     val wide = Seq(1).toDF("c0")
