@@ -94,6 +94,64 @@ object ExtQueries {
         .orderBy("key")
     },
 
+    // ----- Analytical aggregates over the star schema ------------------
+    // TPC-H-shaped queries proving the engine handles classic OLAP
+    // plans, not just ETL row-shaping. Double sums are order-dependent
+    // across engines, so money columns sum as DECIMAL(18,2) — exact and
+    // engine-portable (the pattern for any financial aggregate here).
+    QDef.sql(
+      "q1_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("sum_disc_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Three-table join + agg + top-k: Catalyst/AQE picks broadcast for
+    // the filtered customer side from stats; revenue is exact decimal.
+    QDef.sql(
+      "q3_topk",
+      """SELECT l_orderkey,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // ----- As-of join (point-in-time lookup) ---------------------------
     // For every error event, the user's most recent purchase at or
     // before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — the

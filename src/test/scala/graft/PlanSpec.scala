@@ -51,6 +51,22 @@ class PlanSpec extends AnyFunSuite {
       s"keep_only projection not pruned at the scan:\n$readSchema")
   }
 
+  test("q3-shape star join broadcasts the filtered dimension sides") {
+    val dir = "/root/testdata/sf0.001"
+    val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+    val q = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > cut), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    q.collect() // let AQE finalize the physical plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small filtered dimensions should broadcast:\n$plan")
+  }
+
   test("record_index output stays partition-parallel (no single-task funnel)") {
     // AQE legitimately coalesces this tiny exchange by byte size; turn it
     // off to expose the structural property round 1 violated (a global
