@@ -75,6 +75,39 @@ object ExtQueries {
         .orderBy("event_type", "session_start")
     },
 
+    // ----- Streams.sessionize (flatMapGroupsWithState) in batch mode ---
+    // The imperative session state machine must agree with the same
+    // gaps-and-islands oracle as the declarative session_window — two
+    // independent implementations, one answer.
+    QDef.sql(
+      "ext_sessionize",
+      """WITH o AS (
+        |  SELECT event_type, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+        |),
+        |s AS (
+        |  SELECT event_type, ts,
+        |         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT event_type AS key, min(ts) AS session_start,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY event_type, sid
+        |ORDER BY key, session_start""".stripMargin) { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val typed = t(s, dir, "events")
+        .select(col("event_type").as("key"), col("ts"), col("value"))
+        .as[graft.streaming.KeyedEvent]
+      Streams.sessionize(typed, "10 minutes", gapMs = 30L * 60 * 1000).toDF()
+        .orderBy("key", "session_start")
+    },
+
     // ----- Streams.runningTotals in batch mode over events -------------
     // The mapGroupsWithState operator run as a single batch group pass —
     // per-key totals equal a plain aggregate, which IS the oracle. The

@@ -2,12 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Typed rows for the custom-state operator (Dataset[T] + Encoders:
+/** Typed rows for the custom-state operators (Dataset[T] + Encoders:
   * type safety where the state logic is imperative). */
 final case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
 final case class KeyedTotals(key: String, n: Long, total: Double)
+/** Open-session accumulator carried in GroupState. */
+final case class SessionAcc(
+    start: java.sql.Timestamp, end: java.sql.Timestamp, n: Long)
+/** A closed session emitted by [[Streams.sessionize]]. */
+final case class ClosedSession(
+    key: String, session_start: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming extension (SURVEY §2.11: absent in the reference;
   * the natural Spark extension over the `events` table). Every builder
@@ -106,6 +112,67 @@ object Streams {
       state.update(out)
       ttl.foreach(state.setTimeoutDuration)
       out
+    }
+
+  /** Sessionization via flatMapGroupsWithState — the multi-row custom
+    * state machine the declarative `session_window` can't express
+    * variants of (here it reproduces session_window semantics exactly,
+    * making the batch run oracle-checkable against gaps-and-islands
+    * SQL). Streaming: sessions close either when a later event arrives
+    * past the gap, or by EVENT-TIME TIMEOUT once the watermark passes
+    * session end + gap — so idle keys emit and their state is
+    * reclaimed (bounded state). Batch: one group pass emits every
+    * session including the last. */
+  def sessionize(
+      ds: Dataset[KeyedEvent],
+      watermarkDelay: String,
+      gapMs: Long): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming
+    val src = if (streaming) ds.withWatermark("ts", watermarkDelay) else ds
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionUpdate(gapMs, streaming))
+  }
+
+  /** Microsecond epoch of a Timestamp (getTime is millis; nanos carry
+    * the sub-milli fraction). */
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Session state machine (exposed for unit tests). An event lands in
+    * the open session iff its gap from the session end is <= `gapMs`
+    * (same boundary convention as the gaps-and-islands oracle). */
+  private[graft] def sessionUpdate(gapMs: Long, streaming: Boolean)(
+      key: String,
+      events: Iterator[KeyedEvent],
+      state: GroupState[SessionAcc]): Iterator[ClosedSession] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(ClosedSession(key, s.start, s.n))
+    } else {
+      val sorted = events.toIndexedSeq.sortBy(e => micros(e.ts))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var acc = state.getOption.orNull
+      sorted.foreach { e =>
+        if (acc == null) acc = SessionAcc(e.ts, e.ts, 1L)
+        else if (micros(e.ts) <= micros(acc.end) + gapMs * 1000L)
+          acc = SessionAcc(acc.start,
+            if (micros(e.ts) > micros(acc.end)) e.ts else acc.end, acc.n + 1)
+        else {
+          out += ClosedSession(key, acc.start, acc.n)
+          acc = SessionAcc(e.ts, e.ts, 1L)
+        }
+      }
+      if (acc != null) {
+        if (streaming) {
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.end.getTime + gapMs)
+        } else out += ClosedSession(key, acc.start, acc.n)
+      }
+      out.iterator
     }
 
   /** Streaming exact dedup with BOUNDED state: duplicates arriving

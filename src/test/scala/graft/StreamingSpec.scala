@@ -166,6 +166,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize (flatMapGroupsWithState): gap closes a session on arrival, " +
+    "event-time timeout closes the idle one") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val typed = input.toDF().toDF("key", "ts", "value")
+      .as[graft.streaming.KeyedEvent]
+    val q = Streams.sessionize(typed, "5 minutes", gapMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", ts(0), 1.0), ("a", ts(5), 1.0))
+      q.processAllAvailable()
+      // 30 > 5 + 10min gap → the [0,5] session closes on arrival
+      input.addData(("a", ts(30), 1.0))
+      q.processAllAvailable()
+      // another key's event at :59 drives the watermark to :54, past
+      // 30 + gap = :40 → the idle [30] session closes by TIMEOUT
+      input.addData(("b", ts(59), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows === Set(("a", ts(0), 2L), ("a", ts(30), 1L)))
+    } finally q.stop()
+  }
+
   // ----- recovery: file sink + checkpoint, kill and restart ------------
   // At scale, restart semantics ARE the feature: the checkpoint must
   // restore both source offsets (no duplicated/retried output in the
