@@ -39,6 +39,8 @@ object Main {
     while (i < argv.length) {
       argv(i) match {
         case "--only" => a = a.copy(only = argv(i + 1).split(',').toSet); i += 2
+        // single-pipeline muscle memory (toml_etl parity): same as --only
+        case "--single" => a = a.copy(only = Set(argv(i + 1))); i += 2
         case "--skip" => a = a.copy(skip = argv(i + 1).split(',').toSet); i += 2
         case "--dry-run" => a = a.copy(dryRun = true); i += 1
         case "--execution-id" => a = a.copy(executionId = Some(argv(i + 1))); i += 2

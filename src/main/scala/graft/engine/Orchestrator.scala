@@ -74,8 +74,8 @@ object Orchestrator {
       extends RuntimeException(msg)
 
   /** Formats the sinks accept (reference whitelist csv|tsv|json,
-    * toml_config.rs:168-173, plus the Spark-native parquet). */
-  private val FormatWhitelist = Set("csv", "tsv", "json", "parquet")
+    * toml_config.rs:168-173, plus the Spark-native parquet and orc). */
+  private val FormatWhitelist = Set("csv", "tsv", "json", "parquet", "orc")
 
   /** C4 — execution-order names exist, dependencies exist, DFS cycle
     * detection. Like the reference, dependencies are validated but
@@ -116,11 +116,12 @@ object Orchestrator {
           throw ValidationException(
             s"pipeline '${p.name}': unsupported formats ${bad.mkString(",")} " +
               s"(allowed: ${FormatWhitelist.toSeq.sorted.mkString(",")})")
-        // parquet is a distributed-only format: the single-file/zip
+        // parquet/orc are distributed-only formats: the single-file/zip
         // renderers are text-based and would fail mid-run otherwise
-        if ((l.singleFile || l.zip) && l.formats.contains("parquet"))
+        val columnar = l.formats.toSet.intersect(Set("parquet", "orc"))
+        if ((l.singleFile || l.zip) && columnar.nonEmpty)
           throw ValidationException(
-            s"pipeline '${p.name}': parquet cannot be rendered single-file/zip")
+            s"pipeline '${p.name}': ${columnar.mkString(",")} cannot be rendered single-file/zip")
         if (l.outputPath.isEmpty)
           throw ValidationException(s"pipeline '${p.name}': empty output_path")
         if (l.singleFileMaxRows <= 0)

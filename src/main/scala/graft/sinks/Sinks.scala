@@ -72,6 +72,7 @@ object Sinks {
           .csv(path)
       case "json" => base(df).json(path)
       case "parquet" => base(df).parquet(path)
+      case "orc" => base(df).orc(path)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
   }

@@ -141,6 +141,27 @@ class MainSpec extends AnyFunSuite {
     assert(metrics.contains(""""status":"failed""""))
   }
 
+  test("--single selects one pipeline; orc writes distributed") {
+    val a = Main.parseArgs(Array("cfg.toml", "--single", "p1"))
+    assert(a.only === Set("p1"))
+    val (dir, src) = writeFixture()
+    import graft.config._
+    val seq = SequenceDef("s", Seq("p"), Seq(
+      PipelineDef("p", FileSource(src),
+        transform = TransformDef(addProcessedFlags = false),
+        load = Some(LoadDef(s"$dir/orc_out", formats = Seq("orc"),
+          filenamePattern = "o")))))
+    assert(Main.run(spark, seq, Main.Args("cfg",
+      metricsOut = Some(s"$dir/om.json"))) === 0)
+    assert(spark.read.orc(s"$dir/orc_out/o_orc").count() === 3)
+    // columnar formats refuse the single-file/zip renderers
+    intercept[Orchestrator.ValidationException] {
+      Orchestrator.validate(SequenceDef("s", Seq("z"), Seq(
+        PipelineDef("z", FileSource(src),
+          load = Some(LoadDef("/out", formats = Seq("orc"), zip = true))))))
+    }
+  }
+
   test("--only/--skip select pipelines like the CLI flags") {
     val (_, src) = writeFixture()
     import graft.config._
