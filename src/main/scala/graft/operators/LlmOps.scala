@@ -295,8 +295,16 @@ object LlmOps {
   def kmeansCentroids(
       vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dims: Int = 64): DataFrame = {
-    val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
+    val v0 = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+    // each training round scans the vectors (+ the 64-element norm
+    // folds); cache them for the duration of training — every round
+    // after the first reads blocks instead of re-scanning the source.
+    // Safe to release at the end: the returned centroids are eagerly
+    // checkpointed inside the loop.
+    val v = if (iters > 0)
+      v0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else v0
     var cents = v.filter(col("vid") < k)
       .select(col("vid").as("cid"), col("e").as("ce"))
     for (_ <- 1 to iters) {
@@ -324,6 +332,7 @@ object LlmOps {
         .select(col("cid"), coalesce(col("ce_new"), col("ce_prev")).as("ce"))
         .localCheckpoint(true)
     }
+    if (iters > 0) v.unpersist(false)
     cents
   }
 
