@@ -270,6 +270,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Seq(1L, 2L, 3L), "exactly-once per id across the restart")
   }
 
+  test("recovery: sessionize's open-session state survives a checkpointed " +
+    "restart and merges pre- and post-restart events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sz_out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_sz_cp").toString
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val sessions = Streams.sessionize(
+      input.toDF().toDF("key", "ts", "value").as[graft.streaming.KeyedEvent],
+      "5 minutes", gapMs = 10L * 60 * 1000)
+    def start() = sessions.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(("a", ts(0), 1.0), ("a", ts(5), 1.0)) // session stays OPEN
+    q1.processAllAvailable()
+    q1.stop() // kill with the [0,5] session live in state
+
+    val q2 = start()
+    input.addData(("a", ts(9), 1.0))  // within gap: must merge into restored state
+    input.addData(("b", ts(45), 1.0)) // watermark → :40 > 9+10 → close by timeout
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // 2 events before the kill + 1 after = ONE 3-event session; a lost
+    // state would emit a fresh [9] session instead
+    assert(rows === Set(("a", ts(0), 3L)))
+  }
+
   test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
     import spark.implicits._
     val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))
