@@ -27,6 +27,36 @@ class SinksSpec extends AnyFunSuite {
     (4, "has\nnewline\tand tab", 40.0)
   ).toDF("id", "name", "value")
 
+  // ----- X4 fuzz: escaping survives arbitrary nasty content ----------
+  test("X4 fuzz: 200 generated strings with quotes/newlines/tabs/unicode " +
+    "roundtrip through the CSV renderer byte-exactly") {
+    val rnd = new scala.util.Random(42) // deterministic corpus
+    // chars only — a surrogate PAIR goes in whole below (picking half a
+    // pair would build an invalid string, which no renderer can save)
+    val alphabet =
+      "abcXYZ012 ,\"'\n\t;|\\é世界".toCharArray
+    def nasty(): String = {
+      val base = Iterator.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      if (rnd.nextBoolean()) base + "😀" else base // full emoji pair
+    }
+    val rows = Seq.tabulate(200)(i => (i.toLong, nasty()))
+    val src = rows.toDF("id", "payload")
+    val out = tmpDir()
+    Sinks.writeBytes(spark, s"$out/fuzz.csv", Sinks.renderSingle(src, "csv"))
+    val back = spark.read
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .schema("id LONG, payload STRING")
+      .csv(s"$out/fuzz.csv")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val bad = rows.filter { case (id, s) => back(id) != s }
+    bad.take(5).foreach { case (id, s) =>
+      def hex(x: String) = x.getBytes(StandardCharsets.UTF_8).map("%02x".format(_)).mkString(" ")
+      info(s"row $id want=[${hex(s)}] got=[${hex(back(id))}]")
+    }
+    assert(bad.isEmpty, s"${bad.size} rows corrupted by CSV roundtrip")
+  }
+
   // ----- X4: RFC-4180 CSV escaping golden -----------------------------
   test("X4: single-file CSV quotes separators/quotes/newlines and doubles inner quotes") {
     val bytes = Sinks.renderSingle(df.orderBy("id"), "csv")

@@ -137,6 +137,24 @@ class TomlSpec extends AnyFunSuite {
     assert(b.conditions.whenRecordsCount.get.min === Some(1L))
   }
 
+  test("adapter: [load.filenames] gives per-format names (W9)") {
+    val seq = TomlConfig.loadSequence(
+      """[[pipelines]]
+        |name = "p"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/x"
+        |[pipelines.load]
+        |output_path = "/out"
+        |output_formats = ["csv", "json"]
+        |[pipelines.load.filenames]
+        |csv = "items.csv"
+        |json = "items.json"
+        |""".stripMargin, env = Map.empty)
+    assert(seq.pipelines.head.load.get.filenames ===
+      Map("csv" -> "items.csv", "json" -> "items.json"))
+  }
+
   test("adapter: [monitoring] and [pipelines.transform.validation] map through") {
     val seq = TomlConfig.loadSequence(
       """[monitoring]
