@@ -420,29 +420,30 @@ object LlmOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // hop 1: min label among graph neighbors
-      val neighborMin = edges
-        .join(labels.select(col("id").as("src"), col("label").as("nl")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("nl").as("nmin"))
-      // hop 2 (pointer jumping): my label's own label — halves the
-      // remaining distance to the component min every round, so
-      // convergence is O(log diameter) rounds instead of O(diameter)
-      val labelOfLabel = labels.alias("l1")
+      // One MESSAGE PASS per round instead of join + agg + two left
+      // joins: every node receives (a) its own label, (b) each
+      // neighbor's label (hop 1), (c) its label's label (hop 2,
+      // pointer jumping — halves the remaining distance to the
+      // component min per round, O(log diameter) convergence). A
+      // single groupBy(id) then takes min for the new label AND
+      // extracts the self-message as the old label for the
+      // convergence check — 2 joins + 1 aggregation total.
+      val selfMsgs = labels
+        .select(col("id"), col("label").as("msg"), lit(true).as("self"))
+      val neighborMsgs = edges
+        .join(labels.select(col("id").as("src"), col("label").as("msg")), "src")
+        .select(col("dst").as("id"), col("msg"), lit(false).as("self"))
+      val jumpMsgs = labels.alias("l1")
         .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.label").as("ll"))
+        .select(col("l1.id").as("id"), col("l2.label").as("msg"),
+          lit(false).as("self"))
       // LAZY localCheckpoint + immediate count: the count action is what
       // materializes the checkpoint blocks, so convergence check and
-      // checkpoint share ONE job per round (eager + separate count was
-      // two full passes — half the round overhead for free)
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .join(labelOfLabel, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"),
-            coalesce(col("nmin"), col("label")),
-            coalesce(col("ll"), col("label"))).as("newLabel"),
-          col("label").as("oldLabel"))
+      // checkpoint share ONE job per round
+      val next = selfMsgs.union(neighborMsgs).union(jumpMsgs)
+        .groupBy("id")
+        .agg(min("msg").as("newLabel"),
+          min(when(col("self"), col("msg"))).as("oldLabel"))
         .localCheckpoint(false)
       val changed = next.filter(col("newLabel") < col("oldLabel")).count()
       labels = next.select(col("id"), col("newLabel").as("label"))
