@@ -182,6 +182,26 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
+  /** Benchmark-contamination detection: for every corpus document, the
+    * number of distinct word n-grams it shares with a benchmark/eval
+    * document set (the standard train/test-leakage check before
+    * training). Both sides reduce to distinct (id, shingle-hash) rows;
+    * the benchmark side collapses to distinct hashes and is
+    * broadcast — eval suites are tiny next to a 100 TB corpus, so the
+    * probe side streams through a broadcast hash join with no shuffle.
+    * Docs with zero overlap produce no row (the common case; emitting
+    * them would be a full outer pass for a constant). */
+  def contamination(
+      df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int = 3): DataFrame = {
+    val probeH = shingleHashes(df.filter(!benchPred), idCol, textCol, n)
+    val benchH = shingleHashes(df.filter(benchPred), idCol, textCol, n)
+      .select("h").distinct()
+    probeH.join(broadcast(benchH), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   // ---------------------------------------------------------------------
   // Embedding similarity search
   // ---------------------------------------------------------------------

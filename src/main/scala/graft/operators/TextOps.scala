@@ -120,6 +120,53 @@ object TextOps {
       .orderBy(col("freq").desc, col("h"))
       .limit(k)
 
+  /** PII regexes shared by the engine and the DuckDB oracle rendering:
+    * plain ERE features only (classes, +, bounded reps, \b, \d) so the
+    * same pattern string is valid for Java's regex and RE2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing: redact emails then phone numbers with typed
+    * placeholders. Pure regexp_replace chain — per-row, shuffle-free,
+    * fused with the scan at any scale (the standard pre-training
+    * curation pass; extend the chain per PII class). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Gopher-style repetition signals per document: the fraction of
+    * duplicate word n-grams (1 - distinct/total) and the highest single
+    * token's share of all tokens. High values flag boilerplate/spam for
+    * a curation filter. Two keyed aggregations over the exploded
+    * token/shingle streams — shuffles on (doc) and (doc, token); the
+    * mixed count/count-distinct agg plans a 2-group Expand (doubled
+    * agg input, no sort fallback — cheap, unlike the sketch mix that
+    * broke ext_approx_agg's round-2 plan). Empty docs keep an explicit
+    * all-zero row. */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val sh = LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+    val ng = sh.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_ngrams"),
+      countDistinct(col("h")).as("d_ngrams"))
+    val tf = LlmOps.tokenHashes(df, idCol, textCol)
+      .groupBy(col(idCol), col("h")).agg(count(lit(1)).as("c"))
+    val tw = tf.groupBy(col(idCol))
+      .agg(sum("c").as("n_words"), max("c").as("max_wc"))
+    df.select(col(idCol))
+      .join(ng, Seq(idCol), "left")
+      .join(tw, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        round(when(col("n_ngrams").isNull || col("n_ngrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("d_ngrams").cast("double") / col("n_ngrams")), 6)
+          .as("dup_ngram_ratio"),
+        round(when(col("n_words").isNull || col("n_words") === 0, lit(0.0))
+          .otherwise(col("max_wc").cast("double") / col("n_words")), 6)
+          .as("top_word_ratio"))
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

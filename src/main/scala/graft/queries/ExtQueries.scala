@@ -185,6 +185,100 @@ object ExtQueries {
         .limit(10)
     },
 
+    // ----- Window functions: top-N per group ---------------------------
+    // rank() over (partition by customer) — the canonical analytic
+    // window. One shuffle on the partition key, sort within partitions;
+    // deterministic via the (price DESC, orderkey) tiebreak.
+    QDef.sql(
+      "ext_window_rank",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(rank() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    // ----- Grouping sets: ROLLUP subtotals -----------------------------
+    // rollup(flag, status) = (flag,status) + (flag) + () in ONE pass —
+    // Spark plans an Expand over the grouping sets, not three scans.
+    // NULLS FIRST pinned on both sides (Spark asc = nulls first,
+    // DuckDB default = nulls last).
+    QDef.sql(
+      "ext_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ----- Five-way star join (TPC-H Q5 shape) -------------------------
+    // Revenue by nation for one region, local-supplier semantics
+    // (customer and supplier share the nation). The dims (nation,
+    // region, filtered supplier link) broadcast under AQE; the one real
+    // shuffle is lineitem⋈orders on orderkey. Exact decimal money.
+    QDef.sql(
+      "q5_revenue",
+      """SELECT n_name,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ----- Stream-static enrichment join, batch twin -------------------
+    // Streams.enrich run on the batch frame — the identical plan the
+    // streaming path executes per micro-batch (StreamingSpec drives the
+    // MemoryStream version of the same call).
+    QDef.sql(
+      "ext_stream_static",
+      """SELECT event_id, user_id, event_type, c_name
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Streams.enrich(
+        t(s, dir, "events"),
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        streamKey = "user_id", dimKey = "c_custkey")
+        .select("event_id", "user_id", "event_type", "c_name")
+        .orderBy("event_id")
+    },
+
     // ----- As-of join (point-in-time lookup) ---------------------------
     // For every error event, the user's most recent purchase at or
     // before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — the

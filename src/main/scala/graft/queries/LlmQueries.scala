@@ -338,5 +338,36 @@ object LlmQueries {
       LlmOps.dedupGroups(docs, "doc_id",
         LlmOps.minHashCandidatePairs(docs, "doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // ----- Benchmark-contamination detection ---------------------------
+    // Docs whose doc_id % 20 == 0 stand in for the benchmark/eval set;
+    // every other doc reports how many distinct 3-gram shingles it
+    // shares with ANY benchmark doc (the train/test-leakage check). The
+    // benchmark hash set is broadcast in the Spark plan — no shuffle on
+    // the corpus side beyond the per-doc count.
+    QDef.sql(
+      "llm_contamination",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+         |),
+         |shingles AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         |  FROM words
+         |),
+         |hashed AS (
+         |  SELECT DISTINCT doc_id, ${duckHash("s")} AS h FROM shingles
+         |),
+         |bench AS (
+         |  SELECT DISTINCT h FROM hashed WHERE doc_id % 20 = 0
+         |)
+         |SELECT hashed.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM hashed JOIN bench USING (h)
+         |WHERE hashed.doc_id % 20 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      LlmOps.contamination(t(s, dir, "documents"), "doc_id", "text",
+        benchPred = col("doc_id") % 20 === 0, n = 3)
+        .orderBy("doc_id")
     })
 }

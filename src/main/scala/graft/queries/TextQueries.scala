@@ -158,6 +158,83 @@ object TextQueries {
       TextOps.topNgrams(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 20)
     },
 
+    // ----- PII scrubbing ----------------------------------------------
+    // Deterministic synthetic PII (an email + phone built from doc_id)
+    // is appended to every doc so the redaction is actually exercised
+    // on every row; both engines augment, count, and scrub the same
+    // string with the same pattern (TextOps.EmailRe/PhoneRe are written
+    // in the regex subset valid for both Java regex and RE2).
+    QDef.sql(
+      "llm_pii_scrub",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |         || '@ex.org or 555-'
+         |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |         || '-1234' AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(aug, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text_scrubbed,
+         |  CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex.org or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextOps.scrubPii(col("aug")).as("text_scrubbed"),
+          regexp_count(col("aug"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("aug"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Repetition signals (Gopher-style boilerplate detection) -----
+    QDef.sql(
+      "llm_repetition",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+         |),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS s
+         |  FROM w
+         |),
+         |shh AS (
+         |  SELECT doc_id, ${duckHash("s")} AS h FROM sh
+         |),
+         |ng AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |         count(DISTINCT h) AS d_ngrams
+         |  FROM shh GROUP BY 1
+         |),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS wd FROM w
+         |),
+         |tf AS (
+         |  SELECT doc_id, ${duckHash("wd")} AS h, count(*) AS c
+         |  FROM tok GROUP BY 1, 2
+         |),
+         |tw AS (
+         |  SELECT doc_id, sum(c) AS n_words, max(c) AS max_wc FROM tf GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(ng.n_ngrams, 0) AS n_ngrams,
+         |  round(CASE WHEN ng.n_ngrams IS NULL OR ng.n_ngrams = 0 THEN 0.0
+         |        ELSE 1.0 - CAST(ng.d_ngrams AS DOUBLE) / ng.n_ngrams END, 6)
+         |    AS dup_ngram_ratio,
+         |  round(CASE WHEN tw.n_words IS NULL OR tw.n_words = 0 THEN 0.0
+         |        ELSE CAST(tw.max_wc AS DOUBLE) / tw.n_words END, 6)
+         |    AS top_word_ratio
+         |FROM documents d
+         |LEFT JOIN ng USING (doc_id) LEFT JOIN tw USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    },
+
     // ----- Multimodal payload metadata (BinaryType plumbing) -----------
     // Spark side routes text through a real BinaryType payload column;
     // the oracle hashes the same UTF-8 bytes (DuckDB md5(VARCHAR) hashes

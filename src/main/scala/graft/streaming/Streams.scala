@@ -175,6 +175,21 @@ object Streams {
       out.iterator
     }
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * joined against a STATIC dimension frame (broadcast — the dim is
+    * re-read per batch by Spark, so at scale pin it small or cache it).
+    * The classic "enrich the event stream with reference data" shape:
+    * no stream state at all, because the static side is not watermarked
+    * — this is the cheap join; stream-stream is the expensive one.
+    * Works identically on a batch frame (the oracle twin). */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
+      .drop(dimKey)
+
   /** Streaming exact dedup with BOUNDED state: duplicates arriving
     * within the watermark horizon are dropped; state for older keys is
     * reclaimed. (The streaming twin of the batch D1/D2 operators.) */
