@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
+  /** Release the block-manager blocks behind a localCheckpoint'd frame.
+    * Iterative operators (dedupGroups, kmeansCentroids) checkpoint every
+    * round to truncate lineage; without an explicit unpersist each
+    * superseded round's blocks stay pinned until session end — at scale
+    * that is ~log(diameter) copies of the label frame held for nothing.
+    * Called only on frames whose blocks are fully superseded; the ONE
+    * checkpoint backing the returned (still-lazy) result must stay. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Polynomial-hash modulus (fits 31*p + 127 and seedA*p well below 2^63). */
   val HashP: Long = 1000000007L
   /** Mersenne 2^31-1 — modulus for permuted MinHash values and band hashes. */
@@ -327,6 +341,9 @@ object LlmOps {
     else v0
     var cents = v.filter(col("vid") < k)
       .select(col("vid").as("cid"), col("e").as("ce"))
+    // round 1's cents is a plan over v, not a checkpoint — only rounds
+    // after that have a superseded checkpoint to release
+    var prevCp: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val cc = cents.withColumn(
         "cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
@@ -351,8 +368,13 @@ object LlmOps {
         .join(means.select(col("cid"), col("ce").as("ce_new")), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("ce_new"), col("ce_prev")).as("ce"))
         .localCheckpoint(true)
+      // the eager checkpoint above materialized this round, so the
+      // previous round's blocks are fully superseded — release them
+      prevCp.foreach(releaseCheckpoint)
+      prevCp = Some(cents)
     }
     if (iters > 0) v.unpersist(false)
+    // the final round's checkpoint stays: the returned frame reads it
     cents
   }
 
@@ -436,7 +458,6 @@ object LlmOps {
       .groupBy(col("src").as("id")).agg(min("dst").as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .localCheckpoint(true)
-    val connected = labels.select(col("id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -466,6 +487,10 @@ object LlmOps {
           min(when(col("self"), col("msg"))).as("oldLabel"))
         .localCheckpoint(false)
       val changed = next.filter(col("newLabel") < col("oldLabel")).count()
+      // the count materialized `next`'s checkpoint, so the previous
+      // round's label blocks are superseded — release them now instead
+      // of pinning ~log(diameter) label-frame copies until session end
+      releaseCheckpoint(labels)
       labels = next.select(col("id"), col("newLabel").as("label"))
       converged = changed == 0
       iter += 1
@@ -473,9 +498,15 @@ object LlmOps {
     if (!converged)
       throw new IllegalStateException(
         s"dedupGroups did not converge within $maxIters rounds")
+    // message passing preserves the id set round-over-round (selfMsgs
+    // covers every labeled id; neighbor/jump targets are already
+    // labeled), so the final labels' ids ARE the edge-connected set —
+    // no reference back to the released init frame needed.
+    releaseCheckpoint(edges)
     val isolated = ids.select(col(idCol).as("id"))
-      .join(connected, Seq("id"), "left_anti")
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
+    // the final round's checkpoint stays: the returned frame reads it
     labels.union(isolated)
       .select(col("id").as(idCol), col("label").as("canonical_id"))
   }

@@ -136,22 +136,33 @@ object ExtQueries {
       "q1_pricing",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,4)) AS sum_disc_price
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // The final cast pins the OUTPUT decimal type: Spark widens
+      // sum(decimal(18,2)) to decimal(28,2) while DuckDB widens to
+      // decimal(38,2) — same values, different metadata, and the
+      // driver's hash folds the type in. Both sides cast to the same
+      // decimal(18,_) so the compare is value-level.
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)")
-            * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("sum_disc_price"))
+            * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("decimal(18,4)").as("sum_disc_price"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -160,8 +171,9 @@ object ExtQueries {
     QDef.sql(
       "q3_topk",
       """SELECT l_orderkey,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,4)) AS revenue,
         |       o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -179,7 +191,8 @@ object ExtQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
+          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("decimal(18,4)").as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -218,14 +231,16 @@ object ExtQueries {
       "ext_rollup",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -237,8 +252,9 @@ object ExtQueries {
     QDef.sql(
       "q5_revenue",
       """SELECT n_name,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS revenue
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,4)) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -258,7 +274,8 @@ object ExtQueries {
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).as("revenue"))
+          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("decimal(18,4)").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 

@@ -114,6 +114,36 @@ class LlmOpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("iterative operators release superseded checkpoint blocks") {
+    val sc = spark.sparkContext
+    // run body, return (result, #persistent RDDs it left behind)
+    def pinnedBy[A](body: => A): (A, Int) = {
+      val before = sc.getPersistentRDDs.keySet
+      val r = body
+      (r, (sc.getPersistentRDDs.keySet -- before).size)
+    }
+    // a 100-node chain forces ~log2(100) pointer-jumping rounds — each
+    // one checkpoints, so an unpersist regression shows up as ~7 pinned
+    // RDDs instead of the single final-round checkpoint
+    val ids = (1L to 120L).toDF("doc_id")
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, pinnedCc) = pinnedBy {
+      LlmOps.dedupGroups(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert((1L to 100L).forall(labels(_) == 1L), "chain collapses to min id")
+    assert((101L to 120L).forall(i => labels(i) == i))
+    assert(pinnedCc <= 1,
+      s"dedupGroups left $pinnedCc checkpoint RDDs pinned (max 1: the final round)")
+
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (_, pinnedKm) = pinnedBy {
+      LlmOps.kmeansCentroids(vecs, "vec_id", "embedding", 8, 3).collect()
+    }
+    assert(pinnedKm <= 1,
+      s"kmeansCentroids left $pinnedKm RDDs pinned (max 1: the final round)")
+  }
+
   test("record index: partition-offset indexing matches the global order") {
     val df = spark.range(1000).toDF("v").repartition(7)
     val out = Ops.withRecordIndex("idx", Seq(col("v").desc))(df)

@@ -67,6 +67,31 @@ class PlanSpec extends AnyFunSuite {
       s"small filtered dimensions should broadcast:\n$plan")
   }
 
+  test("q5_revenue broadcasts the dim sides; lineitem joins orders on one shuffle axis") {
+    // At sf0.001 EVERYTHING fits the default broadcast threshold and the
+    // scale question disappears; cap it so only the genuinely small sides
+    // (supplier/nation/region/customer) broadcast — the plan the query
+    // must degrade to at 100 TB, where lineitem⋈orders is the one real
+    // shuffle.
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+    try {
+      val q = SparkEntry.queries("q5_revenue")(spark, "/root/testdata/sf0.001")
+      q.collect() // let AQE finalize the physical plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"degenerate join in q5 plan:\n$plan")
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(nBroadcast >= 3,
+        s"supplier/nation/region sides should broadcast ($nBroadcast found):\n$plan")
+      val nShuffleJoin = ("SortMergeJoin".r.findAllIn(plan).length
+        + "ShuffledHashJoin".r.findAllIn(plan).length)
+      assert(nShuffleJoin <= 1,
+        s"only lineitem⋈orders may shuffle-join ($nShuffleJoin found):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+  }
+
   test("record_index output stays partition-parallel (no single-task funnel)") {
     // AQE legitimately coalesces this tiny exchange by byte size; turn it
     // off to expose the structural property round 1 violated (a global
