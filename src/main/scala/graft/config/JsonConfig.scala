@@ -41,6 +41,10 @@ object JsonConfig {
       sharedVariables = sharedVars,
       onPipelineFailure = str(root.path("error_handling").path("on_pipeline_failure"))
         .getOrElse("stop"),
+      onTransformError = str(root.path("error_handling").path("on_transform_error"))
+        .getOrElse("stop"),
+      onLoadError = str(root.path("error_handling").path("on_load_error"))
+        .getOrElse("stop"),
       retryAttempts = int(root.path("error_handling").path("retry_attempts")).getOrElse(0),
       retryDelayMs = long(root.path("error_handling").path("retry_delay_ms")).getOrElse(0L),
       monitoringEnabled = bool(root.path("monitoring").path("enabled")).getOrElse(false),

@@ -206,6 +206,18 @@ final case class SequenceDef(
     sharedVariables: Map[String, String] = Map.empty,
     /** C3 — "stop" (reference behavior) | "continue". */
     onPipelineFailure: String = "stop",
+    /** Honest implementation of the reference's declared-but-dead
+      * `error_handling.on_transform_error` (toml_config.rs:108):
+      * "stop" (default) = a transform-phase failure aborts per
+      * `onPipelineFailure`; "skip"/"continue" = the pipeline is recorded
+      * failed and the sequence continues regardless of that policy. */
+    onTransformError: String = "stop",
+    /** `error_handling.on_load_error` (toml_config.rs:109): "stop"
+      * (default) = a sink failure aborts per `onPipelineFailure`;
+      * "skip"/"continue" = the failure is recorded but the TRANSFORMED
+      * frame stays available to later pipelines (by-name previous
+      * source) and the sequence continues. */
+    onLoadError: String = "stop",
     retryAttempts: Int = 0,
     retryDelayMs: Long = 0L,
     /** [monitoring] (reference sequence_config.rs:167-173): enables the

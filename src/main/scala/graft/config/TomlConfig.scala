@@ -66,6 +66,8 @@ object TomlConfig {
       executionOrder = Seq(name),
       pipelines = Seq(pipeline),
       sharedVariables = sharedVars,
+      onTransformError = str(eh.get("on_transform_error")).getOrElse("stop"),
+      onLoadError = str(eh.get("on_load_error")).getOrElse("stop"),
       retryAttempts = long(srcT.get("retry_attempts")).getOrElse(0L).toInt,
       retryDelayMs = long(srcT.get("retry_delay_seconds")).map(_ * 1000L).getOrElse(0L),
       monitoringEnabled = bool(tbl(root.get("monitoring")).get("enabled")).getOrElse(false),
@@ -87,6 +89,8 @@ object TomlConfig {
       pipelines = pipelines,
       sharedVariables = sharedVars,
       onPipelineFailure = str(eh.get("on_pipeline_failure")).getOrElse("stop"),
+      onTransformError = str(eh.get("on_transform_error")).getOrElse("stop"),
+      onLoadError = str(eh.get("on_load_error")).getOrElse("stop"),
       retryAttempts = long(eh.get("retry_attempts")).getOrElse(0L).toInt,
       retryDelayMs = long(eh.get("retry_delay_ms"))
         .orElse(long(eh.get("retry_delay_seconds")).map(_ * 1000L))

@@ -32,7 +32,11 @@ final case class PipelineOutcome(
       * reference's eager per-phase row work. */
     extractMs: Long = 0L,
     transformMs: Long = 0L,
-    loadMs: Long = 0L) {
+    loadMs: Long = 0L,
+    /** Which phase a failed pipeline died in ("transform" | "load"),
+      * when known — drives the on_transform_error / on_load_error
+      * tolerance decision in the sequence executor. */
+    failedPhase: Option[String] = None) {
   lazy val recordCount: Long = countFn()
 }
 
@@ -73,6 +77,20 @@ object Orchestrator {
   final case class SequenceFailed(msg: String, ctx: RunContext)
       extends RuntimeException(msg)
 
+  /** A pipeline failure tagged with the phase it happened in, so the
+    * executor can apply on_transform_error / on_load_error. A load-phase
+    * failure carries the transformed frame: the rows are fine, only the
+    * sink failed, and "continue" keeps them reachable downstream. */
+  private final case class PhaseFailed(
+      phase: String, cause: Throwable, frame: Option[DataFrame])
+      extends RuntimeException(
+        s"$phase: ${Option(cause.getMessage).getOrElse(cause.getClass.getName)}",
+        cause)
+
+  /** Error policies accepted by on_transform_error / on_load_error. */
+  private val TolerantPolicies = Set("skip", "continue")
+  private val ErrorPolicies = TolerantPolicies + "stop"
+
   /** Formats the sinks accept (reference whitelist csv|tsv|json,
     * toml_config.rs:168-173, plus the Spark-native parquet and orc). */
   private val FormatWhitelist = Set("csv", "tsv", "json", "parquet", "orc")
@@ -90,6 +108,12 @@ object Orchestrator {
     }
     if (seq.retryAttempts < 0 || seq.retryAttempts > 10)
       throw ValidationException(s"retry_attempts out of bounds [0,10]: ${seq.retryAttempts}")
+    if (!ErrorPolicies(seq.onTransformError))
+      throw ValidationException(
+        s"on_transform_error must be stop|skip|continue: '${seq.onTransformError}'")
+    if (!ErrorPolicies(seq.onLoadError))
+      throw ValidationException(
+        s"on_load_error must be stop|skip|continue: '${seq.onLoadError}'")
     seq.pipelines.foreach { p =>
       p.dependencies.foreach { d =>
         if (!byName.contains(d))
@@ -218,14 +242,31 @@ object Orchestrator {
               if (seq.retryDelayMs > 0) Thread.sleep(seq.retryDelayMs)
               attempt(remaining - 1)
             case scala.util.control.NonFatal(e) =>
-              PipelineOutcome(name, None, None, 0L, "failed",
-                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+              // tolerated load failure: only the sink died — keep the
+              // transformed frame reachable for by-name previous sources
+              val (phase, frame) = e match {
+                case PhaseFailed(ph, _, fr) =>
+                  (Some(ph),
+                    fr.filter(_ => ph == "load" && TolerantPolicies(seq.onLoadError)))
+                case _ => (None, None)
+              }
+              PipelineOutcome(name, frame, None, 0L, "failed",
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+                failedPhase = phase)
           }
         val outcome0 = attempt(seq.retryAttempts)
         val outcome = outcome0.copy(
           durationMs = (System.nanoTime() - t0) / 1000000L)
         ctx.results(name) = outcome
-        if (outcome.status == "failed" && seq.onPipelineFailure == "stop")
+        // a failed phase whose policy is skip/continue never aborts the
+        // sequence, whatever on_pipeline_failure says — that is the whole
+        // point of the per-phase override
+        val tolerated =
+          (outcome.failedPhase.contains("transform")
+            && TolerantPolicies(seq.onTransformError)) ||
+          (outcome.failedPhase.contains("load")
+            && TolerantPolicies(seq.onLoadError))
+        if (outcome.status == "failed" && seq.onPipelineFailure == "stop" && !tolerated)
           throw SequenceFailed(
             s"pipeline '$name' failed: ${outcome.error.getOrElse("")} (sequence aborted)",
             ctx)
@@ -251,7 +292,10 @@ object Orchestrator {
       (a, (System.nanoTime() - t0) / 1000000L)
     }
     val (extracted, eMs) = timed(extract(spark, p, ctx))
-    val ((main0, intermediate), tMs) = timed(transform(spark, p, ctx, extracted))
+    val ((main0, intermediate), tMs) = timed(
+      try transform(spark, p, ctx, extracted)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw PhaseFailed("transform", e, None) })
     val main =
       if (persist) {
         val c = main0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -262,7 +306,7 @@ object Orchestrator {
     // implemented honestly): schema check is free; min/max force ONE
     // count — after persist, so the materialization is reused by the
     // sink and the deferred metrics count
-    p.transform.validation.foreach { v =>
+    try p.transform.validation.foreach { v =>
       val missing = v.requiredFields.filterNot(main.columns.contains)
       if (missing.nonEmpty) throw new IllegalStateException(
         s"pipeline '${p.name}': missing required fields ${missing.mkString(",")}")
@@ -273,11 +317,14 @@ object Orchestrator {
         v.maxRecords.filter(n > _).foreach(m => throw new IllegalStateException(
           s"pipeline '${p.name}': $n records > max_records $m"))
       }
-    }
+    } catch { case scala.util.control.NonFatal(e) =>
+      throw PhaseFailed("transform", e, None) }
     exportShared(p, ctx, intermediate)
-    val (outPath, lMs) = timed(p.load.map { l =>
-      Sinks.write(spark, main, intermediate, l, p.name, ctx.executionId)
-    })
+    val (outPath, lMs) = timed(
+      try p.load.map { l =>
+        Sinks.write(spark, main, intermediate, l, p.name, ctx.executionId)
+      } catch { case scala.util.control.NonFatal(e) =>
+        throw PhaseFailed("load", e, Some(main)) })
     PipelineOutcome(p.name, Some(main), outPath, 0L, "succeeded", None,
       () => main.count(), extractMs = eMs, transformMs = tMs, loadMs = lMs)
   }
@@ -426,14 +473,27 @@ object Orchestrator {
 
   /** C1 — shared-data export off the intermediate branch: token /
     * access_token → shared "token"; other fields → "{shared_key}_{field}"
-    * (or the raw field name when sharedKey is empty). Collects a bounded
-    * sample — exported values are meant to be tiny (tokens, ids). */
+    * (or the raw field name when sharedKey is empty). Bounded at 100
+    * rows, and FAILS (not truncates) past the bound — exported values
+    * are meant to be tiny (tokens, ids); documented deviation from the
+    * reference's silent every-record export
+    * (contextual_pipeline.rs:1085-1117). */
   def exportShared(p: PipelineDef, ctx: RunContext, intermediate: Option[DataFrame]): Unit =
     for {
       idef <- p.transform.intermediate
       branch <- intermediate
     } {
-      val rows = branch.limit(100).collect()
+      // fetch one row past the cap so oversize is DETECTED, not silently
+      // truncated: exports are last-writer-wins driver values (tokens,
+      // ids) — a >100-row branch means the conditions select data, not
+      // config, and dropping the tail would hide that bug
+      val rows = branch.limit(101).collect()
+      if (rows.length > 100)
+        throw new IllegalStateException(
+          s"pipeline '${p.name}': shared-data intermediate branch exceeds " +
+            "100 rows; narrow [transform.intermediate.conditions] — " +
+            "exports are for tiny shared values, and last-writer-wins " +
+            "would silently drop the extra rows")
       val cols = branch.columns
       rows.foreach { row =>
         cols.zipWithIndex.foreach { case (c, i) =>

@@ -110,6 +110,81 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 
+  // ----- on_transform_error / on_load_error (declared-but-dead in the
+  // reference's ErrorHandlingConfig, toml_config.rs:106-110) -----------
+  test("on_transform_error=skip: transform failure records failed, sequence continues " +
+    "even under on_pipeline_failure=stop") {
+    val good = fixture(Seq("""{"id":1}"""), "te_g")
+    val seq = SequenceDef("s", Seq("bad", "after"), Seq(
+      // a failed required-fields validation is a transform-phase error
+      // (keep_only/exclude skip missing columns by design)
+      filePipeline("bad", good,
+        transform = TransformDef(addProcessedFlags = false,
+          validation = Some(ValidationDef(requiredFields = Seq("ghost_col"))))),
+      filePipeline("after", good)),
+      onPipelineFailure = "stop", onTransformError = "skip")
+    val ctx = Orchestrator.execute(spark, seq)
+    assert(ctx.results("bad").status === "failed")
+    assert(ctx.results("bad").failedPhase === Some("transform"))
+    assert(ctx.results("after").status === "succeeded")
+    // default stop policy still aborts (the round-3 silent-stop behavior
+    // is now the DOCUMENTED default, not the only behavior)
+    intercept[Orchestrator.SequenceFailed](
+      Orchestrator.execute(spark, seq.copy(onTransformError = "stop")))
+  }
+
+  test("on_load_error=continue: sink failure keeps the transformed frame " +
+    "available to later pipelines") {
+    val good = fixture(Seq("""{"id":7,"v":"x"}"""), "le_g")
+    // output_path collides with an existing FILE → mkdir fails in the sink
+    val clash = java.nio.file.Files.createTempFile("graft_le", ".clash")
+    val seq = SequenceDef("s", Seq("writer", "reader"), Seq(
+      filePipeline("writer", good).copy(
+        load = Some(LoadDef(s"$clash/sub", formats = Seq("json"), singleFile = false))),
+      PipelineDef("reader", PreviousSource(Some("writer")),
+        transform = TransformDef(addProcessedFlags = false))),
+      onPipelineFailure = "stop", onLoadError = "continue")
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    assert(ctx.results("writer").status === "failed")
+    assert(ctx.results("writer").failedPhase === Some("load"))
+    assert(ctx.results("writer").df.nonEmpty, "frame survives the sink failure")
+    assert(ctx.results("reader").status === "succeeded")
+    assert(ctx.results("reader").df.get.select("id").collect().head.getLong(0) === 7L)
+    // same failure under the default policy aborts the sequence
+    intercept[Orchestrator.SequenceFailed](
+      Orchestrator.execute(spark, seq.copy(onLoadError = "stop")))
+  }
+
+  test("error policies validate: unknown on_transform_error value is rejected") {
+    val seq = SequenceDef("s", Seq("p"), Seq(filePipeline("p", "/tmp/x")),
+      onTransformError = "explode")
+    val e = intercept[Orchestrator.ValidationException](Orchestrator.validate(seq))
+    assert(e.msg.contains("on_transform_error"))
+  }
+
+  // ----- C1: oversize shared-export branch fails loudly ----------------
+  test("C1: a >100-row intermediate export branch fails instead of truncating") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_c1big").toString
+    (1L to 101L).map(i => (i, "t")).toDF("id", "k")
+      .write.mode("overwrite").parquet(s"$dir/big")
+    val seq = SequenceDef("s", Seq("exp"), Seq(
+      filePipeline("exp", s"$dir/big",
+        transform = TransformDef(addProcessedFlags = false,
+          intermediate = Some(IntermediateDef(sharedKey = "x"))))))
+    val e = intercept[Orchestrator.SequenceFailed](Orchestrator.execute(spark, seq))
+    assert(e.getMessage.contains("100 rows"))
+    // at the cap it still exports fine
+    (1L to 100L).map(i => (i, "t")).toDF("id", "k")
+      .write.mode("overwrite").parquet(s"$dir/ok")
+    val ctx = Orchestrator.execute(spark, SequenceDef("s2", Seq("exp"), Seq(
+      filePipeline("exp", s"$dir/ok",
+        transform = TransformDef(addProcessedFlags = false,
+          intermediate = Some(IntermediateDef(sharedKey = "x")))))))
+    assert(ctx.results("exp").status === "succeeded")
+    assert(ctx.shared.contains("x_id"))
+  }
+
   // ----- J1: merge-with-previous semantics ----------------------------
   test("J1: API record wins, previous fills missing fields, unmatched pass through") {
     val prev = fixture(Seq(

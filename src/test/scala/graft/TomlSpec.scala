@@ -46,6 +46,85 @@ class TomlSpec extends AnyFunSuite {
     assert(items(1)("inline") === Map("id" -> "i1", "count" -> 2L))
   }
 
+  // ----- parser fuzz (SinksSpec X4-fuzz pattern) ----------------------
+  test("parser fuzz: 150 generated docs with nasty strings, nested arrays " +
+    "and inline tables round-trip to the expected structure") {
+    val rnd = new scala.util.Random(7) // deterministic corpus
+    // chars only — the surrogate-pair emoji goes in whole below
+    val alphabet = "abXY01 _-.,#=[]{}\"'\\\t\né世".toCharArray
+    def genStr(): String = {
+      val base = Iterator.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      if (rnd.nextInt(4) == 0) base + "😀" else base
+    }
+    def genScalar(): Any = rnd.nextInt(4) match {
+      case 0 => genStr()
+      case 1 => rnd.nextLong() % 100000L
+      case 2 => (rnd.nextInt(4001) - 2000) * 0.25 // exact in toString/toDouble
+      case 3 => rnd.nextBoolean()
+    }
+    def genValue(depth: Int): Any =
+      if (depth == 0) genScalar()
+      else rnd.nextInt(6) match {
+        case 0 => Vector.fill(rnd.nextInt(4))(genValue(depth - 1))
+        case 1 => (0 until rnd.nextInt(4)).map(i => s"ik$i" -> genValue(depth - 1)).toMap
+        case _ => genScalar()
+      }
+    // TOML basic-string escape — the renderer half of the round trip
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def render(v: Any): String = v match {
+      case s: String => esc(s)
+      case xs: Vector[_] => xs.map(render).mkString("[", ", ", "]")
+      case m: Map[_, _] =>
+        m.map { case (k, x) => s"$k = ${render(x)}" }.mkString("{ ", ", ", " }")
+      case other => other.toString
+    }
+    (1 to 150).foreach { docIdx =>
+      val top = (0 until 3).map(i => s"k$i" -> genValue(2))
+      val quotedKey = genStr()
+      val sec = (0 until 3).map(i => s"s$i" -> genValue(2))
+      val arrElems = Vector.fill(2)((0 until 2).map(i => s"a$i" -> genValue(1)).toMap)
+      val quotedVal = genScalar()
+      val text = new StringBuilder
+      top.foreach { case (k, v) => text ++= s"$k = ${render(v)}\n" }
+      text ++= s"${esc(quotedKey)} = ${render(quotedVal)}\n"
+      text ++= "[sec]\n"
+      sec.foreach { case (k, v) => text ++= s"$k = ${render(v)}\n" }
+      arrElems.foreach { m =>
+        text ++= "[[arr]]\n"
+        m.foreach { case (k, v) => text ++= s"$k = ${render(v)}\n" }
+      }
+      val expected = top.toMap +
+        (quotedKey -> quotedVal) + ("sec" -> sec.toMap) + ("arr" -> arrElems)
+      val got = Toml.parse(text.toString)
+      assert(got === expected, s"doc #$docIdx diverged:\n$text")
+    }
+  }
+
+  test("parser fuzz: malformed docs are rejected with the right line number") {
+    val rejects = Seq(
+      ("a = 1\nb = \"oops", 2, "unterminated"),
+      ("a = 1 junk", 1, "trailing"),
+      ("[t\nk = 1", 1, "expected ']'"),
+      ("k = \"bad\\q\"", 1, "unsupported escape"),
+      ("a = 1\nb = 'no end", 2, "unterminated literal"),
+      ("a = 1\n\n[t]\nk =", 4, "expected value"),
+      ("k = @", 1, "unexpected value start"))
+    rejects.foreach { case (doc, line, frag) =>
+      val e = intercept[Toml.TomlParseException](Toml.parse(doc))
+      assert(e.msg.contains(frag), s"wrong message for <$doc>: ${e.msg}")
+      assert(e.line === line, s"wrong line for <$doc>: got ${e.line}, want $line")
+    }
+  }
+
   test("parser: string escapes and key-vals after an array-of-tables header") {
     val doc = Toml.parse(
       """[[p]]
