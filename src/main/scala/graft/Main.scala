@@ -33,9 +33,10 @@ object Main {
       master: String = "local[*]")
 
   def parseArgs(argv: Array[String]): Args = {
-    if (argv.isEmpty) sys.error("usage: graft.Main <config.json> [flags]")
-    var a = Args(configPath = argv(0))
-    var i = 1
+    // no config path (bare run or flags only) = zero-config simple mode
+    val hasConfig = argv.nonEmpty && !argv(0).startsWith("--")
+    var a = Args(configPath = if (hasConfig) argv(0) else "")
+    var i = if (hasConfig) 1 else 0
     while (i < argv.length) {
       argv(i) match {
         case "--only" => a = a.copy(only = argv(i + 1).split(',').toSet); i += 2
@@ -59,21 +60,25 @@ object Main {
     val args = try parseArgs(argv) catch {
       case e: RuntimeException => System.err.println(e.getMessage); sys.exit(2)
     }
-    val text = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(args.configPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"cannot read config: ${e.getMessage}"); sys.exit(2)
-    }
-    val seq0 = try {
-      if (args.configPath.endsWith(".toml")) TomlConfig.loadSequence(text)
-      else JsonConfig.loadSequence(text)
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"config parse error: ${e.getMessage}"); sys.exit(2)
-    }
+    val seq0 =
+      if (args.configPath.isEmpty) simpleSequence()
+      else {
+        val text = try {
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(args.configPath)),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"cannot read config: ${e.getMessage}"); sys.exit(2)
+        }
+        try {
+          if (args.configPath.endsWith(".toml")) TomlConfig.loadSequence(text)
+          else JsonConfig.loadSequence(text)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"config parse error: ${e.getMessage}"); sys.exit(2)
+        }
+      }
     val seq = applyMvp(seq0, args.mvp)
 
     if (args.dryRun) {
@@ -98,6 +103,32 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val code = try run(spark, seq, args) finally spark.stop()
     if (code != 0) sys.exit(code)
+  }
+
+  /** Zero-config simple mode — the reference's bare `samll-etl` run with
+    * clap defaults (main.rs:6-73, config/mod.rs:20-38): GET the endpoint
+    * (JSONPlaceholder /posts unless GRAFT_API_ENDPOINT overrides), fall
+    * back to the 5 fixed sample items when the API is unreachable, add
+    * the processed flags, branch `value > 20` records as the
+    * intermediate (simple_pipeline.rs:113-116), and write csv+tsv
+    * (+intermediate+metadata) into `etl_output.zip` under `./output`
+    * (GRAFT_OUTPUT_PATH overrides). */
+  def simpleSequence(env: Map[String, String] = sys.env): graft.config.SequenceDef = {
+    import graft.config._
+    val endpoint = env.getOrElse("GRAFT_API_ENDPOINT",
+      "https://jsonplaceholder.typicode.com/posts")
+    val out = env.getOrElse("GRAFT_OUTPUT_PATH", "./output")
+    SequenceDef("simple", Seq("simple"), Seq(PipelineDef(
+      "simple",
+      ApiSource(HttpRequestDef(endpoint)),
+      extract = ExtractDef(
+        onApiFailure = "use_sample_data",
+        sampleData = (1 to 5).map(i =>
+          s"""{"id":$i,"name":"Item $i","value":${i * 10}}""")),
+      transform = TransformDef(
+        intermediate = Some(IntermediateDef(minConditions = Map("value" -> 20.0)))),
+      load = Some(LoadDef(out, formats = Seq("csv", "tsv"),
+        filenamePattern = "etl_output", zip = true, includeMetadata = true)))))
   }
 
   /** MVP override: force first_record_only across the config, exactly

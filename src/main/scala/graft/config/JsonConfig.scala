@@ -151,6 +151,9 @@ object JsonConfig {
       val i = n.path("intermediate")
       Some(IntermediateDef(
         conditions = obj(i.path("conditions")),
+        minConditions = obj(i.path("min_conditions")).collect {
+          case (k, v: Number) => k -> v.doubleValue()
+        },
         sharedKey = str(i.path("shared_key")).getOrElse("")))
     } else None,
     validation = if (n.path("validation").isObject) {

@@ -84,6 +84,12 @@ final case class ExtractDef(
   * Reference: contextual_pipeline.rs:1064-1117. */
 final case class IntermediateDef(
     conditions: Map[String, Any] = Map.empty,
+    /** F2-style strict lower bounds (the SimplePipeline's hardcoded
+      * `value > 20` branch, simple_pipeline.rs:113-116): the field must
+      * be present and numerically greater than the bound. A missing
+      * field yields an EMPTY branch — the reference coerces missing to
+      * 0, which never clears a positive bound. */
+    minConditions: Map[String, Double] = Map.empty,
     sharedKey: String = "")
 
 /** Transform-phase config (§2.2, §2.4, §2.7).

@@ -197,6 +197,10 @@ object TomlConfig {
       intermediate =
         if (interT.nonEmpty) Some(IntermediateDef(
           conditions = tbl(interT.get("conditions")),
+          minConditions = tbl(interT.get("min_conditions")).collect {
+            case (k, v: Long) => k -> v.toDouble
+            case (k, v: Double) => k -> v
+          },
           sharedKey = str(interT.get("shared_key")).getOrElse("")))
         else None,
       validation = {

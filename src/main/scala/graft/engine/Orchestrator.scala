@@ -463,10 +463,14 @@ object Orchestrator {
     df = Ops.sortColumns(df)
     // empty conditions = whole frame (the reference's refresh flow
     // exports an unconditioned intermediate, auth_integration_test.rs:
-    // 488-492); with conditions it's the F1 equality branch
-    val intermediate = t.intermediate.map {
-      case i if i.conditions.nonEmpty => Ops.equalityFilter(i.conditions)(df)
-      case _ => df
+    // 488-492); with conditions it's the F1 equality branch, optionally
+    // narrowed by F2-style min bounds (missing field → empty branch)
+    val intermediate = t.intermediate.map { i =>
+      var b = if (i.conditions.nonEmpty) Ops.equalityFilter(i.conditions)(df) else df
+      i.minConditions.foreach { case (f, v) =>
+        b = if (b.columns.contains(f)) b.filter(col(f) > v) else b.filter(lit(false))
+      }
+      b
     }
     (df, intermediate)
   }

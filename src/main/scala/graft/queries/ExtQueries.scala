@@ -361,6 +361,37 @@ object ExtQueries {
         .orderBy("event_id", "p_event")
     },
 
+    // ----- Stream-stream interval join, batch twin ---------------------
+    // The SAME Streams.intervalJoin call the streaming path runs
+    // (watermark-bounded state on both sides there; StreamingSpec drives
+    // the MemoryStream version incl. late-data eviction). Semantics are
+    // identical to x_range_join's binned batch shape — three independent
+    // implementations (stream-stream join, binned equi join, plain
+    // inequality SQL) must produce one answer.
+    QDef.sql(
+      "ext_stream_stream",
+      """SELECT l.event_id, l.user_id, r.event_id AS p_event
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') l
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+        |ORDER BY l.event_id, p_event""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      Streams.intervalJoin(
+        l, r, leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        watermarkDelay = "10 minutes", window = "1 hour")
+        .select(col("event_id"), col("user_id"), col("p_event"))
+        .orderBy("event_id", "p_event")
+    },
+
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's

@@ -12,6 +12,24 @@ object TextQueries {
   private def duckList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Render a Java-regex string as a DuckDB single-quoted regex literal.
+    * Oracle parity silently depends on the pattern staying inside the
+    * Java-regex ∩ RE2 shared subset, so this ENFORCES it at render time
+    * instead of trusting a comment: constructs RE2 lacks (lookaround,
+    * atomic groups, backreferences, possessive quantifiers) are
+    * rejected, and embedded single quotes are SQL-escaped. Deliberately
+    * conservative — a false reject forces a portable rewrite, a false
+    * accept would silently diverge the oracle. */
+  private[graft] def duckRegexLit(re: String): String = {
+    Seq("(?=", "(?!", "(?<=", "(?<!", "(?>").foreach(b =>
+      require(!re.contains(b), s"non-RE2 construct '$b' in oracle regex: $re"))
+    require("""\\[1-9]|\\k<""".r.findFirstIn(re).isEmpty,
+      s"backreference in oracle regex: $re")
+    require("""[+*?}]\+""".r.findFirstIn(re).isEmpty,
+      s"possessive quantifier (or ambiguous '++') in oracle regex: $re")
+    "'" + re.replace("'", "''") + "'"
+  }
+
   private def duckStopCount(list: Seq[String]): String =
     s"len(list_filter(ws, x -> list_contains(${duckList(list)}, x)))"
 
@@ -174,10 +192,10 @@ object TextQueries {
          |         || '-1234' AS aug
          |  FROM documents)
          |SELECT doc_id,
-         |  regexp_replace(regexp_replace(aug, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
-         |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text_scrubbed,
-         |  CAST(len(regexp_extract_all(aug, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(aug, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
+         |  regexp_replace(regexp_replace(aug, ${duckRegexLit(TextOps.EmailRe)}, '<EMAIL>', 'g'),
+         |                 ${duckRegexLit(TextOps.PhoneRe)}, '<PHONE>', 'g') AS text_scrubbed,
+         |  CAST(len(regexp_extract_all(aug, ${duckRegexLit(TextOps.EmailRe)})) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, ${duckRegexLit(TextOps.PhoneRe)})) AS BIGINT) AS n_phones
          |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val aug = concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
         lit("@ex.org or 555-"),

@@ -181,14 +181,58 @@ object Streams {
     * The classic "enrich the event stream with reference data" shape:
     * no stream state at all, because the static side is not watermarked
     * — this is the cheap join; stream-stream is the expensive one.
-    * Works identically on a batch frame (the oracle twin). */
+    * Works identically on a batch frame (the oracle twin).
+    *
+    * The dim must be PRE-PROJECTED to `dimKey` + payload columns that
+    * don't collide with the stream's — enforced here, because a
+    * colliding name would otherwise surface later as an ambiguous
+    * column error at the first downstream col() reference. */
   def enrich(
       stream: DataFrame,
       dim: DataFrame,
       streamKey: String,
-      dimKey: String): DataFrame =
+      dimKey: String): DataFrame = {
+    val overlap = (dim.columns.toSet - dimKey).intersect(stream.columns.toSet)
+    require(overlap.isEmpty,
+      s"enrich: dim columns collide with stream columns " +
+        s"(${overlap.toSeq.sorted.mkString(", ")}) — pre-project or rename the dim")
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
       .drop(dimKey)
+  }
+
+  /** Stream-stream interval join: a left row matches right rows of the
+    * same key whose event time satisfies
+    * `right.ts <= left.ts < right.ts + window` (the x_range_join
+    * convention). BOTH sides are watermarked, and the range condition
+    * on the two event-time columns is what lets Spark bound the join
+    * state: a buffered right row is evicted once the left watermark
+    * passes `right.ts + window`, a buffered left row once the right
+    * watermark passes `left.ts` — without the range bound a
+    * stream-stream join would buffer both sides forever. On batch
+    * frames the same call degrades to an equi-key join with a range
+    * filter (the oracle twin; the binned [[graft.operators.Ops.rangeJoin]]
+    * is the batch-at-scale shape — ext_stream_stream pins all of them
+    * to one answer). Column names must be disjoint across the sides. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String,
+      window: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin: sides share column names " +
+        s"(${overlap.toSeq.sorted.mkString(", ")}) — rename one side")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay) else right
+    l.join(r,
+      col(leftKey) === col(rightKey)
+        && col(leftTs) >= col(rightTs)
+        && col(leftTs) < col(rightTs) + expr(s"INTERVAL $window"))
+  }
 
   /** Streaming exact dedup with BOUNDED state: duplicates arriving
     * within the watermark horizon are dropped; state for older keys is

@@ -171,6 +171,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("duckRegexLit: shared Java/RE2 subset enforced, quotes escaped") {
+    import graft.queries.TextQueries.duckRegexLit
+    assert(duckRegexLit("[a-z]+@[a-z.]+") === "'[a-z]+@[a-z.]+'")
+    assert(duckRegexLit("it's") === "'it''s'")
+    // the shipped patterns themselves must stay inside the subset
+    duckRegexLit(graft.operators.TextOps.EmailRe)
+    duckRegexLit(graft.operators.TextOps.PhoneRe)
+    Seq("(?=x)y", "(?<!a)b", "a(?>bc)", """(\w)\1""", "ab?+", "x{2,3}+")
+      .foreach { bad =>
+        intercept[IllegalArgumentException](duckRegexLit(bad))
+      }
+  }
+
   test("multimodal: payload is real BinaryType; stub decode is deterministic per byte content") {
     val d = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
       .withColumn("payload", MultimodalOps.withPayload(col("text")))

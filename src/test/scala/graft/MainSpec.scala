@@ -162,6 +162,41 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-config simple mode: bare args run the reference's default " +
+    "pipeline — sample fallback, processed flags, value>20 branch, etl_output.zip") {
+    // bare run and flags-only runs both select zero-config mode
+    assert(Main.parseArgs(Array.empty).configPath === "")
+    assert(Main.parseArgs(Array("--monitor")).configPath === "")
+    val dir = java.nio.file.Files.createTempDirectory("graft_simple").toString
+    // unreachable endpoint → S8 sample-data fallback, like the reference
+    // demo without network
+    val seq = Main.simpleSequence(Map(
+      "GRAFT_API_ENDPOINT" -> "http://127.0.0.1:1/posts",
+      "GRAFT_OUTPUT_PATH" -> dir))
+    assert(Main.run(spark, seq, Main.Args("",
+      metricsOut = Some(s"$dir/m.json"))) === 0)
+    val zipPath = java.nio.file.Paths.get(s"$dir/etl_output.zip")
+    assert(java.nio.file.Files.exists(zipPath), "etl_output.zip written")
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names.exists(_.endsWith(".csv")) && names.exists(_.endsWith(".tsv")))
+      assert(names.exists(_.contains("intermediate")),
+        s"value>20 branch must produce the intermediate entry: $names")
+      assert(names.exists(_.contains("metadata")))
+      val csvEntry = zf.entries().asScala.find(_.getName.endsWith(".csv")).get
+      val csv = new String(zf.getInputStream(csvEntry).readAllBytes())
+      assert(csv.contains("processed")) // P7 flags on
+      assert(csv.contains("Item 3"))    // the 5 fixed sample items
+      val im = zf.entries().asScala.find(_.getName.contains("intermediate")).get
+      val imText = new String(zf.getInputStream(im).readAllBytes())
+      // value > 20 strictly: items 3,4,5 (30/40/50); item 2 (20) excluded
+      assert(imText.contains("Item 3") && imText.contains("Item 5"))
+      assert(!imText.contains("Item 2"))
+    } finally zf.close()
+  }
+
   test("--only/--skip select pipelines like the CLI flags") {
     val (_, src) = writeFixture()
     import graft.config._

@@ -192,6 +192,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: same-key rows within the window match; " +
+    "state is evicted past the watermark so a late row cannot match") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val lIn = MemoryStream[(Long, String, Timestamp)]
+    val rIn = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      lIn.toDF().toDF("id", "key", "ts"),
+      rIn.toDF().toDF("pid", "pkey", "pts"),
+      leftKey = "key", rightKey = "pkey", leftTs = "ts", rightTs = "pts",
+      watermarkDelay = "10 minutes", window = "1 hour")
+      .select("id", "pid")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      rIn.addData((100L, "u1", ts(0)))    // purchase 00:00
+      lIn.addData((1L, "u1", ts(30)))     // error 00:30 → in [00:00, 01:00): match
+      lIn.addData((2L, "u2", ts(30)))     // other key: no match
+      q.processAllAvailable()
+      // both sides advance to 02:00 → global watermark 01:50, past the
+      // purchase's eviction bound (00:00 + 1h) → its buffered state drops;
+      // the hour-2 pair also matches (02:00 ∈ [02:00, 03:00))
+      lIn.addData((3L, "u1", tsH(2, 0)))
+      rIn.addData((200L, "u1", tsH(2, 0)))
+      q.processAllAvailable()
+      // LATE left row behind the watermark: would have matched purchase
+      // 100, but that state is gone and the row itself is late — no output
+      lIn.addData((4L, "u1", ts(40)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 100L), (3L, 200L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin and enrich reject colliding column names up front") {
+    import spark.implicits._
+    val a = Seq((1L, "k", ts(0))).toDF("id", "key", "ts")
+    val b = Seq((2L, "k", ts(0))).toDF("pid", "key", "ts")
+    val e1 = intercept[IllegalArgumentException](
+      Streams.intervalJoin(a, b, "key", "key", "ts", "ts", "10 minutes", "1 hour"))
+    assert(e1.getMessage.contains("share column names"))
+    val e2 = intercept[IllegalArgumentException](
+      Streams.enrich(a, b.select($"pid", $"key", $"ts"), "key", "pid"))
+    assert(e2.getMessage.contains("collide"))
+  }
+
   // ----- recovery: file sink + checkpoint, kill and restart ------------
   // At scale, restart semantics ARE the feature: the checkpoint must
   // restore both source offsets (no duplicated/retried output in the
