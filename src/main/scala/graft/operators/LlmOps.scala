@@ -427,25 +427,42 @@ object LlmOps {
     * `canonical_id` (docs in no pair stay their own canonical). The
     * final step of corpus dedup — keep rows where id == canonical_id.
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and keeps the least label seen; converges in diameter(G)
-    * rounds (each one keyed shuffle join + aggregation, all
-    * partition-parallel — the standard large-graph CC pattern). Rounds
-    * persist their frame and drop the previous one so lineage stays
-    * bounded. Throws if `maxIters` is hit before the fixpoint, rather
-    * than returning a silently-wrong labeling. */
+    * Iterative min-label propagation with pointer jumping: each round
+    * joins labels across edges (and across the label graph) and keeps
+    * the least label seen — O(log diameter) rounds, the standard
+    * large-graph CC pattern, all partition-parallel. The loop runs
+    * under loop-scoped planning config (static planning,
+    * edge-proportional shuffle width — see the inline note; fixed
+    * per-job overhead, not shuffle volume, dominates each round's
+    * cost). Each round checkpoints its frame and releases the previous
+    * one so both the lineage and the block-manager footprint stay
+    * bounded. Throws if `maxIters` rounds pass without a fixpoint,
+    * rather than returning a silently-wrong labeling. */
   def dedupGroups(
       ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    // localCheckpoint (eager), NOT persist: each round references the
-    // previous labels twice, so without lineage truncation the logical
-    // plan doubles per round — exponential analysis cost and an OOM by
+    // localCheckpoint, NOT persist: each pass references the previous
+    // labels several times, so without lineage truncation the logical
+    // plan doubles per pass — exponential analysis cost and an OOM by
     // ~iteration 20. Checkpointing pins the rows and cuts the plan to a
-    // constant-size scan per round.
+    // constant-size scan per pass.
+    // Edges are LAZY-checkpointed and materialized by ONE up-front
+    // count, which doubles as the loop's parallelism probe: the
+    // connected subgraph is typically orders of magnitude smaller than
+    // the corpus, so the iteration runs at edge-proportional width
+    // (~2M edges/partition) instead of the session's corpus-sized
+    // shuffle partitioning. The pairs plan itself (often a heavy
+    // MinHash/LSH pipeline) is still planned under the CALLER's config,
+    // AQE included.
+    // Symmetrize via explode, not self-union: one scan of the (often
+    // expensive) pairs plan instead of two.
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(false)
+    val edgeCount = edges.count()
     // Only edge-connected nodes need label propagation; everything else
     // is trivially its own canonical and rejoins at the end. In a real
     // corpus near-dups are a small fraction, so the iterated set — and
@@ -457,43 +474,73 @@ object LlmOps {
     var labels = edges
       .groupBy(col("src").as("id")).agg(min("dst").as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      // One MESSAGE PASS per round instead of join + agg + two left
-      // joins: every node receives (a) its own label, (b) each
-      // neighbor's label (hop 1), (c) its label's label (hop 2,
-      // pointer jumping — halves the remaining distance to the
-      // component min per round, O(log diameter) convergence). A
-      // single groupBy(id) then takes min for the new label AND
-      // extracts the self-message as the old label for the
-      // convergence check — 2 joins + 1 aggregation total.
-      val selfMsgs = labels
+      .localCheckpoint(false)
+    // One MESSAGE PASS per propagation round: every node receives
+    // (a) its own label, (b) each neighbor's label (hop 1), (c) its
+    // label's label (hop 2, pointer jumping — halves the remaining
+    // distance to the component min per round, O(log diameter)
+    // convergence). A single groupBy(id) takes min for the new label;
+    // `withOld` additionally extracts the self-message as the old label
+    // for the convergence check — 2 joins + 1 aggregation per pass.
+    def messages(l: DataFrame): DataFrame = {
+      val selfMsgs = l
         .select(col("id"), col("label").as("msg"), lit(true).as("self"))
       val neighborMsgs = edges
-        .join(labels.select(col("id").as("src"), col("label").as("msg")), "src")
+        .join(l.select(col("id").as("src"), col("label").as("msg")), "src")
         .select(col("dst").as("id"), col("msg"), lit(false).as("self"))
-      val jumpMsgs = labels.alias("l1")
-        .join(labels.alias("l2"), col("l1.label") === col("l2.id"))
+      val jumpMsgs = l.alias("l1")
+        .join(l.alias("l2"), col("l1.label") === col("l2.id"))
         .select(col("l1.id").as("id"), col("l2.label").as("msg"),
           lit(false).as("self"))
-      // LAZY localCheckpoint + immediate count: the count action is what
-      // materializes the checkpoint blocks, so convergence check and
-      // checkpoint share ONE job per round
-      val next = selfMsgs.union(neighborMsgs).union(jumpMsgs)
-        .groupBy("id")
-        .agg(min("msg").as("newLabel"),
-          min(when(col("self"), col("msg"))).as("oldLabel"))
-        .localCheckpoint(false)
-      val changed = next.filter(col("newLabel") < col("oldLabel")).count()
-      // the count materialized `next`'s checkpoint, so the previous
-      // round's label blocks are superseded — release them now instead
-      // of pinning ~log(diameter) label-frame copies until session end
-      releaseCheckpoint(labels)
-      labels = next.select(col("id"), col("newLabel").as("label"))
-      converged = changed == 0
-      iter += 1
+      // (a deeper label³ jump was tried and measured SLOWER at sf0.1:
+      // the extra join outweighed the rounds it saved)
+      selfMsgs.union(neighborMsgs).union(jumpMsgs)
+    }
+    var converged = false
+    var iter = 0
+    // Loop-scoped planning config (restored in finally): profiling at
+    // sf0.1 put ~70% of the operator's wall time in per-stage job
+    // scheduling, not shuffle volume — AQE materializes every exchange
+    // of every round as its own job (~10 jobs/round), and the session's
+    // corpus-sized shuffle partitioning launches that many near-empty
+    // tasks per stage. Static planning + edge-proportional parallelism
+    // runs each round as one pipelined job over right-sized partitions
+    // (measured 2.6 s → 1.5 s at sf0.1; identical plan semantics). The
+    // RETURNED frame is planned by the caller's action under the
+    // restored config, so the corpus-sized final anti-join keeps AQE.
+    val sess = ids.sparkSession
+    val defParts = sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // floor of 4: even a tiny graph keeps a few parallel tasks per
+    // stage (measured faster than width 1 at sf0.1), still capped by
+    // the session default so a real cluster's setting wins at scale
+    val loopParts = math.min(defParts.toLong,
+      math.max(4L, edgeCount / 2000000L + 1L))
+    val oldAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      while (!converged && iter < maxIters) {
+        // LAZY localCheckpoint + immediate count: the count action is
+        // what materializes the checkpoint blocks, so convergence check
+        // and checkpoint share ONE job per round
+        val next = messages(labels)
+          .groupBy("id")
+          .agg(min("msg").as("newLabel"),
+            min(when(col("self"), col("msg"))).as("oldLabel"))
+          .localCheckpoint(false)
+        val changed = next.filter(col("newLabel") < col("oldLabel")).count()
+        // the count materialized `next`'s checkpoint, so the previous
+        // round's label blocks are superseded — release them now instead
+        // of pinning ~log(diameter) label-frame copies until session end
+        releaseCheckpoint(labels)
+        labels = next.select(col("id"), col("newLabel").as("label"))
+        converged = changed == 0
+        iter += 1
+      }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", oldParts)
     }
     if (!converged)
       throw new IllegalStateException(

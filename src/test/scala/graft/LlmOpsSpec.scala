@@ -144,6 +144,21 @@ class LlmOpsSpec extends AnyFunSuite {
       s"kmeansCentroids left $pinnedKm RDDs pinned (max 1: the final round)")
   }
 
+  test("dedupGroups restores the session planning config it scopes to the loop") {
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val ids = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    LlmOps.dedupGroups(ids, "doc_id", pairs).collect()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+    // restoration also holds when the loop throws (non-convergence)
+    intercept[IllegalStateException](
+      LlmOps.dedupGroups(ids, "doc_id", pairs, maxIters = 0).collect())
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+  }
+
   test("record index: partition-offset indexing matches the global order") {
     val df = spark.range(1000).toDF("v").repartition(7)
     val out = Ops.withRecordIndex("idx", Seq(col("v").desc))(df)
