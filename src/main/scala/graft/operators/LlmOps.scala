@@ -378,46 +378,40 @@ object LlmOps {
     cents
   }
 
-  /** IVF-style cell assignment: each vector joins the cell of its
-    * nearest centroid. `iters` = 0 uses the deterministic seed codebook
-    * (the first `k` ids); `iters` > 0 trains it with that many k-means
-    * rounds ([[kmeansCentroids]]). One broadcast of k tiny centroid
-    * rows against a single pass over the vectors. */
-  def ivfCells(
-      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 0): DataFrame = {
+  /** ANN top-k, IVF-bucketed: candidates live in their single nearest
+    * centroid cell; probes search their `nprobe` nearest cells (the
+    * standard IVF recall knob — nprobe=1 is fastest, higher trades
+    * per-probe work for recall toward brute force at nprobe=k). A
+    * (probe, cand) pair can match through at most one cell (the cand's
+    * home cell), so no dedup is needed. The second scale path next to
+    * annTopKLsh (coarser cells, data-adaptive when given real
+    * centroids). */
+  def annTopKIvf(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, topK: Int, k: Int = 8,
+      iters: Int = 0, nprobe: Int = 1): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
     val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
       .select(col("cid"), col("ce"))
       .withColumn("cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
-    val cos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
+    val ccos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
     val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
-    v.crossJoin(broadcast(cents))
-      .withColumn("ccos", cos)
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("vid"), col("e"), col("nrm"), col("cid").as("cell"))
-  }
-
-  /** ANN top-k, IVF-bucketed: probes scored only against vectors in the
-    * same centroid cell — the second scale path next to annTopKLsh
-    * (coarser cells, data-adaptive when given real centroids). */
-  def annTopKIvf(
-      vecs: DataFrame, idCol: String, vecCol: String,
-      probeFilter: Column => Column, topK: Int, k: Int = 8,
-      iters: Int = 0): DataFrame = {
-    val cells = ivfCells(vecs, idCol, vecCol, k, iters)
-    val probes = cells.filter(probeFilter(col("vid")))
+    val ranked = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", ccos)
+      .withColumn("__rn", row_number().over(w))
+    val cands = ranked.filter(col("__rn") === 1)
+      .select(col("vid").as("cand_id"), col("e"), col("nrm"),
+        col("cid").as("cell"))
+    val probes = ranked.filter(probeFilter(col("vid")) && col("__rn") <= nprobe)
       .select(col("vid").as("probe_id"), col("e").as("pe"),
-        col("cell"), col("nrm").as("pnrm"))
-    val cands = cells.select(col("vid").as("cand_id"), col("e"),
-      col("cell"), col("nrm"))
+        col("nrm").as("pnrm"), col("cid").as("cell"))
     val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
-    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    val w2 = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
     probes.join(cands, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), col("cell"), cosine.as("c"))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= topK)
       .select(col("probe_id"), col("cand_id"), col("cell"),
         round(col("c"), 6).as("cosine"))
   }

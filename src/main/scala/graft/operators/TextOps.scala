@@ -232,4 +232,54 @@ object MultimodalOps {
       }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** Frame sampling WITHOUT decode: pick `k` uniformly-strided frame
+    * indices out of the payload's (stub-derived) frame count — the
+    * standard "sample N frames per video" preprocessing step. Pure
+    * codegen'd column arithmetic (sequence/transform/explode), so a
+    * 100 TB corpus plans its sampling before any decoder runs; the
+    * sampled (id, frame_index) list is what a decode stage would then
+    * consume. Short payloads (fewer frames than `k`) dedup to their
+    * full frame range. */
+  def frameSample(df: DataFrame, idCol: String, payload: Column, k: Int): DataFrame = {
+    require(k >= 1, s"frame sample count must be >= 1: $k")
+    val n = lit(1L) + length(payload).cast("long") % 16L
+    val idxs = array_distinct(transform(sequence(lit(0), lit(k - 1)),
+      j => floor(j * n / k).cast("long")))
+    df.select(col(idCol), n.as("n_frames"), explode(idxs).as("frame_index"))
+  }
+
+  /** Resize (STUB): the mapPartitions decode-transform-encode shape with
+    * a deterministic fake kernel — target dims pass through, the source
+    * dims come from the stub header parse, and the "resized" signature
+    * folds the payload signature with the target box. A real image
+    * library replaces `fakeResize` only; batching, schema and row shape
+    * are the production plumbing. */
+  def resizeFramesStub(
+      df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("src_width", IntegerType),
+      StructField("src_height", IntegerType),
+      StructField("dst_width", IntegerType),
+      StructField("dst_height", IntegerType),
+      StructField("resized_signature", LongType)))
+    def fakeResize(bytes: Array[Byte]): (Int, Int, Long) = {
+      val sig = bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      val srcW = 64 + bytes.length % 960
+      val srcH = 64 + (bytes.length * 31) % 960
+      (srcW, srcH, (sig * 1000003L + targetW * 31L + targetH) % 1000000007L)
+    }
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (sw, sh, sig) = fakeResize(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), sw, sh, targetW, targetH, sig)
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

@@ -294,6 +294,51 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     },
 
+    // ----- ANN top-k, IVF with nprobe=2 --------------------------------
+    // The IVF recall knob: probes search their TWO nearest cells
+    // (candidates still live in exactly one home cell, so no pair
+    // dedup). Seed codebook keeps the oracle to one ranked-assignment
+    // CTE; the trained-codebook path is covered by llm_ann_ivf.
+    QDef.sql(
+      "llm_ann_ivf_probe2",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+         |  FROM embeddings
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cid, e AS ce,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
+         |  FROM v WHERE vec_id < 8
+         |),
+         |ranked AS (
+         |  SELECT vec_id, e, nrm, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, c.cid,
+         |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+         |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+         |    FROM v, cents c
+         |  )
+         |),
+         |cand AS (SELECT vec_id, e, nrm, cid AS cell FROM ranked WHERE rn = 1),
+         |probe AS (SELECT vec_id, e, nrm, cid AS cell FROM ranked
+         |          WHERE rn <= 2 AND vec_id < 20),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.cell AS cell,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> p.e[i] * c.e[i])")}
+         |      / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+         |  FROM probe p JOIN cand c ON p.cell = c.cell AND c.vec_id != p.vec_id
+         |)
+         |SELECT probe_id, cand_id, cell, round(cos, 6) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 3
+         |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, topK = 3, k = 8, iters = 0, nprobe = 2)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    },
+
     // ----- Connected-components dedup canonicalization -----------------
     // Iterative min-label propagation in Spark; transitive closure via
     // WITH RECURSIVE in the oracle — both converge to the component min.

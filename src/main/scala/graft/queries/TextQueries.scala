@@ -253,6 +253,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Multimodal frame sampling (no decode) -----------------------
+    // Uniformly-strided sample of 4 frame indices out of each payload's
+    // stub-derived frame count — pure column arithmetic on both engines,
+    // proving the pre-decode sampling plan (the thing that must scale)
+    // independently of any codec.
+    QDef.sql(
+      "llm_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_frames,
+        |       unnest(list_distinct(list_transform(generate_series(0, 3),
+        |         j -> CAST(floor(j * n_frames / 4.0) AS BIGINT)))) AS frame_index
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin) { (s, dir) =>
+      MultimodalOps.frameSample(
+        t(s, dir, "documents"), "doc_id",
+        MultimodalOps.withPayload(col("text")), k = 4)
+        .orderBy("doc_id", "frame_index")
+    },
+
     // ----- Multimodal payload metadata (BinaryType plumbing) -----------
     // Spark side routes text through a real BinaryType payload column;
     // the oracle hashes the same UTF-8 bytes (DuckDB md5(VARCHAR) hashes

@@ -103,6 +103,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall(trained) >= 0.2, s"trained recall ${recall(trained)}")
     assert(recall(trained) >= recall(seed) - 0.15,
       "training must not collapse recall vs the seed codebook")
+    // the nprobe knob: searching 2 cells can only ADD candidate pairs,
+    // so recall is monotone in nprobe (toward brute force at nprobe=k)
+    val probe2 = pairs(LlmOps.annTopKIvf(
+      vecs, "vec_id", "embedding", _ < 20, topK = 3, k = 8, iters = 0, nprobe = 2))
+    info(f"recall@3: nprobe2=${recall(probe2)}%.3f")
+    assert(recall(probe2) >= recall(seed),
+      "nprobe=2 recall must not drop below nprobe=1")
   }
 
   test("dedup groups: min-label propagation finds component minima") {
@@ -209,5 +216,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byId(1L)._4 === byId(2L)._4, "same bytes → same signature")
     assert(byId(1L)._4 !== byId(3L)._4)
     assert(frames.forall(f => f._2 >= 64 && f._3 >= 64))
+  }
+
+  test("multimodal frame sampling: strided indices, bounded by the frame count, " +
+    "short payloads dedup") {
+    // "abcde" → 5 bytes → 1 + 5%16 = 6 frames; k=4 → floor(j*6/4) = 0,1,3,4
+    // "ab" → 2 bytes → 3 frames; k=4 → 0,0,1,2 → dedup to 0,1,2
+    val d = Seq((1L, "abcde"), (2L, "ab")).toDF("doc_id", "text")
+    val out = MultimodalOps.frameSample(
+      d, "doc_id", MultimodalOps.withPayload(col("text")), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).sorted.toSeq === Seq(0L, 1L, 3L, 4L))
+    assert(byDoc(1L).head._2 === 6L)
+    assert(byDoc(2L).map(_._3).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(out.forall { case (_, n, i) => i >= 0 && i < n })
+  }
+
+  test("multimodal resize stub: target dims pass through, signature folds " +
+    "payload with target box deterministically") {
+    val d = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val a = MultimodalOps.resizeFramesStub(d, "doc_id", "payload", 224, 224)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(a(1L)._3 === 224 && a(1L)._4 === 224)
+    assert(a(1L)._5 === a(2L)._5, "same bytes + same box → same signature")
+    assert(a(1L)._5 !== a(3L)._5)
+    val b = MultimodalOps.resizeFramesStub(d, "doc_id", "payload", 64, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(b(1L) !== a(1L)._5, "different target box → different signature")
   }
 }

@@ -155,6 +155,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join plans an equi join with a range filter, " +
+    "never a cartesian") {
+    val q = SparkEntry.queries("ext_stream_stream")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must key on user, not cross:\n$plan")
+  }
+
   test("minhash candidate generation plans a keyed aggregate, not a cartesian") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = graft.operators.LlmOps
