@@ -167,6 +167,48 @@ object TextOps {
           .as("top_word_ratio"))
   }
 
+  /** Deterministic stratified sampling with per-stratum rates — the
+    * data-mixing primitive of a pretraining corpus ("keep 50% of en,
+    * 25% of de, 10% of the rest"). A document is kept iff
+    * polyhash(stratum ":" id) lands below its stratum's cut of a
+    * 10000-bucket space: per-row, shuffle-free, reproducible across
+    * runs AND engines (no RNG), and stable under corpus growth — a
+    * document's keep/drop never changes because other rows appeared.
+    * Rates are rounded to 1/10000 granularity. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val bucket = LlmOps.strHash(
+      concat(strataCol, lit(":"), col(idCol).cast("string"))) % 10000L
+    val cut = rates.foldLeft(round(lit(defaultRate) * 10000).cast("long")) {
+      case (acc, (k, v)) =>
+        when(strataCol === k, round(lit(v) * 10000).cast("long")).otherwise(acc)
+    }
+    df.filter(bucket < cut)
+  }
+
+  /** Sequence packing for pretraining: assign documents to fixed
+    * token-budget training sequences. Documents pack in deterministic
+    * (shard, id) order; a document joins the sequence its cumulative
+    * token OFFSET falls into — "offset packing", a pure two-window plan
+    * (running sum + integer divide, no sequential driver loop) whose
+    * sequences may overflow the budget by at most one document's
+    * tokens. The shard column partitions the sort, so at 100 TB the
+    * window runs per-shard in parallel instead of as a global sort. */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      budget: Long, shardCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"token budget must be >= 1: $budget")
+    val toks = size(split(col(textCol), " ")).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), shardCol.as("shard"), toks.as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        floor(col("offset") / lit(budget.toDouble)).cast("long").as("seq_no"))
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

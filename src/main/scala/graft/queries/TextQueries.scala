@@ -253,6 +253,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Deterministic stratified sampling (data mixing) -------------
+    // Keep 50% of en, 25% of de, 10% of everything else, decided by a
+    // reproducible hash of (lang ":" doc_id) — both engines replay the
+    // identical fold, so the SAMPLE ITSELF is oracle-checked, not just
+    // its size.
+    QDef.sql(
+      "llm_sample_stratified",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${duckHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,
+         |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+         |              ELSE 1000 END AS cut
+         |  FROM documents)
+         |SELECT doc_id, lang FROM h WHERE bucket < cut
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", col("lang"),
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ----- Sequence packing (token-budget binning) ---------------------
+    // Offset packing: per-shard running token sum, sequence number =
+    // offset div budget — the window shape that packs a 100 TB corpus
+    // into training sequences without a sequential pass.
+    QDef.sql(
+      "llm_pack_sequences",
+      """WITH s AS (
+        |  SELECT doc_id, lang AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(floor(off / 512.0) AS BIGINT) AS seq_no
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.packSequences(
+        t(s, dir, "documents"), "doc_id", "text",
+        budget = 512L, shardCol = col("lang"))
+        .orderBy("doc_id")
+    },
+
     // ----- Multimodal frame sampling (no decode) -----------------------
     // Uniformly-strided sample of 4 frame indices out of each payload's
     // stub-derived frame count — pure column arithmetic on both engines,

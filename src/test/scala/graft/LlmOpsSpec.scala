@@ -206,6 +206,40 @@ class LlmOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("stratified sampling: per-stratum rates hold, deterministic across runs") {
+    val d = (1L to 600L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def run() = TextOps.stratifiedSample(
+      d, "doc_id", col("lang"), Map("en" -> 1.0, "de" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val kept = run()
+    assert(kept === run(), "hash sampling must be reproducible")
+    assert(kept.forall(_._2 == "en"), "rate 0.0 stratum fully dropped")
+    assert(kept.size === 200, "rate 1.0 stratum fully kept")
+    val half = TextOps.stratifiedSample(
+      d, "doc_id", col("lang"), Map.empty, defaultRate = 0.5).count()
+    assert(half > 600 * 0.35 && half < 600 * 0.65,
+      s"50% sample over 600 docs landed at $half")
+  }
+
+  test("sequence packing: offset binning per shard with a deterministic order") {
+    val d = Seq(
+      (1L, "x", "a b c"),        // 3 tokens, offset 0  → seq 0
+      (2L, "x", "a b c d"),      // 4 tokens, offset 3  → seq 0
+      (3L, "x", "a b c d e"),    // 5 tokens, offset 7  → seq 1
+      (4L, "x", "a b"),          // 2 tokens, offset 12 → seq 2
+      (5L, "y", "a b c d e f g") // other shard restarts at offset 0
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.packSequences(d, "doc_id", "text", budget = 6L, col("lang"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("x", 3L, 0L)))
+    assert(out(2L) === (("x", 4L, 0L)))
+    assert(out(3L) === (("x", 5L, 1L)))
+    assert(out(4L) === (("x", 2L, 2L)))
+    assert(out(5L) === (("y", 7L, 0L)))
+  }
+
   test("multimodal: payload is real BinaryType; stub decode is deterministic per byte content") {
     val d = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
       .withColumn("payload", MultimodalOps.withPayload(col("text")))

@@ -120,6 +120,60 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set((1L, 100L), (3L, 100L), (4L, 200L)))
   }
 
+  test("asofJoin and rangeJoin agree with naive joins on 2000 random events") {
+    import spark.implicits._
+    // seeded corpus: clustered timestamps force boundary collisions,
+    // sparse keys force empty-side cases
+    val rnd = new scala.util.Random(20240812)
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val rows = Seq.tabulate(2000)(i =>
+      (i.toLong, s"u${rnd.nextInt(40)}", ts(rnd.nextInt(3000)), rnd.nextBoolean()))
+    val df = rows.toDF("id", "k", "ts", "isLeft")
+    val left = df.filter($"isLeft").select($"id", $"k", $"ts")
+    // asofJoin documents right rows unique per (key, ts) — ties among
+    // exact duplicates are engine-arbitrary — so collapse collisions
+    // deterministically before comparing implementations
+    val right = df.filter(!$"isLeft")
+      .groupBy($"k".as("rk"), $"ts".as("rts"))
+      .agg(max($"id").as("rid"))
+      .select($"rid", $"rk", $"rts")
+
+    // rangeJoin (binned equi join) vs the plain inequality join it scales past
+    val win = 120L // seconds
+    val rIntervals = right.select($"rk", $"rts".as("s"),
+      ($"rts" + expr(s"INTERVAL $win SECONDS")).as("e"), $"rid")
+    val binned = graft.operators.Ops.rangeJoin(
+      left, rIntervals.withColumnRenamed("rk", "k"), // key shares its name
+      leftTs = "ts", startCol = "s", endCol = "e",
+      binWidth = 60L, key = Some("k"))
+      .select($"id", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naiveRange = left.join(rIntervals,
+      $"k" === $"rk" && $"ts" >= $"s" && $"ts" < $"e")
+      .select($"id", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === naiveRange,
+      s"rangeJoin diverged: extra=${(binned -- naiveRange).take(3)} " +
+        s"missing=${(naiveRange -- binned).take(3)}")
+    assert(naiveRange.nonEmpty, "degenerate corpus: no range matches at all")
+
+    // asofJoin (union + running-last) vs join-then-rank
+    val asof = graft.operators.Ops.asofJoin(
+      left, right.select($"rk".as("k"), $"rts".as("ts"), $"rid"),
+      key = "k", leftTs = "ts", rightTs = "ts", payloadCols = Seq("rid"))
+      .select($"id", $"asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"id").orderBy($"rts".desc, $"rid".desc)
+    val naiveAsof = left.join(right, $"k" === $"rk" && $"rts" <= $"ts", "left")
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"id", $"rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(asof.keySet === naiveAsof.keySet)
+    val diffs = asof.collect { case (id, v) if naiveAsof(id) != v => id }
+    assert(diffs.isEmpty, s"asofJoin diverged on ids ${diffs.take(5)}")
+    assert(naiveAsof.values.exists(_ >= 0) && naiveAsof.values.exists(_ == -1L),
+      "corpus must exercise both matched and unmatched asof rows")
+  }
+
   test("cleanText/sanitizeTsv/trimWhitespace build ONE Project over a wide frame") {
     import spark.implicits._
     val wide = Seq(1).toDF("c0")
