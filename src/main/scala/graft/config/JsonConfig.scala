@@ -146,6 +146,19 @@ object JsonConfig {
         field = str(qf.path("field")).getOrElse(sys.error("quality_filter missing field")),
         min = if (qf.path("min").isNumber) qf.path("min").asDouble() else 0.0))
     } else None,
+    sample = if (n.path("sample").isObject) {
+      val sd = n.path("sample")
+      Some(SampleDef(
+        idField = str(sd.path("id_field")).getOrElse(sys.error("sample missing id_field")),
+        strataField = str(sd.path("strata_field"))
+          .getOrElse(sys.error("sample missing strata_field")),
+        rates = obj(sd.path("rates")).collect {
+          case (k, v: Number) => k -> v.doubleValue()
+        },
+        defaultRate =
+          if (sd.path("default_rate").isNumber) sd.path("default_rate").asDouble()
+          else 0.0))
+    } else None,
     addProcessedFlags = bool(n.path("add_processed_flags")).getOrElse(true),
     intermediate = if (n.path("intermediate").isObject) {
       val i = n.path("intermediate")

@@ -123,6 +123,8 @@ final case class TransformDef(
     /** LLM-extension: keep only docs whose LT2 quality score over
       * `field` clears `min`. */
     qualityFilter: Option[QualityFilterDef] = None,
+    /** LLM-extension: deterministic per-stratum hash sampling (LT8). */
+    sample: Option[SampleDef] = None,
     addProcessedFlags: Boolean = true,
     intermediate: Option[IntermediateDef] = None,
     /** Post-transform validation (declared-but-dead in the reference,
@@ -155,6 +157,16 @@ final case class NearDedupDef(
 final case class LangFilterDef(field: String, allowed: Seq[String])
 
 final case class QualityFilterDef(field: String, min: Double)
+
+/** LLM-extension: deterministic stratified sampling inside a pipeline's
+  * transform — the data-mixing step ("keep 50% of en, 10% of the
+  * rest"). Hash-Bernoulli on (stratum ":" id), so reruns and engine
+  * changes keep the identical sample (see TextOps.stratifiedSample). */
+final case class SampleDef(
+    idField: String,
+    strataField: String,
+    rates: Map[String, Double] = Map.empty,
+    defaultRate: Double = 0.0)
 
 /** Sinks (§2.10): formats ∈ {csv,tsv,json,parquet}; zip packages the
   * formats into one archive (reference W6). */

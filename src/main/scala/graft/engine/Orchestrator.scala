@@ -440,6 +440,10 @@ object Orchestrator {
       df = df.filter(
         graft.operators.TextOps.qualityScore(col(qf.field)) >= qf.min)
     }
+    t.sample.foreach { sd =>
+      df = graft.operators.TextOps.stratifiedSample(
+        df, sd.idField, col(sd.strataField), sd.rates, sd.defaultRate)
+    }
     if (t.computedFields.nonEmpty) {
       if (t.computedFields.valuesIterator.contains("record_index")) {
         // zipWithIndex evaluates the upstream twice (sizing pass + data

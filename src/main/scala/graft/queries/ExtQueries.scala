@@ -392,6 +392,37 @@ object ExtQueries {
         .orderBy("event_id", "p_event")
     },
 
+    // ----- Stream-stream interval join, LEFT OUTER batch twin ----------
+    // Same shape with outer semantics: every error appears once (or
+    // more), purchase columns null when no same-user purchase preceded
+    // it within the hour. In streaming the nulls emit only after the
+    // watermark closes the window — the batch twin is the end-state
+    // those deferred emissions converge to.
+    QDef.sql(
+      "ext_stream_stream_outer",
+      """SELECT l.event_id, l.user_id, r.event_id AS p_event
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') l
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+        |ORDER BY l.event_id, p_event NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      Streams.intervalJoin(
+        l, r, leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        watermarkDelay = "10 minutes", window = "1 hour",
+        joinType = "left_outer")
+        .select(col("event_id"), col("user_id"), col("p_event"))
+        .orderBy(col("event_id"), asc_nulls_first("p_event"))
+    },
+
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's

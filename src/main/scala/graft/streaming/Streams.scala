@@ -212,7 +212,13 @@ object Streams {
     * frames the same call degrades to an equi-key join with a range
     * filter (the oracle twin; the binned [[graft.operators.Ops.rangeJoin]]
     * is the batch-at-scale shape — ext_stream_stream pins all of them
-    * to one answer). Column names must be disjoint across the sides. */
+    * to one answer). Column names must be disjoint across the sides.
+    *
+    * `joinType` "inner" (default) or "left_outer": the outer variant
+    * emits an unmatched left row with null right columns — in
+    * streaming, only once the watermark proves no in-window right row
+    * can still arrive (the null is a STATEMENT about the bounded past,
+    * which is why outer stream-stream joins require the watermark). */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -221,7 +227,10 @@ object Streams {
       leftTs: String,
       rightTs: String,
       watermarkDelay: String,
-      window: String): DataFrame = {
+      window: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"intervalJoin supports inner|left_outer, got '$joinType'")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalJoin: sides share column names " +
@@ -231,7 +240,8 @@ object Streams {
     l.join(r,
       col(leftKey) === col(rightKey)
         && col(leftTs) >= col(rightTs)
-        && col(leftTs) < col(rightTs) + expr(s"INTERVAL $window"))
+        && col(leftTs) < col(rightTs) + expr(s"INTERVAL $window"),
+      joinType)
   }
 
   /** Streaming exact dedup with BOUNDED state: duplicates arriving

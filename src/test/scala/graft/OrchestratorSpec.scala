@@ -278,6 +278,28 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L))
   }
 
+  test("transform.sample: config-level stratified sampling keeps the " +
+    "deterministic per-stratum subset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_smp").toString
+    (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("smp"), Seq(
+      PipelineDef("smp", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          sample = Some(SampleDef("doc_id", "lang",
+            rates = Map("en" -> 1.0), defaultRate = 0.0))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("smp").df.get
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length === 100, "en fully kept, de fully dropped")
+    assert(kept.forall(_._2 == "en"))
+    // same config re-run → identical sample (hash, not RNG)
+    val again = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+      .results("smp").df.get.select("doc_id").collect().map(_.getLong(0))
+    assert(again.sorted.toSeq === kept.map(_._1).sorted.toSeq)
+  }
+
   // ----- X3 wiring: record_index determinism over fan-out --------------
   test("X3: record_index on a fan-out source is stable across materializations " +
     "and fires each HTTP call exactly once") {

@@ -227,6 +227,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits with null " +
+    "right columns only after the watermark closes its window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val lIn = MemoryStream[(Long, String, Timestamp)]
+    val rIn = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      lIn.toDF().toDF("id", "key", "ts"),
+      rIn.toDF().toDF("pid", "pkey", "pts"),
+      leftKey = "key", rightKey = "pkey", leftTs = "ts", rightTs = "pts",
+      watermarkDelay = "10 minutes", window = "1 hour",
+      joinType = "left_outer")
+      .select("id", "pid")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_outer").outputMode("append").start()
+    try {
+      rIn.addData((100L, "u1", ts(0)))
+      lIn.addData((1L, "u1", ts(30)))  // matched
+      lIn.addData((2L, "u2", ts(30)))  // no u2 purchase → eventual null row
+      q.processAllAvailable()
+      def got() = spark.table("ssj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // the unmatched row CANNOT emit yet: a u2 purchase in its window
+      // could still arrive
+      assert(got() === Set((1L, 100L)))
+      // both watermarks past 01:30+1h → the window is provably closed
+      lIn.addData((3L, "u3", tsH(3, 0)))
+      rIn.addData((300L, "u3", tsH(3, 0)))
+      q.processAllAvailable()
+      q.processAllAvailable() // outer-null emission needs the extra batch
+      assert(got().contains((2L, -1L)),
+        s"unmatched left must emit with nulls after the watermark: ${got()}")
+    } finally q.stop()
+  }
+
   test("intervalJoin and enrich reject colliding column names up front") {
     import spark.implicits._
     val a = Seq((1L, "k", ts(0))).toDF("id", "key", "ts")
