@@ -37,22 +37,30 @@ object Main {
     val hasConfig = argv.nonEmpty && !argv(0).startsWith("--")
     var a = Args(configPath = if (hasConfig) argv(0) else "")
     var i = if (hasConfig) 1 else 0
+    def value(flag: String): String = {
+      if (i + 1 >= argv.length) sys.error(s"flag $flag needs a value")
+      argv(i + 1)
+    }
     while (i < argv.length) {
       argv(i) match {
-        case "--only" => a = a.copy(only = argv(i + 1).split(',').toSet); i += 2
+        case f @ "--only" => a = a.copy(only = value(f).split(',').toSet); i += 2
         // single-pipeline muscle memory (toml_etl parity): same as --only
-        case "--single" => a = a.copy(only = Set(argv(i + 1))); i += 2
-        case "--skip" => a = a.copy(skip = argv(i + 1).split(',').toSet); i += 2
+        case f @ "--single" => a = a.copy(only = Set(value(f))); i += 2
+        case f @ "--skip" => a = a.copy(skip = value(f).split(',').toSet); i += 2
         case "--dry-run" => a = a.copy(dryRun = true); i += 1
-        case "--execution-id" => a = a.copy(executionId = Some(argv(i + 1))); i += 2
-        case "--metrics-out" => a = a.copy(metricsOut = Some(argv(i + 1))); i += 2
+        case f @ "--execution-id" => a = a.copy(executionId = Some(value(f))); i += 2
+        case f @ "--metrics-out" => a = a.copy(metricsOut = Some(value(f))); i += 2
         case "--monitor" => a = a.copy(monitor = true); i += 1
         case "--mvp" => a = a.copy(mvp = Some(true)); i += 1
         case "--no-mvp" => a = a.copy(mvp = Some(false)); i += 1
-        case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case f @ "--master" => a = a.copy(master = value(f)); i += 2
         case other => sys.error(s"unknown flag: $other")
       }
     }
+    // zero-config mode builds a one-pipeline sequence named "simple";
+    // any selector would silently filter it out and "run" nothing
+    if (a.configPath.isEmpty && (a.only.nonEmpty || a.skip.nonEmpty))
+      sys.error("--only/--single/--skip need a config file (zero-config mode runs one fixed pipeline)")
     a
   }
 

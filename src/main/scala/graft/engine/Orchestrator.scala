@@ -250,8 +250,12 @@ object Orchestrator {
                     fr.filter(_ => ph == "load" && TolerantPolicies(seq.onLoadError)))
                 case _ => (None, None)
               }
+              // a kept frame must also keep a real count: downstream
+              // when_records_count conditions would otherwise read 0 and
+              // silently skip consumers of the surviving data
               PipelineOutcome(name, frame, None, 0L, "failed",
                 Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+                countFn = () => frame.map(_.count()).getOrElse(0L),
                 failedPhase = phase)
           }
         val outcome0 = attempt(seq.retryAttempts)

@@ -344,6 +344,7 @@ object LlmOps {
     // round 1's cents is a plan over v, not a checkpoint — only rounds
     // after that have a superseded checkpoint to release
     var prevCp: Option[DataFrame] = None
+    try {
     for (_ <- 1 to iters) {
       val cc = cents.withColumn(
         "cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
@@ -372,6 +373,13 @@ object LlmOps {
       // previous round's blocks are fully superseded — release them
       prevCp.foreach(releaseCheckpoint)
       prevCp = Some(cents)
+    }
+    } catch { case t: Throwable =>
+      // error path: don't leave the training cache or a superseded
+      // round's checkpoint pinned behind a failed run
+      prevCp.foreach(releaseCheckpoint)
+      if (iters > 0) v.unpersist(false)
+      throw t
     }
     if (iters > 0) v.unpersist(false)
     // the final round's checkpoint stays: the returned frame reads it
@@ -448,15 +456,16 @@ object LlmOps {
     // shuffle partitioning. The pairs plan itself (often a heavy
     // MinHash/LSH pipeline) is still planned under the CALLER's config,
     // AQE included.
+    val sess = ids.sparkSession
     // Symmetrize via explode, not self-union: one scan of the (often
     // expensive) pairs plan instead of two.
-    val edges = pairs
+    val edges0 = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
-    val edgeCount = edges.count()
+    val edgeCount = edges0.count()
     // Only edge-connected nodes need label propagation; everything else
     // is trivially its own canonical and rejoins at the end. In a real
     // corpus near-dups are a small fraction, so the iterated set — and
@@ -465,10 +474,33 @@ object LlmOps {
     // labels, hop 1 reduces to "min neighbor id", so labels start at
     // least(id, min_neighbor) for the cost of the same one aggregation
     // the identity init needed — one fewer loop round.
+    // Loop-scoped planning config via a PRIVATE child session: same
+    // SparkContext, same checkpoint blocks, separate SQLConf. Profiling
+    // at sf0.1 put ~70% of the loop's wall time in per-stage job
+    // scheduling — AQE materializes every exchange of every round as
+    // its own job, and a corpus-sized shuffle width launches that many
+    // near-empty tasks per stage — so the loop plans with static
+    // planning and edge-proportional width (~2M edges/partition,
+    // floor 4, capped by the caller's setting so a real cluster's
+    // config wins at scale). Session conf is process-global state; the
+    // child session keeps the override invisible to concurrent queries
+    // and to the caller (the RETURNED frame is planned by the caller's
+    // session as usual).
+    val defParts = sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val loopParts = math.min(defParts.toLong,
+      math.max(4L, edgeCount / 2000000L + 1L))
+    val loopSess = sess.newSession()
+    loopSess.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val edges = org.apache.spark.sql.graftbridge.DatasetBridge
+      .rehost(edges0, loopSess)
     var labels = edges
       .groupBy(col("src").as("id")).agg(min("dst").as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .localCheckpoint(false)
+    // the checkpoint frame whose blocks back `labels` (released when
+    // superseded — including on the error path)
+    var labelsCp = labels
     // One MESSAGE PASS per propagation round: every node receives
     // (a) its own label, (b) each neighbor's label (hop 1), (c) its
     // label's label (hop 2, pointer jumping — halves the remaining
@@ -492,27 +524,6 @@ object LlmOps {
     }
     var converged = false
     var iter = 0
-    // Loop-scoped planning config (restored in finally): profiling at
-    // sf0.1 put ~70% of the operator's wall time in per-stage job
-    // scheduling, not shuffle volume — AQE materializes every exchange
-    // of every round as its own job (~10 jobs/round), and the session's
-    // corpus-sized shuffle partitioning launches that many near-empty
-    // tasks per stage. Static planning + edge-proportional parallelism
-    // runs each round as one pipelined job over right-sized partitions
-    // (measured 2.6 s → 1.5 s at sf0.1; identical plan semantics). The
-    // RETURNED frame is planned by the caller's action under the
-    // restored config, so the corpus-sized final anti-join keeps AQE.
-    val sess = ids.sparkSession
-    val defParts = sess.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    // floor of 4: even a tiny graph keeps a few parallel tasks per
-    // stage (measured faster than width 1 at sf0.1), still capped by
-    // the session default so a real cluster's setting wins at scale
-    val loopParts = math.min(defParts.toLong,
-      math.max(4L, edgeCount / 2000000L + 1L))
-    val oldAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val oldParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
       while (!converged && iter < maxIters) {
         // LAZY localCheckpoint + immediate count: the count action is
@@ -527,28 +538,38 @@ object LlmOps {
         // the count materialized `next`'s checkpoint, so the previous
         // round's label blocks are superseded — release them now instead
         // of pinning ~log(diameter) label-frame copies until session end
-        releaseCheckpoint(labels)
+        releaseCheckpoint(labelsCp)
+        labelsCp = next
         labels = next.select(col("id"), col("newLabel").as("label"))
         converged = changed == 0
         iter += 1
       }
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", oldAqe)
-      sess.conf.set("spark.sql.shuffle.partitions", oldParts)
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedupGroups did not converge within $maxIters rounds")
+    } catch { case t: Throwable =>
+      // error path (non-convergence, a failed round): the blocks would
+      // otherwise stay pinned until session end — the same leak the
+      // success path releases round by round
+      releaseCheckpoint(labelsCp)
+      releaseCheckpoint(edges0)
+      throw t
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupGroups did not converge within $maxIters rounds")
     // message passing preserves the id set round-over-round (selfMsgs
     // covers every labeled id; neighbor/jump targets are already
     // labeled), so the final labels' ids ARE the edge-connected set —
     // no reference back to the released init frame needed.
-    releaseCheckpoint(edges)
+    releaseCheckpoint(edges0)
+    // the final round's checkpoint stays (the returned frame reads it),
+    // re-hosted back into the CALLER's session so the corpus-sized
+    // final anti-join is planned under the caller's config, AQE included
+    val finalLabels = org.apache.spark.sql.graftbridge.DatasetBridge
+      .rehost(labelsCp, sess)
+      .select(col("id"), col("newLabel").as("label"))
     val isolated = ids.select(col(idCol).as("id"))
-      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .join(finalLabels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
-    // the final round's checkpoint stays: the returned frame reads it
-    labels.union(isolated)
+    finalLabels.union(isolated)
       .select(col("id").as(idCol), col("label").as("canonical_id"))
   }
 }

@@ -174,12 +174,16 @@ object TextOps {
     * 10000-bucket space: per-row, shuffle-free, reproducible across
     * runs AND engines (no RNG), and stable under corpus growth — a
     * document's keep/drop never changes because other rows appeared.
-    * Rates are rounded to 1/10000 granularity. */
+    * Rates are rounded to 1/10000 granularity. A NULL stratum falls
+    * under `defaultRate` (hashed under a sentinel — without it the null
+    * would poison the hash and silently drop the row regardless of
+    * rate). */
   def stratifiedSample(
       df: DataFrame, idCol: String, strataCol: Column,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     val bucket = LlmOps.strHash(
-      concat(strataCol, lit(":"), col(idCol).cast("string"))) % 10000L
+      concat(coalesce(strataCol.cast("string"), lit(" ")),
+        lit(":"), col(idCol).cast("string"))) % 10000L
     val cut = rates.foldLeft(round(lit(defaultRate) * 10000).cast("long")) {
       case (acc, (k, v)) =>
         when(strataCol === k, round(lit(v) * 10000).cast("long")).otherwise(acc)

@@ -130,19 +130,19 @@ object ExtQueries {
     // ----- Analytical aggregates over the star schema ------------------
     // TPC-H-shaped queries proving the engine handles classic OLAP
     // plans, not just ETL row-shaping. Double sums are order-dependent
-    // across engines, so money columns sum as DECIMAL(18,2) — exact and
+    // across engines, so money columns sum as DECIMAL — exact and
     // engine-portable (the pattern for any financial aggregate here).
     QDef.sql(
       "q1_pricing",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,2)) AS sum_qty,
+        |            AS DECIMAL(38,2)) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,2)) AS sum_price,
+        |            AS DECIMAL(38,2)) AS sum_price,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,4)) AS sum_disc_price
+        |            AS DECIMAL(38,4)) AS sum_disc_price
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
@@ -150,19 +150,19 @@ object ExtQueries {
       // sum(decimal(18,2)) to decimal(28,2) while DuckDB widens to
       // decimal(38,2) — same values, different metadata, and the
       // driver's hash folds the type in. Both sides cast to the same
-      // decimal(18,_) so the compare is value-level.
+      // decimal(38,_) so the compare is value-level (38 = both engines' max width — the pin changes metadata, never headroom).
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_qty"),
+            .cast("decimal(38,2)").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_price"),
+            .cast("decimal(38,2)").as("sum_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)")
             * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-            .cast("decimal(18,4)").as("sum_disc_price"))
+            .cast("decimal(38,4)").as("sum_disc_price"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -173,7 +173,7 @@ object ExtQueries {
       """SELECT l_orderkey,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,4)) AS revenue,
+        |            AS DECIMAL(38,4)) AS revenue,
         |       o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -192,7 +192,7 @@ object ExtQueries {
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
           * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-          .cast("decimal(18,4)").as("revenue"))
+          .cast("decimal(38,4)").as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -232,7 +232,7 @@ object ExtQueries {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,2)) AS sum_qty
+        |            AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -240,7 +240,7 @@ object ExtQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_qty"))
+            .cast("decimal(38,2)").as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -254,7 +254,7 @@ object ExtQueries {
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,4)) AS revenue
+        |            AS DECIMAL(38,4)) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -275,7 +275,7 @@ object ExtQueries {
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
           * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-          .cast("decimal(18,4)").as("revenue"))
+          .cast("decimal(38,4)").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 

@@ -21,7 +21,8 @@ object TextQueries {
     * conservative — a false reject forces a portable rewrite, a false
     * accept would silently diverge the oracle. */
   private[graft] def duckRegexLit(re: String): String = {
-    Seq("(?=", "(?!", "(?<=", "(?<!", "(?>").foreach(b =>
+    // "(?<" covers lookbehinds AND Java named groups (?<name>...) in one
+    Seq("(?=", "(?!", "(?<", "(?>").foreach(b =>
       require(!re.contains(b), s"non-RE2 construct '$b' in oracle regex: $re"))
     require("""\\[1-9]|\\k<""".r.findFirstIn(re).isEmpty,
       s"backreference in oracle regex: $re")

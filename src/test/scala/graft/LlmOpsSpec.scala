@@ -151,19 +151,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"kmeansCentroids left $pinnedKm RDDs pinned (max 1: the final round)")
   }
 
-  test("dedupGroups restores the session planning config it scopes to the loop") {
+  test("dedupGroups never touches the caller session's planning config; " +
+    "the failure path releases its checkpoint blocks too") {
     val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
     val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     val ids = (1L to 10L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
     LlmOps.dedupGroups(ids, "doc_id", pairs).collect()
+    // the loop plans in a PRIVATE child session — shared-session conf is
+    // process-global and a concurrent query must never see the override
     assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
-    // restoration also holds when the loop throws (non-convergence)
+    // non-convergence abort: conf still untouched AND no pinned blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     intercept[IllegalStateException](
       LlmOps.dedupGroups(ids, "doc_id", pairs, maxIters = 0).collect())
     assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"failed run left RDDs pinned: $leaked")
   }
 
   test("record index: partition-offset indexing matches the global order") {
@@ -220,6 +226,15 @@ class LlmOpsSpec extends AnyFunSuite {
       d, "doc_id", col("lang"), Map.empty, defaultRate = 0.5).count()
     assert(half > 600 * 0.35 && half < 600 * 0.65,
       s"50% sample over 600 docs landed at $half")
+    // a NULL stratum falls under defaultRate instead of silently
+    // vanishing through a null hash
+    val withNulls = (1L to 100L)
+      .map(i => (i, if (i % 2 == 0) "en" else null)).toDF("doc_id", "lang")
+    val keptNull = TextOps.stratifiedSample(
+      withNulls, "doc_id", col("lang"), Map("en" -> 0.0), defaultRate = 1.0)
+      .collect().map(_.getLong(0))
+    assert(keptNull.length === 50 && keptNull.forall(_ % 2 == 1),
+      "all 50 null-stratum docs kept at defaultRate=1.0, all en dropped")
   }
 
   test("sequence packing: offset binning per shard with a deterministic order") {

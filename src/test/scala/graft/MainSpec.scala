@@ -26,6 +26,13 @@ class MainSpec extends AnyFunSuite {
     assert(a.only === Set("a", "b") && a.skip === Set("c"))
     assert(a.dryRun && a.executionId.contains("e1") && a.metricsOut.contains("/m.json"))
     intercept[RuntimeException](Main.parseArgs(Array("cfg", "--frobnicate")))
+    // a trailing value-taking flag gets a usage error, not an index crash
+    val e = intercept[RuntimeException](Main.parseArgs(Array("cfg", "--only")))
+    assert(e.getMessage.contains("needs a value"))
+    // selectors without a config would silently select nothing in
+    // zero-config mode (its one pipeline is named "simple")
+    val e2 = intercept[RuntimeException](Main.parseArgs(Array("--single", "posts")))
+    assert(e2.getMessage.contains("config"))
   }
 
   test("config file with env + shared vars runs end-to-end and writes metrics") {

@@ -148,6 +148,9 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(ctx.results("writer").status === "failed")
     assert(ctx.results("writer").failedPhase === Some("load"))
     assert(ctx.results("writer").df.nonEmpty, "frame survives the sink failure")
+    // the kept frame keeps a REAL count — a when_records_count condition
+    // downstream must not read 0 and silently skip the consumer
+    assert(ctx.results("writer").recordCount === 1L)
     assert(ctx.results("reader").status === "succeeded")
     assert(ctx.results("reader").df.get.select("id").collect().head.getLong(0) === 7L)
     // same failure under the default policy aborts the sequence
