@@ -572,4 +572,25 @@ object LlmOps {
     finalLabels.union(isolated)
       .select(col("id").as(idCol), col("label").as("canonical_id"))
   }
+
+  /** Near-dup canonicalization keeping the BEST member per duplicate
+    * cluster instead of the minimum id — real curation keeps the
+    * highest-quality duplicate, not an arbitrary one. `docs` carries
+    * (idCol, scoreCol); every doc maps to the highest-scoring member of
+    * its [[dedupGroups]] component (score ties break on the lower id).
+    * One extra keyed window + join over the labeled frame — the
+    * component id is just re-pointed, the CC plan is unchanged. */
+  def dedupGroupsKeepBest(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val labeled = dedupGroups(docs.select(idCol), idCol, pairs, maxIters)
+    val scored = labeled.join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val best = scored
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("canonical_id"), col(idCol).as("__best"))
+    labeled.join(best, Seq("canonical_id"))
+      .select(col(idCol), col("__best").as("canonical_id"))
+  }
 }

@@ -385,6 +385,82 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Keep-best near-dup canonicalization -------------------------
+    // Same CC clusters as llm_dedup_groups, but each doc re-points at
+    // its cluster's HIGHEST-quality member (rounded score, id
+    // tiebreak) — what a real curation pass keeps. Quality mirrors
+    // llm_quality's formula exactly; both engines rank on the SAME
+    // round(quality, 6) value so the argmax agrees.
+    QDef.sql(
+      "llm_dedup_best",
+      s"""WITH RECURSIVE ${duckShingleHashes()},
+         |mh AS (
+         |  SELECT doc_id,
+         |    min((1000003 * h + 12345) % 2147483647) AS m0,
+         |    min((1000033 * h + 54321) % 2147483647) AS m1,
+         |    min((1000037 * h + 11111) % 2147483647) AS m2,
+         |    min((1000039 * h + 22222) % 2147483647) AS m3,
+         |    min((1000081 * h + 33333) % 2147483647) AS m4,
+         |    min((1000099 * h + 44444) % 2147483647) AS m5,
+         |    min((1000117 * h + 55555) % 2147483647) AS m6,
+         |    min((1000121 * h + 66666) % 2147483647) AS m7
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+         |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+         |),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |                           AND a.doc_id < b.doc_id
+         |),
+         |cedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs
+         |),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN cedges e ON e.src = r.doc_id
+         |),
+         |canon AS (
+         |  SELECT doc_id, min(label) AS comp FROM reach GROUP BY doc_id
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(ws) AS BIGINT) / 50.0) * 0.4
+         |        + (CAST(len(list_filter(ws, x -> list_contains(
+         |            ${graft.operators.TextOps.StopEn.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE)
+         |           / CAST(len(ws) AS BIGINT)) * 0.3
+         |        + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |           / length(text)) * 0.3 END, 6) AS quality
+         |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+         |        FROM documents)
+         |),
+         |best AS (
+         |  SELECT comp, doc_id AS best_id FROM (
+         |    SELECT c.comp, c.doc_id,
+         |      row_number() OVER (PARTITION BY c.comp
+         |        ORDER BY q.quality DESC, c.doc_id) AS rn
+         |    FROM canon c JOIN q USING (doc_id))
+         |  WHERE rn = 1
+         |)
+         |SELECT c.doc_id, b.best_id AS canonical_id
+         |FROM canon c JOIN best b USING (comp)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.TextOps
+        .qualitySignals(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      LlmOps.dedupGroupsKeepBest(scored, "doc_id", "quality",
+        LlmOps.minHashCandidatePairs(docs, "doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     // ----- Benchmark-contamination detection ---------------------------
     // Docs whose doc_id % 20 == 0 stand in for the benchmark/eval set;
     // every other doc reports how many distinct 3-gram shingles it

@@ -121,6 +121,19 @@ class LlmOpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("dedup keep-best: clusters canonicalize to the highest-scoring member, " +
+    "ties break on the lower id") {
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: best = 2 (tie 2 vs 3)
+      (4L, 0.5),                       // isolated: its own canonical
+      (5L, 0.1), (6L, 0.8)             // cluster {5,6}: best = 6
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = LlmOps.dedupGroupsKeepBest(docs, "doc_id", "quality", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
   test("iterative operators release superseded checkpoint blocks") {
     val sc = spark.sparkContext
     // run body, return (result, #persistent RDDs it left behind)
