@@ -53,10 +53,16 @@ object TomlConfig {
     val name = str(pT.get("name")).getOrElse("pipeline")
     val eh = tbl(root.get("error_handling"))
     val srcT = tbl(root.get("source"))
+    // [performance].request_timeout (toml_config.rs:112-117,
+    // declared-but-dead in the reference): honest config-wide default
+    // HTTP timeout. memory_limit_mb / disk_cache_enabled stay inert —
+    // they are cluster resource config in Spark, documented SURVEY §2.12.
+    val defTimeout = long(tbl(root.get("performance")).get("request_timeout"))
+      .getOrElse(30L)
     val extract0 = parseExtract(tbl(root.get("extract")))
     val pipeline = PipelineDef(
       name = name,
-      source = parseSource(srcT),
+      source = parseSource(srcT, defTimeout),
       extract = str(eh.get("on_api_failure"))
         .map(v => extract0.copy(onApiFailure = v)).getOrElse(extract0),
       transform = parseTransform(tbl(root.get("transform"))),
@@ -76,8 +82,10 @@ object TomlConfig {
 
   private def parseSequence(root: Map[String, Any], sharedVars: Map[String, String]): SequenceDef = {
     val seqT = tbl(root.get("sequence"))
+    val defTimeout = long(tbl(root.get("performance")).get("request_timeout"))
+      .getOrElse(30L)
     val pipelines = arr(root.get("pipelines")).collect {
-      case t: Map[String, Any] @unchecked => parsePipeline(t)
+      case t: Map[String, Any] @unchecked => parsePipeline(t, defTimeout)
     }
     val eh = tbl(root.get("error_handling"))
     SequenceDef(
@@ -99,13 +107,13 @@ object TomlConfig {
       metricsFile = str(tbl(root.get("monitoring")).get("metrics_file")))
   }
 
-  private def parsePipeline(n: Map[String, Any]): PipelineDef = {
+  private def parsePipeline(n: Map[String, Any], defTimeout: Long = 30L): PipelineDef = {
     val name = str(n.get("name")).getOrElse(sys.error("pipeline missing name"))
     val extractT = tbl(n.get("extract"))
     val transformT = tbl(n.get("transform"))
     PipelineDef(
       name = name,
-      source = parseSource(tbl(n.get("source"))),
+      source = parseSource(tbl(n.get("source")), defTimeout),
       extract = parseExtract(extractT),
       transform = parseTransform(transformT),
       load = n.get("load").collect { case t: Map[String, Any] @unchecked => parseLoad(t) },
@@ -114,7 +122,7 @@ object TomlConfig {
         enabled = bool(n.get("enabled")).getOrElse(true)))
   }
 
-  private def parseHttp(n: Map[String, Any]): HttpRequestDef = {
+  private def parseHttp(n: Map[String, Any], defTimeout: Long): HttpRequestDef = {
     val payloadT = tbl(n.get("payload"))
     HttpRequestDef(
       endpoint = str(n.get("endpoint")).getOrElse(sys.error("source missing endpoint")),
@@ -123,10 +131,13 @@ object TomlConfig {
       queryParams = strMap(n.get("parameters")).++(strMap(n.get("query_params"))),
       payload = str(payloadT.get("body")).orElse(str(n.get("payload_body"))),
       contentType = str(payloadT.get("content_type")),
-      timeoutSeconds = long(n.get("timeout_seconds")).getOrElse(30L).toInt)
+      // source-level timeout_seconds wins; [performance].request_timeout
+      // (toml_config.rs:113, declared-but-dead there) is the honest
+      // config-wide default
+      timeoutSeconds = long(n.get("timeout_seconds")).getOrElse(defTimeout).toInt)
   }
 
-  private def parseSource(n: Map[String, Any]): SourceDef = {
+  private def parseSource(n: Map[String, Any], defTimeout: Long = 30L): SourceDef = {
     val ds = tbl(n.get("data_source"))
     val payloadT = tbl(n.get("payload"))
     str(n.get("type")).getOrElse("api") match {
@@ -136,13 +147,13 @@ object TomlConfig {
         options = strMap(n.get("options")))
       case "previous" => PreviousSource(str(ds.get("from_pipeline")))
       case "combined" =>
-        if (bool(ds.get("merge_with_api")).getOrElse(false)) MergedApiSource(parseHttp(n))
+        if (bool(ds.get("merge_with_api")).getOrElse(false)) MergedApiSource(parseHttp(n, defTimeout))
         else CombinedSource
       case "parameterized" => ParameterizedApiSource(
-        parseHttp(n), str(ds.get("from_pipeline")),
+        parseHttp(n, defTimeout), str(ds.get("from_pipeline")),
         long(n.get("rate_limit_ms")).getOrElse(0L))
       case _ => // "api"
-        val http = parseHttp(n)
+        val http = parseHttp(n, defTimeout)
         val fansOut =
           bool(payloadT.get("use_previous_data_as_params")).getOrElse(false) ||
             (bool(ds.get("use_previous_output")).getOrElse(false) &&

@@ -384,6 +384,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set(("a", ts(0), 3L)))
   }
 
+  test("recovery: stream-stream interval join state survives a checkpointed " +
+    "restart — a pre-kill purchase still matches a post-restart error") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_ssj_cp").toString
+    val lIn = MemoryStream[(Long, String, Timestamp)]
+    val rIn = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      lIn.toDF().toDF("id", "key", "ts"),
+      rIn.toDF().toDF("pid", "pkey", "pts"),
+      leftKey = "key", rightKey = "pkey", leftTs = "ts", rightTs = "pts",
+      watermarkDelay = "10 minutes", window = "1 hour")
+      .select("id", "pid")
+    def start() = joined.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    val q1 = start()
+    rIn.addData((100L, "u1", ts(0))) // buffered right row enters join state
+    lIn.addData((1L, "u1", ts(5)))   // matches before the kill
+    q1.processAllAvailable()
+    q1.stop() // kill with the purchase still live in state
+
+    val q2 = start()
+    // only the RESTORED join state can match this post-restart error
+    lIn.addData((2L, "u1", ts(30)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got.getOrElse((1L, 100L), 0) === 1, s"pre-kill match exactly once: $got")
+    assert(got.getOrElse((2L, 100L), 0) === 1,
+      s"post-restart error must match the restored purchase state: $got")
+  }
+
   test("the same windowedAgg plan runs in batch mode (oracle-checked in harness)") {
     import spark.implicits._
     val batch = Seq((tsH(0, 10), "click", 5.0), (tsH(0, 20), "click", 7.0))

@@ -125,6 +125,33 @@ class TomlSpec extends AnyFunSuite {
     }
   }
 
+  test("[performance].request_timeout is the config-wide HTTP timeout default; " +
+    "a source-level timeout_seconds still wins") {
+    val seq = TomlConfig.loadSequence(
+      """[pipeline]
+        |name = "p"
+        |[source]
+        |endpoint = "https://api.example.com/items"
+        |[performance]
+        |request_timeout = 77
+        |""".stripMargin, env = Map.empty)
+    val ApiSource(http) = seq.pipelines.head.source: @unchecked
+    assert(http.timeoutSeconds === 77)
+    val seq2 = TomlConfig.loadSequence(
+      """[sequence]
+        |name = "s"
+        |[[pipelines]]
+        |name = "a"
+        |[pipelines.source]
+        |endpoint = "https://api.example.com/items"
+        |timeout_seconds = 9
+        |[performance]
+        |request_timeout = 77
+        |""".stripMargin, env = Map.empty)
+    val ApiSource(http2) = seq2.pipelines.head.source: @unchecked
+    assert(http2.timeoutSeconds === 9, "explicit source timeout wins")
+  }
+
   test("parser: string escapes and key-vals after an array-of-tables header") {
     val doc = Toml.parse(
       """[[p]]
