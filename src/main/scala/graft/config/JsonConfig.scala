@@ -197,7 +197,9 @@ object JsonConfig {
     filenames = strMap(n.path("filenames")),
     partitionBy = strSeq(n.path("partition_by")),
     singleFile = bool(n.path("single_file")).getOrElse(false),
-    singleFileMaxRows = long(n.path("single_file_max_rows")).getOrElse(1000000L))
+    singleFileMaxRows = long(n.path("single_file_max_rows")).getOrElse(1000000L),
+    mode = str(n.path("mode")).getOrElse("overwrite"),
+    maxRecordsPerFile = long(n.path("max_records_per_file")).getOrElse(0L))
   }
 
   private def parseConditions(n: JsonNode): ConditionsDef = ConditionsDef(

@@ -191,7 +191,19 @@ final case class LoadDef(
       * load can never OOM the driver at scale. */
     singleFile: Boolean = false,
     /** Upper bound on rows the single-file/zip renderer will accept. */
-    singleFileMaxRows: Long = 1000000L)
+    singleFileMaxRows: Long = 1000000L,
+    /** Distributed-sink write mode: "overwrite" (default), "append"
+      * (incremental loads), or "overwrite_partitions" — dynamic
+      * partition overwrite, replacing ONLY the partitions present in
+      * this run's frame (the standard incremental-refresh pattern:
+      * rewrite today's date partition, leave history untouched).
+      * Requires `partitionBy`. */
+    mode: String = "overwrite",
+    /** Small-files control for the distributed writers: cap rows per
+      * output file (0 = Spark default). At 100 TB the sink's file-count
+      * discipline decides whether downstream scans read thousands of
+      * right-sized files or millions of tiny ones. */
+    maxRecordsPerFile: Long = 0L)
 
 /** C2 — conditional execution. Reference: sequence_config.rs:140-152. */
 final case class ConditionsDef(

@@ -244,7 +244,9 @@ object TomlConfig {
       partitionBy = strSeq(n.get("partition_by")),
       // reference parity: the reference writes one file per format
       singleFile = bool(n.get("single_file")).getOrElse(true),
-      singleFileMaxRows = long(n.get("single_file_max_rows")).getOrElse(1000000L))
+      singleFileMaxRows = long(n.get("single_file_max_rows")).getOrElse(1000000L),
+      mode = str(n.get("mode")).getOrElse("overwrite"),
+      maxRecordsPerFile = long(n.get("max_records_per_file")).getOrElse(0L))
   }
 
   private def parseConditions(n: Map[String, Any], enabled: Boolean): ConditionsDef = {

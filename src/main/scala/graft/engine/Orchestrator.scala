@@ -150,6 +150,15 @@ object Orchestrator {
           throw ValidationException(s"pipeline '${p.name}': empty output_path")
         if (l.singleFileMaxRows <= 0)
           throw ValidationException(s"pipeline '${p.name}': single_file_max_rows must be > 0")
+        if (!Set("overwrite", "append", "overwrite_partitions")(l.mode))
+          throw ValidationException(
+            s"pipeline '${p.name}': load.mode must be overwrite|append|overwrite_partitions: '${l.mode}'")
+        if (l.mode == "overwrite_partitions" && l.partitionBy.isEmpty)
+          throw ValidationException(
+            s"pipeline '${p.name}': overwrite_partitions requires partition_by")
+        if (l.mode != "overwrite" && (l.singleFile || l.zip))
+          throw ValidationException(
+            s"pipeline '${p.name}': mode '${l.mode}' needs the distributed sink")
       }
     }
     // DFS cycle detection over the dependency graph

@@ -45,7 +45,7 @@ object Sinks {
     } else {
       load.formats.foreach { fmt =>
         writeDistributed(df, fmt, s"${load.outputPath}/${baseName}_$fmt",
-          load.partitionBy)
+          load.partitionBy, load.mode, load.maxRecordsPerFile)
       }
       load.outputPath
     }
@@ -53,12 +53,23 @@ object Sinks {
 
   /** W1/W2/W3 distributed: CSV with RFC-4180 quoting, TSV with X5
     * sanitization and no quoting, JSON as NDJSON, parquet native.
-    * Optional Hive-style partition layout for directory pruning. */
+    * Optional Hive-style partition layout for directory pruning.
+    * `mode` "overwrite" | "append" | "overwrite_partitions" (dynamic —
+    * only partitions present in `df` are replaced; per-write OPTION,
+    * not session conf, so concurrent writes are unaffected).
+    * `maxRecordsPerFile` > 0 caps rows per output file. */
   def writeDistributed(
       df: DataFrame, format: String, path: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      mode: String = "overwrite",
+      maxRecordsPerFile: Long = 0L): Unit = {
     def base(d: DataFrame) = {
-      val w = d.write.mode(SaveMode.Overwrite)
+      var w = d.write.mode(
+        if (mode == "append") SaveMode.Append else SaveMode.Overwrite)
+      if (mode == "overwrite_partitions")
+        w = w.option("partitionOverwriteMode", "dynamic")
+      if (maxRecordsPerFile > 0)
+        w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     }
     format match {

@@ -27,6 +27,51 @@ class SinksSpec extends AnyFunSuite {
     (4, "has\nnewline\tand tab", 40.0)
   ).toDF("id", "name", "value")
 
+  // ----- incremental sink modes ---------------------------------------
+  test("overwrite_partitions replaces only the incoming partitions; " +
+    "append accumulates; full overwrite would drop history") {
+    val dir = tmpDir()
+    val full = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("id", "v", "day")
+    Sinks.writeDistributed(full, "parquet", s"$dir/t", Seq("day"))
+    // refresh ONLY day=d2 — the incremental daily-partition pattern
+    val d2new = Seq((9L, "z", "d2")).toDF("id", "v", "day")
+    Sinks.writeDistributed(d2new, "parquet", s"$dir/t", Seq("day"),
+      mode = "overwrite_partitions")
+    val ids = spark.read.parquet(s"$dir/t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 9L), "d1 history intact, d2 replaced")
+
+    Sinks.writeDistributed(d2new, "parquet", s"$dir/ap", Seq("day"), mode = "append")
+    Sinks.writeDistributed(d2new, "parquet", s"$dir/ap", Seq("day"), mode = "append")
+    assert(spark.read.parquet(s"$dir/ap").count() === 2)
+  }
+
+  test("max_records_per_file splits oversized tasks into bounded part files") {
+    val dir = tmpDir()
+    Sinks.writeDistributed(spark.range(100).toDF("id"), "parquet",
+      s"$dir/mrf", maxRecordsPerFile = 10L)
+    val parts = new java.io.File(s"$dir/mrf")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts >= 10, s"100 rows / cap 10 must yield >= 10 files, got $parts")
+  }
+
+  test("load.mode validation: bad mode, unpartitioned dynamic overwrite, " +
+    "and non-distributed modes are rejected") {
+    import graft.config._
+    import graft.engine.Orchestrator
+    def seqWith(l: LoadDef) = SequenceDef("s", Seq("p"), Seq(
+      PipelineDef("p", FileSource("/x"), load = Some(l))))
+    intercept[Orchestrator.ValidationException](Orchestrator.validate(
+      seqWith(LoadDef("/out", mode = "merge"))))
+    intercept[Orchestrator.ValidationException](Orchestrator.validate(
+      seqWith(LoadDef("/out", mode = "overwrite_partitions"))))
+    intercept[Orchestrator.ValidationException](Orchestrator.validate(
+      seqWith(LoadDef("/out", mode = "append", singleFile = true))))
+    Orchestrator.validate(seqWith(LoadDef("/out",
+      mode = "overwrite_partitions", partitionBy = Seq("day"))))
+  }
+
   // ----- X4 fuzz: escaping survives arbitrary nasty content ----------
   test("X4 fuzz: 200 generated strings with quotes/newlines/tabs/unicode " +
     "roundtrip through the CSV renderer byte-exactly") {
