@@ -165,6 +165,25 @@ class PlanSpec extends AnyFunSuite {
       s"interval join must key on user, not cross:\n$plan")
   }
 
+  test("stratifiedSample is shuffle-free; packSequences shuffles exactly once " +
+    "(the per-shard window)") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // count raw Exchanges
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val sPlan = graft.operators.TextOps.stratifiedSample(
+        docs, "doc_id", col("lang"), Map("en" -> 0.5), 0.1)
+        .queryExecution.executedPlan.toString
+      assert(!sPlan.contains("Exchange"),
+        s"per-row hash sampling must fuse with the scan:\n$sPlan")
+      val pPlan = graft.operators.TextOps.packSequences(
+        docs, "doc_id", "text", budget = 512L, col("lang"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(pPlan).length === 1,
+        s"offset packing is ONE keyed shuffle (the shard window):\n$pPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("minhash candidate generation plans a keyed aggregate, not a cartesian") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val plan = graft.operators.LlmOps
