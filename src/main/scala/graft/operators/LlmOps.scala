@@ -175,6 +175,36 @@ object LlmOps {
       .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), b)")).as("simhash"))
   }
 
+  /** SimHash near-dup pairs via banded Hamming search (Manku et al.'s
+    * pigeonhole trick): split the `bits`-bit code into `bands` equal
+    * slices — any pair within Hamming distance < bands must agree on at
+    * least one whole slice, so candidates come from an equi join on
+    * (band, slice value) and only candidates pay the popcount(xor)
+    * verification. One shuffle on the band key, never an all-pairs
+    * scan; exact for maxHamming < bands (the usual configuration),
+    * recall-lossy above it (documented, like any banded scheme). */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bits: Int = 16, bands: Int = 2): DataFrame = {
+    require(bits % bands == 0, s"bits $bits must split into $bands bands")
+    val width = bits / bands
+    val codes = simHash(df, idCol, textCol, bits)
+    val banded = codes.select(col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("slice",
+        expr(s"shiftright(simhash, band * $width) & ${(1L << width) - 1}"))
+    val pairs = banded.select(col(idCol).as("doc_a"),
+        col("simhash").as("sh_a"), col("band"), col("slice"))
+      .join(banded.select(col(idCol).as("doc_b"),
+        col("simhash").as("sh_b"), col("band"), col("slice")),
+        Seq("band", "slice"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sh_a ^ sh_b")).cast("long").as("hamming"))
+      .distinct()
+    pairs.filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a bounded probe
     * set (brute-force verifier for the LSH candidates; the probe predicate
     * bounds the quadratic blowup — at scale you run this only on LSH

@@ -385,6 +385,50 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ----- SimHash near-dup pairs (banded Hamming search) --------------
+    // Pigeonhole: ≤3 differing bits across 4 bands leave at least one
+    // band identical, so the band join finds EVERY pair within the
+    // threshold — exact, no all-pairs scan. Both engines run the same
+    // banded scheme end to end. 32-bit codes here: 8-bit slices keep
+    // the (band, slice) buckets small (the 16-bit golden code query is
+    // llm_simhash; coarse codes over a whole corpus make everything a
+    // "near-dup" and the buckets quadratic).
+    QDef.sql(
+      "llm_simhash_pairs",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+         |),
+         |hashed AS (
+         |  SELECT doc_id, ${duckHash("w")} AS h FROM toks
+         |),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM hashed, generate_series(0, 31) g(b)
+         |  GROUP BY doc_id, b
+         |),
+         |sh AS (
+         |  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS slice
+         |  FROM sh, generate_series(0, 3) g(band)
+         |),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.slice = b.slice
+         |                             AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      LlmOps.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 32, bands = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- Keep-best near-dup canonicalization -------------------------
     // Same CC clusters as llm_dedup_groups, but each doc re-points at
     // its cluster's HIGHEST-quality member (rounded score, id

@@ -39,6 +39,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(codes.values.forall(c => c >= 0 && c < (1L << 16)))
   }
 
+  test("simhash pairs: identical docs pair at hamming 0; banded search " +
+    "honors the threshold") {
+    val out = LlmOps.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, bits = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L },
+      "case-normalized duplicates must pair at distance 0")
+    assert(out.forall(_._3 <= 3), "no pair past the Hamming threshold")
+  }
+
   test("jaccard: crafted 0.5 similarity computes exactly") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // 2-gram shingles: {ab,bc,cd} vs {ab,bc,ce} → inter 2, union 4

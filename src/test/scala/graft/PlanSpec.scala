@@ -184,12 +184,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
-  test("minhash candidate generation plans a keyed aggregate, not a cartesian") {
+  test("minhash and simhash candidate generation plan keyed joins, not cartesians") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
-    val plan = graft.operators.LlmOps
-      .minHashCandidatePairs(d, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in LSH plan:\n$plan")
+    Seq(
+      graft.operators.LlmOps.minHashCandidatePairs(d, "doc_id", "text"),
+      graft.operators.LlmOps.simHashPairs(d, "doc_id", "text", maxHamming = 3)
+    ).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in pairing plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in pairing plan:\n$plan")
+    }
   }
 }
