@@ -279,6 +279,74 @@ object ExtQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ----- Correlated scalar subquery, decorrelated --------------------
+    // "Orders above 1.5x their customer's average": the oracle keeps
+    // the CORRELATED subquery form (DuckDB decorrelates it); the Spark
+    // side is the window decorrelation — two formulations, one answer.
+    // The condition cross-multiplies (price*2n > 3*total) in DECIMAL so
+    // no float average sits on the comparison boundary.
+    QDef.sql(
+      "ext_above_avg",
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("__p", col("o_totalprice").cast("decimal(18,2)"))
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__t", sum(col("__p")).over(w))
+        .filter(col("__p") * 2 * col("__n") > col("__t") * 3)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    },
+
+    // ----- EXISTS → left-semi join -------------------------------------
+    // Orders with at least one returned line item, counted by priority.
+    // The semi join never replicates rows (a multi-match order counts
+    // once) — the shape EXISTS decorrelates to.
+    QDef.sql(
+      "ext_exists_semi",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      t(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- NOT EXISTS → left-anti join ---------------------------------
+    // Customers who never hit an error event: the anti join is the
+    // scale shape of NOT EXISTS / NOT IN (null-safe, unlike a naive
+    // NOT IN). ~27% of customers qualify at sf0.01, so the check
+    // exercises real rows.
+    QDef.sql(
+      "ext_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e
+        |                  WHERE e.user_id = c.c_custkey
+        |                    AND e.event_type = 'error')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val errUsers = t(s, dir, "events")
+        .filter(col("event_type") === "error").select("user_id")
+      t(s, dir, "customer")
+        .join(errUsers, col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
     // ----- Stream-static enrichment join, batch twin -------------------
     // Streams.enrich run on the batch frame — the identical plan the
     // streaming path executes per micro-batch (StreamingSpec drives the
