@@ -347,6 +347,30 @@ object ExtQueries {
         .orderBy("c_custkey")
     },
 
+    // ----- Pivot (long → wide) -----------------------------------------
+    // Per-user event counts pivoted into one column per event type —
+    // Spark's groupBy().pivot() with EXPLICIT values (no value-discovery
+    // pass, the scale form); the oracle is conditional aggregation.
+    // Absent combinations coalesce to 0 so both engines agree.
+    QDef.sql(
+      "ext_pivot",
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id")
+    },
+
     // ----- Stream-static enrichment join, batch twin -------------------
     // Streams.enrich run on the batch frame — the identical plan the
     // streaming path executes per micro-batch (StreamingSpec drives the
