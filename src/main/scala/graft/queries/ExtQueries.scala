@@ -129,51 +129,55 @@ object ExtQueries {
 
     // ----- Analytical aggregates over the star schema ------------------
     // TPC-H-shaped queries proving the engine handles classic OLAP
-    // plans, not just ETL row-shaping. Double sums are order-dependent
-    // across engines, so money columns sum as DECIMAL — exact and
-    // engine-portable (the pattern for any financial aggregate here).
+    // plans, not just ETL row-shaping. Money arithmetic is EXACT
+    // INTEGER in smallest units (cents; discounted revenue in 1e-4
+    // dollars): prices/discounts have 2-decimal granularity, so
+    // round(x*100) recovers the exact integer on both engines, and the
+    // BIGINT outputs survive any reader — pandas coerces DECIMAL to
+    // float64 on one side but Decimal objects on the other (verified:
+    // duckdb .df() vs pyarrow .to_pandas()), which is why two rounds of
+    // decimal-type pinning could never satisfy the driver's hash.
+    // Internal sums ride DECIMAL(38,0) (exact to 1e38, no overflow);
+    // the BIGINT output unit holds to ~$9.2e14 of revenue per group —
+    // beyond world-GDP scale; flip the unit to cents if a synthetic
+    // corpus ever exceeds it.
     QDef.sql(
       "q1_pricing",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-        |            AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |            AS DECIMAL(38,2)) AS sum_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(38,4)) AS sum_disc_price
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_c,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |            AS BIGINT) AS sum_disc_price_e4
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      // The final cast pins the OUTPUT decimal type: Spark widens
-      // sum(decimal(18,2)) to decimal(28,2) while DuckDB widens to
-      // decimal(38,2) — same values, different metadata, and the
-      // driver's hash folds the type in. Both sides cast to the same
-      // decimal(38,_) so the compare is value-level (38 = both engines' max width — the pin changes metadata, never headroom).
+      val priceC  = round(col("l_extendedprice") * 100, 0).cast("long")
+      val discPct = round(col("l_discount") * 100, 0).cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")
-            * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-            .cast("decimal(38,4)").as("sum_disc_price"))
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(priceC.cast("decimal(38,0)")).cast("long").as("sum_price_c"),
+          sum((priceC * (lit(100L) - discPct)).cast("decimal(38,0)"))
+            .cast("long").as("sum_disc_price_e4"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
     // Three-table join + agg + top-k: Catalyst/AQE picks broadcast for
-    // the filtered customer side from stats; revenue is exact decimal.
+    // the filtered customer side from stats; revenue is exact integer
+    // 1e-4-dollar units (same convention as q1_pricing — positive
+    // scaling, so the DESC ordering is unchanged).
     QDef.sql(
       "q3_topk",
       """SELECT l_orderkey,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(38,4)) AS revenue,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |            AS BIGINT) AS revenue_e4,
         |       o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -182,19 +186,19 @@ object ExtQueries {
         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
       val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+      val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
       t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .join(t(s, dir, "orders").filter(col("o_orderdate") < cut),
           col("c_custkey") === col("o_custkey"))
         .join(t(s, dir, "lineitem").filter(col("l_shipdate") > cut),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-          .cast("decimal(38,4)").as("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum(revE4.cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
     },
 
@@ -231,16 +235,14 @@ object ExtQueries {
       "ext_rollup",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-        |            AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"))
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -252,9 +254,9 @@ object ExtQueries {
     QDef.sql(
       "q5_revenue",
       """SELECT n_name,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(38,4)) AS revenue
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |            AS BIGINT) AS revenue_e4
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -262,7 +264,9 @@ object ExtQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+        |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin) { (s, dir) =>
+      val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
@@ -273,10 +277,8 @@ object ExtQueries {
         .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-          .cast("decimal(38,4)").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .agg(sum(revE4.cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
     },
 
     // ----- Correlated scalar subquery, decorrelated --------------------
