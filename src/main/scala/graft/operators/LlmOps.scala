@@ -612,8 +612,19 @@ object LlmOps {
     * component id is just re-pointed, the CC plan is unchanged. */
   def dedupGroupsKeepBest(
       docs: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val labeled = dedupGroups(docs.select(idCol), idCol, pairs, maxIters)
+      pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    dedupGroupsKeepBest(
+      dedupGroups(docs.select(idCol), idCol, pairs, maxIters),
+      docs, idCol, scoreCol)
+
+  /** Overload over an ALREADY-LABELED frame — a [[dedupGroups]] result
+    * of shape (idCol, canonical_id). A pipeline that already ran CC
+    * (e.g. to materialize cluster labels) re-points each doc at its
+    * cluster's best member for the cost of one keyed window + join,
+    * instead of paying the whole iterative CC a second time. */
+  def dedupGroupsKeepBest(
+      labeled: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
     val scored = labeled.join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
     val w = Window.partitionBy("canonical_id")
       .orderBy(col(scoreCol).desc, col(idCol))

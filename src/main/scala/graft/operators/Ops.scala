@@ -404,4 +404,25 @@ object Ops {
     * first-record-wins header, documented deviation in SURVEY §1.3). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ---------------------------------------------------------------------
+  // Money presentation (SURVEY §2: q1_pricing/q3_topk/q5_revenue/ext_rollup)
+  // ---------------------------------------------------------------------
+
+  /** Presentation cast for the engine's exact-integer money convention:
+    * the analytical queries aggregate money in smallest units on BIGINT
+    * (`sum_price_c` = cents, scale 2; `revenue_e4` = 1e-4 dollars,
+    * scale 4 — see the convention note at ExtQueries q1_pricing), which
+    * keeps arithmetic exact and the output type stable across engines.
+    * This helper is the consumer-facing view back to dollars:
+    * `centsToDecimal(col("sum_price_c"), 2)` → `DECIMAL(38,2)` dollars,
+    * `centsToDecimal(col("revenue_e4"), 4)` → `DECIMAL(38,4)` dollars.
+    * Exact: dividing by 10^scale is a decimal point shift, and the
+    * DECIMAL(38,0) widening happens before the divide so no value a
+    * BIGINT can hold is truncated. */
+  def centsToDecimal(c: Column, scale: Int = 2): Column = {
+    require(scale >= 0 && scale <= 18, s"unsupported money scale $scale")
+    (c.cast("decimal(38,0)") / lit(BigDecimal(10).pow(scale)))
+      .cast(s"decimal(38,$scale)")
+  }
 }

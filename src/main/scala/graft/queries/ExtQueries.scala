@@ -145,7 +145,7 @@ object ExtQueries {
       "q1_pricing",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |            AS BIGINT) AS sum_price_c,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -161,7 +161,11 @@ object ExtQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // round-then-cast both sides: DuckDB CAST rounds to nearest,
+          // Spark cast('long') truncates — identical only because the
+          // column is integer-valued today; round() keeps them aligned
+          // if quantities ever become fractional
+          sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
           sum(priceC.cast("decimal(38,0)")).cast("long").as("sum_price_c"),
           sum((priceC * (lit(100L) - discPct)).cast("decimal(38,0)"))
             .cast("long").as("sum_disc_price_e4"))
@@ -235,14 +239,15 @@ object ExtQueries {
       "ext_rollup",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
+          // round-then-cast, matching q1_pricing's sum_qty convention
+          sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -250,7 +255,8 @@ object ExtQueries {
     // Revenue by nation for one region, local-supplier semantics
     // (customer and supplier share the nation). The dims (nation,
     // region, filtered supplier link) broadcast under AQE; the one real
-    // shuffle is lineitem⋈orders on orderkey. Exact decimal money.
+    // shuffle is lineitem⋈orders on orderkey. Money is exact integer
+    // 1e-4-dollar units (the q1_pricing convention).
     QDef.sql(
       "q5_revenue",
       """SELECT n_name,

@@ -144,6 +144,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
   }
 
+  test("dedup keep-best labeled-frame overload: reusing an existing " +
+    "dedupGroups labeling is identical to the recompute path") {
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9),
+      (4L, 0.5),
+      (5L, 0.1), (6L, 0.8)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    // pipeline path: CC once, labels reused for keep-best re-pointing
+    val labeled = LlmOps.dedupGroups(docs.select("doc_id"), "doc_id", pairs)
+    val reused = LlmOps.dedupGroupsKeepBest(labeled, docs, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute path: the convenience overload that runs CC itself
+    val recomputed = LlmOps.dedupGroupsKeepBest(docs, "doc_id", "quality", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reused === recomputed,
+      "labeled-frame overload must re-point identically to the recompute path")
+    assert(reused === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
   test("iterative operators release superseded checkpoint blocks") {
     val sc = spark.sparkContext
     // run body, return (result, #persistent RDDs it left behind)

@@ -207,4 +207,23 @@ class OpsSpec extends AnyFunSuite {
     assert(sig(1).getDouble(4) === 0.0)     // quality
     assert(sig(0).getDouble(4) > 0.0)
   }
+
+  test("centsToDecimal: exact presentation cast from smallest-unit BIGINT " +
+    "money to DECIMAL(38,scale) dollars, negatives and extremes included") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(12345L, -12345L, 0L, Long.MaxValue).toDF("m")
+      .select(
+        Ops.centsToDecimal($"m", 2).as("dollars_c"),
+        Ops.centsToDecimal($"m", 4).as("dollars_e4"))
+    assert(df.schema("dollars_c").dataType === DecimalType(38, 2))
+    assert(df.schema("dollars_e4").dataType === DecimalType(38, 4))
+    val rows = df.collect()
+    assert(rows(0).getDecimal(0) === new java.math.BigDecimal("123.45"))
+    assert(rows(0).getDecimal(1) === new java.math.BigDecimal("1.2345"))
+    assert(rows(1).getDecimal(0) === new java.math.BigDecimal("-123.45"))
+    assert(rows(2).getDecimal(0) === new java.math.BigDecimal("0.00"))
+    // the full BIGINT range survives the widening (no silent null/trunc)
+    assert(rows(3).getDecimal(0) ===
+      new java.math.BigDecimal("92233720368547758.07"))
+  }
 }
