@@ -199,7 +199,8 @@ object JsonConfig {
     singleFile = bool(n.path("single_file")).getOrElse(false),
     singleFileMaxRows = long(n.path("single_file_max_rows")).getOrElse(1000000L),
     mode = str(n.path("mode")).getOrElse("overwrite"),
-    maxRecordsPerFile = long(n.path("max_records_per_file")).getOrElse(0L))
+    maxRecordsPerFile = long(n.path("max_records_per_file")).getOrElse(0L),
+    appendToSequence = bool(n.path("append_to_sequence")).getOrElse(false))
   }
 
   private def parseConditions(n: JsonNode): ConditionsDef = ConditionsDef(

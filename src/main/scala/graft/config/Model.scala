@@ -203,7 +203,16 @@ final case class LoadDef(
       * output file (0 = Spark default). At 100 TB the sink's file-count
       * discipline decides whether downstream scans read thousands of
       * right-sized files or millions of tiny ones. */
-    maxRecordsPerFile: Long = 0L)
+    maxRecordsPerFile: Long = 0L,
+    /** Honest implementation of the reference's parsed-but-dead
+      * `load.append_to_sequence` (sequence_config.rs:129, the declared
+      * "追加到序列輸出" / append-to-sequence-output intent): pipelines
+      * that set it ALSO contribute their output to one sequence-level
+      * combined dataset, written once after the execution order
+      * completes (drift-tolerant union by name, the S6 rule). Only
+      * pipelines that actually ran contribute — the same conditions
+      * machinery governs membership. */
+    appendToSequence: Boolean = false)
 
 /** C2 — conditional execution. Reference: sequence_config.rs:140-152. */
 final case class ConditionsDef(

@@ -246,7 +246,8 @@ object TomlConfig {
       singleFile = bool(n.get("single_file")).getOrElse(true),
       singleFileMaxRows = long(n.get("single_file_max_rows")).getOrElse(1000000L),
       mode = str(n.get("mode")).getOrElse("overwrite"),
-      maxRecordsPerFile = long(n.get("max_records_per_file")).getOrElse(0L))
+      maxRecordsPerFile = long(n.get("max_records_per_file")).getOrElse(0L),
+      appendToSequence = bool(n.get("append_to_sequence")).getOrElse(false))
   }
 
   private def parseConditions(n: Map[String, Any], enabled: Boolean): ConditionsDef = {
