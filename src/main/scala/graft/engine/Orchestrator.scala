@@ -46,6 +46,10 @@ final case class PipelineOutcome(
 final class RunContext(val executionId: String) {
   val results: mutable.LinkedHashMap[String, PipelineOutcome] = mutable.LinkedHashMap.empty
   val shared: mutable.Map[String, Any] = mutable.Map.empty
+  /** Where the sequence-level combined dataset was written, when at
+    * least one pipeline set `load.append_to_sequence` and the combined
+    * write succeeded (see Orchestrator.writeCombined). */
+  var combinedOutput: Option[String] = None
   /** Frames cached for cross-pipeline reuse; released at sequence end. */
   val persisted: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty
   def unpersistAll(): Unit = { persisted.foreach(_.unpersist(false)); persisted.clear() }
@@ -234,7 +238,7 @@ object Orchestrator {
       case _ => p.transform.mergeWithPrevious
     }) || p.conditions.whenRecordsCount.nonEmpty || p.conditions.skipIfEmpty
     def multiActionLoad(p: PipelineDef): Boolean =
-      p.load.exists(l => l.formats.size > 1 || l.zip)
+      p.load.exists(l => l.formats.size > 1 || l.zip || l.appendToSequence)
     selected.zipWithIndex.foreach { case (name, i) =>
       val p = byName(name)
       val consumedLater = persistAll ||
@@ -285,8 +289,50 @@ object Orchestrator {
             ctx)
       }
     }
+    writeCombined(spark, seq, selected.flatMap(byName.get), ctx)
     if (unpersistOnEnd) ctx.unpersistAll()
     ctx
+  }
+
+  /** The sequence-level combined write behind `load.append_to_sequence`
+    * (reference sequence_config.rs:129 — parsed-but-dead there;
+    * implemented honestly here): every SUCCEEDED pipeline that set the
+    * flag contributes its frame to one drift-tolerant union by name
+    * (the S6 rule), written ONCE after the execution order completes
+    * using the first contributor's sink config under a
+    * "<sequence>_combined" name. Skipped and failed pipelines never
+    * contribute — the same conditions machinery that governed the run
+    * governs membership. A combined-write failure follows the
+    * on_load_error policy: tolerated → recorded in
+    * `shared("sequence_combined_error")`, else the sequence fails. */
+  private def writeCombined(
+      spark: SparkSession,
+      seq: SequenceDef,
+      selected: Seq[PipelineDef],
+      ctx: RunContext): Unit = {
+    val contributors = selected.flatMap { p =>
+      ctx.results.get(p.name) match {
+        case Some(o) if o.status == "succeeded" && o.df.nonEmpty &&
+            p.load.exists(_.appendToSequence) => Some(p -> o.df.get)
+        case _ => None
+      }
+    }
+    contributors.headOption.foreach { case (first, _) =>
+      try {
+        val combined = Ops.unionAll(contributors.map(_._2))
+        ctx.combinedOutput = Some(Sinks.write(
+          spark, combined, None, first.load.get,
+          s"${seq.name}_combined", ctx.executionId))
+      } catch {
+        case scala.util.control.NonFatal(e) if TolerantPolicies(seq.onLoadError) =>
+          ctx.shared("sequence_combined_error") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+        case scala.util.control.NonFatal(e) =>
+          throw SequenceFailed(
+            s"sequence combined write failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}",
+            ctx)
+      }
+    }
   }
 
   /** One pipeline: extract → transform → load (EtlEngine parity,

@@ -29,8 +29,10 @@ object LlmOps {
     * superseded round's blocks stay pinned until session end — at scale
     * that is ~log(diameter) copies of the label frame held for nothing.
     * Called only on frames whose blocks are fully superseded; the ONE
-    * checkpoint backing the returned (still-lazy) result must stay. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+    * checkpoint backing the returned (still-lazy) result must stay.
+    * Package-visible so caching layers (LlmQueries.ccLabelMemo) can
+    * release a frame they computed but discarded. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -417,12 +417,17 @@ object Ops {
     * This helper is the consumer-facing view back to dollars:
     * `centsToDecimal(col("sum_price_c"), 2)` → `DECIMAL(38,2)` dollars,
     * `centsToDecimal(col("revenue_e4"), 4)` → `DECIMAL(38,4)` dollars.
-    * Exact: dividing by 10^scale is a decimal point shift, and the
-    * DECIMAL(38,0) widening happens before the divide so no value a
-    * BIGINT can hold is truncated. */
+    * Exact for every scale in [0,18]: the input is widened to
+    * DECIMAL(19,0) — the exact width of a BIGINT, NOT decimal(38,0) —
+    * so Spark's division typing (p1-s1+s2+max(6,s1+p2+1)) stays at or
+    * under precision 39 and the allowPrecisionLoss adjustment can never
+    * push the result scale below the requested one (worst case,
+    * scale=18: decimal(19,0)/decimal(19,0) → adjusted decimal(38,19)).
+    * With a decimal(38,0) input, scales 7-18 would silently round to 6
+    * fractional digits before the final cast padded zeros back. */
   def centsToDecimal(c: Column, scale: Int = 2): Column = {
     require(scale >= 0 && scale <= 18, s"unsupported money scale $scale")
-    (c.cast("decimal(38,0)") / lit(BigDecimal(10).pow(scale)))
+    (c.cast("decimal(19,0)") / lit(BigDecimal(10).pow(scale)))
       .cast(s"decimal(38,$scale)")
   }
 }

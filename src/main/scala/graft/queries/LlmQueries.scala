@@ -30,17 +30,38 @@ object LlmQueries {
     *     on top of existing labels.
     * The memoized frame is backed by the CC loop's final
     * localCheckpoint, so later scans are cheap block reads; the labels
-    * are (doc_id, canonical_id) only — negligible block footprint. */
+    * are (doc_id, canonical_id) only — negligible block footprint.
+    *
+    * STALENESS CONTRACT: the memo is keyed by (session, dir) and never
+    * invalidated — it assumes the parquet under `dir` is immutable for
+    * the session (true for the harness testdata and the normal
+    * immutable-snapshot layout). If data under `dir` is rewritten
+    * within a session, consumers see the labels of the FIRST read; use
+    * a fresh session (or a new dir, e.g. a versioned snapshot path) to
+    * re-label. Concurrent first use is race-safe: exactly one frame
+    * wins the memo, and a loser's checkpoint blocks are released
+    * instead of staying pinned for the session. */
   private val ccLabelMemo = new scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def memoizedLabels(
-      s: org.apache.spark.sql.SparkSession, dir: String) =
-    ccLabelMemo.getOrElseUpdate((s, dir), {
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val key = (s, dir)
+    ccLabelMemo.get(key).getOrElse {
       val docs = t(s, dir, "documents")
-      LlmOps.dedupGroups(docs, "doc_id",
+      val fresh = LlmOps.dedupGroups(docs, "doc_id",
         LlmOps.minHashCandidatePairs(docs, "doc_id", "text"))
-    })
+      ccLabelMemo.putIfAbsent(key, fresh) match {
+        case Some(winner) =>
+          // lost a concurrent first-use race: the winner's frame serves
+          // everyone; release the loser's checkpoint blocks now rather
+          // than pinning them until session end
+          LlmOps.releaseCheckpoint(fresh)
+          winner
+        case None => fresh
+      }
+    }
+  }
 
   /** DuckDB CTEs: distinct (doc_id, shingle-hash h) over 2-gram shingles. */
   private def duckShingleHashes(where: String = ""): String =

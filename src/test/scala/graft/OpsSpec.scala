@@ -226,4 +226,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(3).getDecimal(0) ===
       new java.math.BigDecimal("92233720368547758.07"))
   }
+
+  test("centsToDecimal: scales 7-18 keep every fractional digit (the " +
+    "decimal(38,0) widening would have rounded them to 6 digits)") {
+    import org.apache.spark.sql.types.DecimalType
+    // value chosen so digits 7..18 are all non-zero: any precision-loss
+    // rounding to scale 6 is immediately visible
+    val v = 1234567890123456789L
+    val df = Seq(v, -v, Long.MaxValue, Long.MinValue).toDF("m")
+      .select(
+        Ops.centsToDecimal($"m", 7).as("s7"),
+        Ops.centsToDecimal($"m", 9).as("s9"),
+        Ops.centsToDecimal($"m", 18).as("s18"))
+    assert(df.schema("s7").dataType === DecimalType(38, 7))
+    assert(df.schema("s18").dataType === DecimalType(38, 18))
+    val rows = df.collect()
+    assert(rows(0).getDecimal(0) ===
+      new java.math.BigDecimal("123456789012.3456789"))
+    assert(rows(0).getDecimal(1) ===
+      new java.math.BigDecimal("1234567890.123456789"))
+    assert(rows(0).getDecimal(2) ===
+      new java.math.BigDecimal("1.234567890123456789"))
+    assert(rows(1).getDecimal(2) ===
+      new java.math.BigDecimal("-1.234567890123456789"))
+    // BIGINT extremes at the extreme scale — exact, no null, no rounding
+    assert(rows(2).getDecimal(2) ===
+      new java.math.BigDecimal("9.223372036854775807"))
+    assert(rows(3).getDecimal(2) ===
+      new java.math.BigDecimal("-9.223372036854775808"))
+  }
 }

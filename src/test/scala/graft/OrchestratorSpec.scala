@@ -158,6 +158,37 @@ class OrchestratorSpec extends AnyFunSuite {
       Orchestrator.execute(spark, seq.copy(onLoadError = "stop")))
   }
 
+  test("append_to_sequence: flagged pipelines contribute to ONE combined " +
+    "sequence-level write (drift-tolerant union); unflagged and skipped do not") {
+    val pa = fixture(Seq("""{"id":1,"a_col":"x"}"""), "ats_a")
+    val pb = fixture(Seq("""{"id":2,"b_col":"y"}"""), "ats_b") // schema drift
+    val pc = fixture(Seq("""{"id":3,"a_col":"z"}"""), "ats_c")
+    val pd = fixture(Seq("""{"id":4,"a_col":"w"}"""), "ats_d")
+    val out = java.nio.file.Files.createTempDirectory("graft_ats_out").toString
+    def sink(append: Boolean) = Some(LoadDef(out, formats = Seq("json"),
+      singleFile = false, appendToSequence = append))
+    val seq = SequenceDef("ats", Seq("a", "b", "c", "d"), Seq(
+      filePipeline("a", pa).copy(load = sink(append = true)),
+      filePipeline("b", pb).copy(load = sink(append = true)),
+      filePipeline("c", pc).copy(load = sink(append = false)),
+      filePipeline("d", pd).copy(load = sink(append = true),
+        conditions = ConditionsDef(whenSharedData = Map("never" -> "set")))))
+    val ctx = Orchestrator.execute(spark, seq)
+    assert(ctx.results("d").status === "skipped")
+    assert(ctx.combinedOutput === Some(out))
+    val combined = spark.read.json(s"$out/ats_combined_output_json")
+    assert(combined.select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L), "only flagged, succeeded pipelines contribute")
+    // drift-tolerant union: each side's unique column survives, null-filled
+    assert(combined.columns.toSet === Set("id", "a_col", "b_col"))
+  }
+
+  test("append_to_sequence: no contributors → no combined write") {
+    val p = fixture(Seq("""{"id":1}"""), "ats_none")
+    val seq = SequenceDef("s", Seq("only"), Seq(filePipeline("only", p)))
+    assert(Orchestrator.execute(spark, seq).combinedOutput === None)
+  }
+
   test("error policies validate: unknown on_transform_error value is rejected") {
     val seq = SequenceDef("s", Seq("p"), Seq(filePipeline("p", "/tmp/x")),
       onTransformError = "explode")
