@@ -251,6 +251,37 @@ object ExtQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // ----- Grouping sets: full CUBE + grouping_id -----------------------
+    // cube(event_type, day) = all four grouping sets in ONE Expand pass
+    // (plan-asserted in PlanSpec) — never four scans. grouping_id()
+    // disambiguates subtotal rows from genuine NULL keys; Spark and
+    // DuckDB/Postgres share the bit convention (first listed column =
+    // most-significant bit). Value sums ride the exact integer-cents
+    // convention (q1_pricing note); count/sum are order-independent.
+    QDef.sql(
+      "ext_cube",
+      """SELECT event_type, day_ts,
+        |       CAST(grouping(event_type, day_ts) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM (SELECT event_type,
+        |             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |             value
+        |      FROM events)
+        |GROUP BY CUBE (event_type, day_ts)
+        |ORDER BY gid, event_type NULLS FIRST, day_ts NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day_ts", date_trunc("day", col("ts")))
+        .cube("event_type", "day_ts")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_c"))
+        .select("event_type", "day_ts", "gid", "n_events", "sum_value_c")
+        .orderBy(col("gid"),
+          asc_nulls_first("event_type"), asc_nulls_first("day_ts"))
+    },
+
     // ----- Five-way star join (TPC-H Q5 shape) -------------------------
     // Revenue by nation for one region, local-supplier semantics
     // (customer and supplier share the nation). The dims (nation,

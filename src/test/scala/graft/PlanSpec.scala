@@ -195,4 +195,13 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in pairing plan:\n$plan")
     }
   }
+
+  test("ext_cube plans ONE Expand pass over the scan, not one scan per grouping set") {
+    val q = SparkEntry.queries("ext_cube")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length === 1,
+      s"CUBE must be a single Expand over one scan:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length === 1,
+      s"CUBE must read events exactly once:\n$plan")
+  }
 }
