@@ -395,6 +395,36 @@ object Ops {
     saltedLeft.join(saltedRight, Seq(key, "__salt"), how).drop("__salt")
   }
 
+  /** Time-series gap-fill + forward-fill over an already-aggregated
+    * frame: for each key, densify `dayCol` across the key's own
+    * [min, max] span at `step` granularity, flag the inserted rows
+    * (`is_gap`), and carry the last observed `valueCol` forward into
+    * them (`filled_<valueCol>`). The first row per key is never a gap
+    * (the span starts at the key's first observation), so the fill is
+    * total — no leading nulls.
+    *
+    * Scale shape: gap-fill runs on the AGGREGATED grain (days × keys),
+    * not the raw events — the upstream groupBy has already compressed
+    * 100 TB to the calendar size. Within that grain: one agg for the
+    * spans, a narrow sequence/explode for the calendar, one equi join
+    * back, one keyed window for the carry — all partitioned by key,
+    * never a cartesian, state bounded by one row per (key, step). */
+  def gapFill(
+      daily: DataFrame, keyCol: String, dayCol: String, valueCol: String,
+      step: String = "interval 1 day"): DataFrame = {
+    val cal = daily.groupBy(keyCol)
+      .agg(min(dayCol).as("__d0"), max(dayCol).as("__d1"))
+      .select(col(keyCol),
+        explode(expr(s"sequence(__d0, __d1, $step)")).as(dayCol))
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("is_gap", col(valueCol).isNull)
+      .withColumn(s"filled_$valueCol",
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .drop(valueCol)
+  }
+
   // ---------------------------------------------------------------------
   // Union sources (SURVEY §2.1 S6/S7)
   // ---------------------------------------------------------------------

@@ -213,6 +213,56 @@ object TextOps {
         floor(col("offset") / lit(budget.toDouble)).cast("long").as("seq_no"))
   }
 
+  /** Overlapping word-window chunking — the RAG/indexing prep step:
+    * split each document into `window`-word chunks advancing by
+    * `stride` words (overlap = window - stride keeps context at chunk
+    * boundaries). Chunk count is max(1, ceil((n - window) / stride) + 1)
+    * in exact integer arithmetic, so every non-empty document emits at
+    * least one chunk and the last chunk is the only short one. The plan
+    * is scan → sequence/explode → slice/array_join: per-row generators
+    * and codegen'd array ops, NO shuffle — at 100 TB it fuses with the
+    * scan and parallelism is the input partitioning. */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"chunk window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    val ws = split(col(textCol), " ")
+    df.select(col(idCol), ws.as("__ws"), size(ws).cast("long").as("__n"))
+      .withColumn("__nc",
+        when(col("__n") <= window, lit(1L))
+          .otherwise(floor((col("__n") - window + stride - 1)
+            / lit(stride.toDouble)).cast("long") + 1L))
+      .select(col(idCol), col("__ws"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(window.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("chunk_words"),
+        array_join(
+          slice(col("__ws"),
+            (col("chunk_idx") * stride + 1L).cast("int"), lit(window)),
+          " ").as("chunk_text"))
+  }
+
+  /** Per-domain document cap — the web-corpus balance step: keep at
+    * most `n` documents per domain, best-first by `scoreCol`
+    * (deterministic id tiebreak). One keyed window = one shuffle on the
+    * domain; at 100 TB that is the intended partitioning (domains are
+    * many and the per-domain top-n state is bounded by n). Callers with
+    * a skewed mega-domain should pre-filter it or raise spark AQE skew
+    * handling — the cap itself never builds per-domain lists. */
+  def domainCap(
+      df: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"per-domain cap must be >= 1: $n")
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

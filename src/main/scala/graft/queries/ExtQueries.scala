@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ops
 import graft.sinks.Sinks
 import graft.streaming.Streams
 import Tables.t
@@ -280,6 +281,49 @@ object ExtQueries {
         .select("event_type", "day_ts", "gid", "n_events", "sum_value_c")
         .orderBy(col("gid"),
           asc_nulls_first("event_type"), asc_nulls_first("day_ts"))
+    },
+
+    // ----- Time-series gap-fill + forward-fill --------------------------
+    // Daily high-value (value > 200) sums per event_type are sparse at
+    // sf0.01 (real missing days); gapFill densifies each type's own
+    // [min, max] day span and carries the last observed sum forward into
+    // the inserted rows. Money rides the integer-cents convention; the
+    // fill runs on the aggregated grain, never the raw events.
+    QDef.sql(
+      "ext_gapfill",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS day_value_c
+        |  FROM events WHERE value > 200
+        |  GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT event_type, min(day_ts) AS d0, max(day_ts) AS d1
+        |  FROM daily GROUP BY 1
+        |),
+        |cal AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+        |  FROM span
+        |)
+        |SELECT c.event_type, c.day_ts,
+        |       (d.day_value_c IS NULL) AS is_gap,
+        |       last_value(d.day_value_c IGNORE NULLS) OVER (
+        |         PARTITION BY c.event_type ORDER BY c.day_ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled_day_value_c
+        |FROM cal c LEFT JOIN daily d USING (event_type, day_ts)
+        |ORDER BY event_type, day_ts""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("value") > 200)
+        .withColumn("day_ts", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day_ts")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("day_value_c"))
+      Ops.gapFill(daily, "event_type", "day_ts", "day_value_c")
+        .select("event_type", "day_ts", "is_gap", "filled_day_value_c")
+        .orderBy("event_type", "day_ts")
     },
 
     // ----- Five-way star join (TPC-H Q5 shape) -------------------------

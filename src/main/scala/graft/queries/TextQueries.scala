@@ -342,5 +342,64 @@ object TextQueries {
         .withColumn("payload", MultimodalOps.withPayload(col("text")))
       MultimodalOps.payloadMeta(docs, "doc_id", col("payload"))
         .orderBy("doc_id")
+    },
+
+    // ----- Overlapping word-window chunking (RAG/indexing prep) --------
+    // 32-word chunks, stride 24 (8-word overlap). Chunk-count arithmetic
+    // is exact-integer on both sides; DuckDB list slicing ws[a:b] is
+    // 1-based inclusive = Spark slice(ws, a, W).
+    QDef.sql(
+      "llm_chunk",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 32 THEN 1
+        |         ELSE ((len(ws) - 32 + 23) // 24) + 1 END AS nc
+        |  FROM w
+        |),
+        |e AS (
+        |  SELECT doc_id, ws, n, unnest(generate_series(0, nc - 1)) AS chunk_idx
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS chunk_words,
+        |       array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+        |         AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      TextOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ----- Per-domain cap: top-3 docs per source by quality ------------
+    // The web-corpus balance step; ranks by the ROUNDED quality score on
+    // both sides (deterministic id tiebreak) so float ordering can never
+    // diverge the selection.
+    QDef.sql(
+      "llm_domain_cap",
+      s"""WITH w AS (
+         |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS ws
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE least(1.0, len(ws) / 50.0) * 0.4
+         |             + (CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE) / len(ws)) * 0.3
+         |             + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |                    / length(text)) * 0.3 END, 6) AS quality
+         |  FROM w
+         |)
+         |SELECT doc_id, source, quality FROM c
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |                           ORDER BY quality DESC, doc_id) <= 3
+         |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      TextOps.domainCap(scored, "doc_id", "source", "quality", n = 3)
+        .orderBy("source", "doc_id")
     })
 }

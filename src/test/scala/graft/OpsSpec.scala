@@ -227,6 +227,66 @@ class OpsSpec extends AnyFunSuite {
       new java.math.BigDecimal("92233720368547758.07"))
   }
 
+  test("chunkDocs: exact chunk count/coverage; short, boundary and " +
+    "overlap cases") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // n == window → 1
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")),  // n = window+1 → 2
+      (3L, (1 to 25).map(i => s"w$i").mkString(" ")),  // ceil((25-10)/8)+1 = 3
+      (4L, "solo"),                                    // n < window → 1
+      (5L, "")                                         // empty → 1 empty chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text", window = 10, stride = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc === Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 1, 5L -> 1))
+    // doc 2: second chunk starts at word 9 (stride 8), carries the tail
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2(0).getString(3) === (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(d2(1).getString(3) === "w9 w10 w11")
+    assert(d2(1).getLong(2) === 3L) // chunk_words on the short tail
+    // overlap property: consecutive chunks share window - stride words
+    assert(d2(0).getString(3).split(" ").takeRight(2).toSeq
+      === d2(1).getString(3).split(" ").take(2).toSeq)
+    // coverage: every source word appears in some chunk of its doc
+    val d3words = out.filter(_.getLong(0) == 3L).flatMap(_.getString(3).split(" ")).toSet
+    assert((1 to 25).forall(i => d3words.contains(s"w$i")))
+  }
+
+  test("domainCap: keeps top-n per domain by score desc with id tiebreak; " +
+    "small domains keep everything") {
+    import graft.operators.TextOps
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.7),
+      ("b", 5L, 0.1)
+    ).toDF("dom", "doc_id", "score")
+    val kept = TextOps.domainCap(df, "doc_id", "dom", "score", n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // domain a: 0.9 tie → ids 1,2 (id asc tiebreak beats 0.7); b keeps all
+    assert(kept.toSeq === Seq(1L, 2L, 5L))
+  }
+
+  test("gapFill: densifies each key's own span, flags inserted rows and " +
+    "carries the last value forward; first row per key is never a gap") {
+    val daily = Seq(
+      ("k1", "2024-01-01", 10L), ("k1", "2024-01-04", 40L),
+      ("k2", "2024-02-01", 7L) // single-day span: nothing to fill
+    ).toDF("k", "day", "v")
+      .withColumn("day", col("day").cast("timestamp"))
+    val out = Ops.gapFill(daily, "k", "day", "v")
+      .orderBy("k", "day").collect()
+    assert(out.length === 5, "k1 spans 4 days, k2 spans 1")
+    val k1 = out.filter(_.getString(0) == "k1")
+    assert(k1.map(_.getBoolean(2)).toSeq === Seq(false, true, true, false))
+    assert(k1.map(_.getLong(3)).toSeq === Seq(10L, 10L, 10L, 40L),
+      "gap rows carry the last observed value forward")
+    val k2 = out.filter(_.getString(0) == "k2")
+    assert(k2.map(_.getBoolean(2)).toSeq === Seq(false))
+    // spans are PER KEY: k2 must not be densified across January
+    assert(out.count(_.getString(0) == "k2") === 1)
+  }
+
   test("centsToDecimal: scales 7-18 keep every fractional digit (the " +
     "decimal(38,0) widening would have rounded them to 6 digits)") {
     import org.apache.spark.sql.types.DecimalType

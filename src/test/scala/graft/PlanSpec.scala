@@ -196,6 +196,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs is shuffle-free: generators and array ops fused with the scan") {
+    val q = graft.operators.TextOps.chunkDocs(
+      spark.read.parquet(docs), "doc_id", "text", window = 32, stride = 24)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — it is a per-row transform:\n$plan")
+  }
+
   test("ext_cube plans ONE Expand pass over the scan, not one scan per grouping set") {
     val q = SparkEntry.queries("ext_cube")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
