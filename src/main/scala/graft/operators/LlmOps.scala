@@ -248,6 +248,42 @@ object LlmOps {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Incremental dedup of a new batch against an existing corpus: keep
+    * the `newDf` rows whose `fpCol` (a 64-bit fingerprint) does NOT
+    * already exist in `hist`. Semantically a plain left-anti join — but
+    * at 100 TB the historical side is billions of fingerprints, so
+    * shuffling the whole new batch against it is the wrong first move.
+    * Instead a Bloom filter of the historical fingerprints (built with
+    * Spark's mergeable sketch aggregate, `fpp` sized by the caller) is
+    * broadcast and applied scan-side: bloom-negative rows are DEFINITELY
+    * new and short-circuit with zero shuffle; only the bloom-positive
+    * sliver (true dups + `fpp` false positives) pays the exact keyed
+    * anti-join verify. The output is exact — the bloom only prunes, the
+    * join decides.
+    *
+    * The sketch build and the broadcast are Spark actions at plan-build
+    * time (same contract as `df.stat.bloomFilter`). The probe is a
+    * Scala UDF over the broadcast sketch: a deliberate exception to the
+    * functions-first rule, as Spark exposes no public `might_contain`
+    * function — one primitive-long call per row, no serialization in
+    * the loop. */
+  def incrementalDedup(
+      newDf: DataFrame, hist: DataFrame, fpCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val histFp = hist.select(fpCol)
+    val expected = histFp.count()
+    // Spark's sketch aggregate NPEs on an empty input — and an empty
+    // corpus can't contain anything, so the whole batch is fresh
+    if (expected == 0L) return newDf
+    val bf = histFp.stat.bloomFilter(fpCol, expected, fpp)
+    val bc = newDf.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((fp: Long) => bc.value.mightContain(fp))
+    val fresh = newDf.filter(!mightContain(col(fpCol)))
+    val verified = newDf.filter(mightContain(col(fpCol)))
+      .join(histFp.distinct(), Seq(fpCol), "left_anti")
+    fresh.unionByName(verified.select(newDf.columns.map(col).toIndexedSeq: _*))
+  }
+
   // ---------------------------------------------------------------------
   // Embedding similarity search
   // ---------------------------------------------------------------------

@@ -425,6 +425,33 @@ object Ops {
       .drop(valueCol)
   }
 
+  /** Slowly-changing-dimension type-2 history builder: collapse an event
+    * log to one row per (key, state run) — the row where `stateCol`
+    * first differs from the key's previous state — with
+    * `valid_from` = that event's `tsCol`, `valid_to` = the next change's
+    * `valid_from` (null on the open run), and `is_current` flagging it.
+    * `tieCol` breaks equal-timestamp ordering deterministically.
+    * Consecutive events with the SAME state collapse into one run;
+    * a state that recurs later opens a new run (type-2, not type-1).
+    *
+    * Scale shape: two keyed windows over the same (key × time)
+    * partitioning — Catalyst plans ONE shuffle and sorts once; the
+    * change filter between them shrinks the frame to the run count
+    * before the lead. State per key is one row lookback, never a
+    * per-key buffer. */
+  def scd2(
+      df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol), col(tieCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   // ---------------------------------------------------------------------
   // Union sources (SURVEY §2.1 S6/S7)
   // ---------------------------------------------------------------------

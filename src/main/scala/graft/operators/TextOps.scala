@@ -263,6 +263,44 @@ object TextOps {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Boilerplate-segment removal (CCNet-style line dedup, re-expressed
+    * for newline-free corpora): segment each document into
+    * non-overlapping `window`-word pieces ([[chunkDocs]] with
+    * stride = window), count each segment's document frequency across
+    * the corpus, drop segments appearing in >= `minDf` distinct
+    * documents (nav bars, license headers, share buttons at web scale),
+    * and reassemble the survivors in document order. Output per doc:
+    * `text_clean`, `n_kept`, `n_total` — a doc whose every segment is
+    * boilerplate still emits a row with an empty `text_clean`.
+    *
+    * Scale shape: segments are keyed by their 64-bit [[LlmOps.strHash]]
+    * so the DF count and the join back shuffle 8-byte keys, not segment
+    * strings; the second exchange reuses the first's partitioning (same
+    * key). One final groupBy on the doc id rebuilds the text with a
+    * bounded per-doc state (the doc's own segment list) — never a
+    * corpus-wide window. */
+  def stripBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every segment: $minDf")
+    val segs = chunkDocs(df, idCol, textCol, window, stride = window)
+      .withColumn("__h", LlmOps.strHash(col("chunk_text")))
+    val dfCounts = segs.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val keep = col("__df") < minDf
+    segs.join(dfCounts, "__h")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(keep, struct(col("chunk_idx"), col("chunk_text"))))),
+            x => x.getField("chunk_text")),
+          " ").as("text_clean"))
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

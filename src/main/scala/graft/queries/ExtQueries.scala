@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Ops
@@ -324,6 +325,85 @@ object ExtQueries {
       Ops.gapFill(daily, "event_type", "day_ts", "day_value_c")
         .select("event_type", "day_ts", "is_gap", "filled_day_value_c")
         .orderBy("event_type", "day_ts")
+    },
+
+    // ----- Exact interpolated percentiles ------------------------------
+    // Median and p90 of value per event type. Both engines use the
+    // percentile_cont definition (linear interpolation at rank p*(n-1)
+    // over the sorted values) — Spark's exact `percentile`, DuckDB's
+    // `quantile_cont`. Sort-based, so deterministic; round(6) guards the
+    // final interpolation arithmetic.
+    QDef.sql(
+      "ext_median",
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS median_value,
+        |       round(quantile_cont(value, 0.9), 6) AS p90_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5d)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.9d)"), 6).as("p90_value"))
+        .orderBy("event_type")
+    },
+
+    // ----- Day-over-day deltas (lag window) ----------------------------
+    // Daily integer-cents sums per event type with the delta against the
+    // previous OBSERVED day (no densify — that is ext_gapfill's job);
+    // first day per type has a null delta. One shuffle for the agg, one
+    // keyed window.
+    QDef.sql(
+      "ext_lag_delta",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS day_value_c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day_ts, day_value_c,
+        |       day_value_c - lag(day_value_c) OVER (
+        |         PARTITION BY event_type ORDER BY day_ts) AS delta_c
+        |FROM daily ORDER BY event_type, day_ts""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .withColumn("day_ts", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day_ts")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("day_value_c"))
+      val w = Window.partitionBy("event_type").orderBy("day_ts")
+      daily
+        .withColumn("delta_c",
+          col("day_value_c") - lag(col("day_value_c"), 1).over(w))
+        .orderBy("event_type", "day_ts")
+    },
+
+    // ----- SCD type-2 history (state-run collapse) ---------------------
+    // Per-user event_type state history: one row per state run with
+    // [valid_from, valid_to) bounds and an is_current flag on the open
+    // run. Ties on ts break by event_id on both sides.
+    QDef.sql(
+      "ext_scd2",
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM o
+        |),
+        |ch AS (
+        |  SELECT user_id, event_type, event_id, ts AS valid_from FROM s
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type, event_id, valid_from,
+        |       lead(valid_from) OVER (
+        |         PARTITION BY user_id ORDER BY valid_from, event_id)
+        |         AS valid_to,
+        |       (lead(valid_from) OVER (
+        |         PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
+        |         AS is_current
+        |FROM ch ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+      Ops.scd2(t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("user_id", "valid_from", "event_id")
     },
 
     // ----- Five-way star join (TPC-H Q5 shape) -------------------------

@@ -585,5 +585,35 @@ object LlmQueries {
       LlmOps.contamination(t(s, dir, "documents"), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0, n = 3)
         .orderBy("doc_id")
+    },
+
+    // ----- Incremental dedup: new batch vs existing corpus -------------
+    // Docs with doc_id % 5 == 0 are the "new batch"; the rest is the
+    // historical corpus. A new doc survives iff its bag-of-words
+    // fingerprint (hash of the sorted distinct lowercased words — order/
+    // repetition-insensitive exact dedup) is unseen in the corpus. The
+    // Spark path proves the Bloom-prefilter + exact-verify plan equals
+    // the oracle's plain anti join.
+    QDef.sql(
+      "llm_incremental_dedup",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    ${duckHash("array_to_string(list_sort(list_distinct(" +
+             "string_split(lower(text), ' '))), ' ')")} AS fp
+         |  FROM documents
+         |)
+         |SELECT doc_id, fp FROM f
+         |WHERE doc_id % 5 = 0
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bow = array_join(
+        array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"), LlmOps.strHash(bow).as("fp"))
+      LlmOps.incrementalDedup(
+        fps.filter(col("doc_id") % 5 === 0),
+        fps.filter(col("doc_id") % 5 =!= 0),
+        "fp")
+        .orderBy("doc_id")
     })
 }

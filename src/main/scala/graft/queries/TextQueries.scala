@@ -401,5 +401,51 @@ object TextQueries {
         round(TextOps.qualityScore(col("text")), 6).as("quality"))
       TextOps.domainCap(scored, "doc_id", "source", "quality", n = 3)
         .orderBy("source", "doc_id")
+    },
+
+    // ----- Boilerplate-segment removal (CCNet-style line dedup) --------
+    // Non-overlapping 3-word segments; segments appearing in >= 5
+    // distinct docs are boilerplate and dropped; survivors reassemble in
+    // document order. Both engines key the DF count on the same
+    // polynomial segment hash.
+    QDef.sql(
+      "llm_boilerplate",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) <= 3 THEN 1
+         |         ELSE ((len(ws) - 3 + 2) // 3) + 1 END AS nc
+         |  FROM w
+         |),
+         |e AS (
+         |  SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS chunk_idx
+         |  FROM c
+         |),
+         |g AS (
+         |  SELECT doc_id, chunk_idx,
+         |    array_to_string(ws[chunk_idx * 3 + 1 : chunk_idx * 3 + 3], ' ')
+         |      AS seg
+         |  FROM e
+         |),
+         |hs AS (
+         |  SELECT doc_id, chunk_idx, seg, ${duckHash("seg")} AS h FROM g
+         |),
+         |d AS (
+         |  SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY 1
+         |)
+         |SELECT hs.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(CASE WHEN d.df < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       coalesce(string_agg(CASE WHEN d.df < 5 THEN hs.seg END,
+         |                           ' ' ORDER BY hs.chunk_idx), '')
+         |         AS text_clean
+         |FROM hs JOIN d USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextOps.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        window = 3, minDf = 5)
+        .orderBy("doc_id")
     })
 }

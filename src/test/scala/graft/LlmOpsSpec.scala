@@ -339,4 +339,34 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
     assert(b(1L) !== a(1L)._5, "different target box → different signature")
   }
+
+  test("incrementalDedup: bloom prefilter + exact verify equals a plain " +
+    "anti join, including under a deliberately terrible fpp") {
+    // deterministic "random" fingerprints via a multiplicative hash
+    def fp(i: Long): Long = i * 2654435761L
+    val hist = (0L until 1000L).map(fp).toDF("fp")
+    // new batch: 100 known dups + 400 unseen fingerprints
+    val newB = ((0L until 100L) ++ (5000L until 5400L)).map(i => (i, fp(i)))
+      .toDF("batch_id", "fp")
+    val expected = (5000L until 5400L).toSet
+    val kept = LlmOps.incrementalDedup(newB, hist, "fp")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expected)
+    // fpp=0.5 floods the verify path with false positives; output is
+    // still EXACT because the bloom only prunes, the anti join decides
+    val keptNoisy = LlmOps.incrementalDedup(newB, hist, "fp", fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNoisy === expected)
+    // schema passes through: batch columns, original order
+    assert(LlmOps.incrementalDedup(newB, hist, "fp").columns.toSeq
+      === Seq("batch_id", "fp"))
+  }
+
+  test("incrementalDedup: an empty historical corpus keeps the whole batch") {
+    val hist = Seq.empty[Long].toDF("fp")
+    val newB = Seq((1L, 10L), (2L, 20L)).toDF("batch_id", "fp")
+    val kept = LlmOps.incrementalDedup(newB, hist, "fp")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
 }

@@ -287,6 +287,73 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count(_.getString(0) == "k2") === 1)
   }
 
+  test("scd2: collapses state runs, reopens recurring states, chains " +
+    "valid_to, ties break on the tie column") {
+    val ev = Seq(
+      // user 1: A A B A — runs A, B, A (recurrence reopens, not merges)
+      (1L, "2024-01-01 00:00:00", 1L, "A"),
+      (1L, "2024-01-02 00:00:00", 2L, "A"),
+      (1L, "2024-01-03 00:00:00", 3L, "B"),
+      (1L, "2024-01-04 00:00:00", 4L, "A"),
+      // user 2: same-ts tie — event_id order decides B is the change
+      (2L, "2024-03-01 00:00:00", 10L, "A"),
+      (2L, "2024-03-02 00:00:00", 11L, "A"),
+      (2L, "2024-03-02 00:00:00", 12L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Ops.scd2(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "valid_from", "event_id").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq === Seq("A", "B", "A"))
+    assert(u1.map(_.getLong(2)).toSeq === Seq(1L, 3L, 4L),
+      "run rows carry the FIRST event of each run")
+    // valid_to chains to the next run's valid_from; open run is current
+    assert(u1.map(r => Option(r.getTimestamp(4))).toSeq ===
+      Seq(Some(u1(1).getTimestamp(3)), Some(u1(2).getTimestamp(3)), None))
+    assert(u1.map(_.getBoolean(5)).toSeq === Seq(false, false, true))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.map(_.getLong(2)).toSeq === Seq(10L, 12L),
+      "equal-ts tie resolved by event_id: A run starts at 10, B at 12")
+  }
+
+  test("scd2: the two windows and the change filter plan a single shuffle") {
+    val ev = Seq((1L, "2024-01-01 00:00:00", 1L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val plan = Ops.scd2(ev, "user_id", "ts", "event_type", "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"lag and lead share the (key × time) partitioning — expected exactly " +
+        s"one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("stripBoilerplate: drops high-DF segments, reassembles survivors " +
+    "in order, keeps all-boilerplate docs with empty text") {
+    import graft.operators.TextOps
+    val boiler = "click here now" // shared 3-word segment in every doc
+    val docs = Seq(
+      (1L, s"$boiler unique one text"),
+      (2L, s"$boiler unique two words"),
+      (3L, s"$boiler other body here"),
+      (4L, s"$boiler")                 // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplate(docs, "doc_id", "text",
+      window = 3, minDf = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length === 4, "every doc emits a row, even fully-stripped")
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L, 1L), "n_total")
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L, 0L), "n_kept")
+    assert(out.map(_.getString(3)).toSeq ===
+      Seq("unique one text", "unique two words", "other body here", ""))
+    // below the threshold nothing is dropped
+    val loose = TextOps.stripBoilerplate(docs, "doc_id", "text",
+      window = 3, minDf = 5)
+      .orderBy("doc_id").collect()
+    assert(loose.forall(r => r.getLong(1) === r.getLong(2)),
+      "minDf above every DF keeps all segments")
+  }
+
   test("centsToDecimal: scales 7-18 keep every fractional digit (the " +
     "decimal(38,0) widening would have rounded them to 6 digits)") {
     import org.apache.spark.sql.types.DecimalType
