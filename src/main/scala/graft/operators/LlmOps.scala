@@ -319,6 +319,32 @@ object LlmOps {
       .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("cosine"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth compression before ANN indexing at corpus
+    * scale. Per vector: scale = 127 / max|x| (0 for the zero vector),
+    * q_i = round_half_away(x_i · scale) ∈ [-127, 127] (the scale choice
+    * makes saturation beyond ±127 impossible, no clamp needed). Output
+    * keeps the quantized array `q` for downstream use plus integer-exact
+    * summary stats; max_abs is the only rounded float. Per-row,
+    * shuffle-free, fused with the scan. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: Column): DataFrame = {
+    val withV = df.select(col(idCol), toDoubleVec(vecCol).as("__v"))
+      .withColumn("__mx", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("__scale",
+        when(col("__mx") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("__mx")))
+      .withColumn("q",
+        transform(col("__v"), x => round(x * col("__scale"), 0).cast("long")))
+    withV.select(
+      col(idCol),
+      col("q"),
+      round(col("__mx"), 6).as("max_abs"),
+      size(col("q")).cast("long").as("n_dims"),
+      aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+      array_max(col("q")).as("q_max"),
+      array_min(col("q")).as("q_min"),
+      size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+  }
+
   /** Deterministic pseudo-random hyperplane component j (LCG over the flat
     * index), in [-1000, 1000] as double — reproducible in SQL anywhere. */
   private def hp(j: Column): Column =

@@ -452,6 +452,81 @@ object Ops {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Ordered k-stage funnel: for each key (user), the earliest time each
+    * stage is reached, where stage i+1 must occur strictly AFTER the
+    * event that satisfied stage i in the total order (tsCol, tieCol).
+    * Greedy-earliest semantics: taking the earliest qualifying event at
+    * every stage maximizes downstream reachability, so the reported
+    * depth is the key's true maximum funnel depth. Output: one row per
+    * key with `s1_ts..sk_ts` (null where unreached) and `depth`.
+    *
+    * Scale shape: ONE shuffle (groupBy key), then a per-key sorted fold
+    * via codegen'd higher-order functions — no self-join per stage, no
+    * k-pass scan. State per key is its own event list, the same bound
+    * any per-user sessionization already accepts; at 100 TB the keys
+    * partition freely and no stage ever revisits the raw table. */
+  def funnel(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      stageCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val k = stages.size
+    val evs = sort_array(collect_list(struct(
+      col(tsCol).as("t"), col(tieCol).as("e"), col(stageCol).as("y"))))
+    val init = struct(
+      (1 to k).map(i => lit(null).cast("timestamp").as(s"s$i")): _*)
+    def fold(acc: Column, ev: Column): Column = struct(
+      stages.zipWithIndex.map { case (stage, i) =>
+        val prevOk =
+          if (i == 0) lit(true) else acc.getField(s"s$i").isNotNull
+        when(acc.getField(s"s${i + 1}").isNull && prevOk
+            && ev.getField("y") === stage, ev.getField("t"))
+          .otherwise(acc.getField(s"s${i + 1}"))
+          .as(s"s${i + 1}")
+      }: _*)
+    val folded = df.groupBy(col(keyCol)).agg(evs.as("__evs"))
+      .select(col(keyCol), aggregate(col("__evs"), init, fold).as("__st"))
+    // sk set implies s(k-1) set, so checking deepest-first is exact
+    val depth = (1 to k).foldLeft(lit(0L)) { (els, i) =>
+      when(col("__st").getField(s"s$i").isNotNull, lit(i.toLong)).otherwise(els)
+    }
+    folded.select(
+      col(keyCol) +:
+        (1 to k).map(i => col("__st").getField(s"s$i").as(s"s${i}_ts")) :+
+        depth.as("depth"): _*)
+  }
+
+  /** Cohort retention: assign each key (user) to the day of its first
+    * activity, then count distinct active keys per (cohort day, day
+    * offset). Day grain is a truncated timestamp (house convention).
+    *
+    * Scale shape: the (key, day) distinct and the first-day agg share
+    * the key-hash shuffle; the final agg runs on the already-compressed
+    * activity grain (keys × active days), never the raw events. */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val act = df
+      .select(col(keyCol), date_trunc("day", col(tsCol)).as("day_ts"))
+      .distinct()
+    val coh = act.groupBy(col(keyCol)).agg(min("day_ts").as("cohort_day"))
+    act.join(coh, Seq(keyCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("day_ts"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
+  /** Fixed-width histogram: bucket = floor(value / width), with count
+    * and observed [min, max] per bucket (rounded 6 for engine-portable
+    * doubles). Pure partial-aggregation groupBy on a derived integer
+    * key — the one-pass profile of a 100 TB numeric column. */
+  def histogram(df: DataFrame, valueCol: Column, width: Double): DataFrame = {
+    require(width > 0, "histogram width must be positive")
+    df.select(floor(valueCol / lit(width)).as("bucket"), valueCol.as("__v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("__v"), 6).as("lo_val"),
+        round(max("__v"), 6).as("hi_val"))
+  }
+
   // ---------------------------------------------------------------------
   // Union sources (SURVEY §2.1 S6/S7)
   // ---------------------------------------------------------------------

@@ -110,6 +110,98 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
+  /** Sparse cosine-similarity pairs via an inverted-index join over
+    * n-word shingle terms with integer-idf weights — the exact
+    * similarity join that complements the MinHash/SimHash SKETCHES:
+    * same candidate-generation shape (equi join on the term), but the
+    * score is the true cosine over the pruned term space, not an
+    * estimate.
+    *
+    * Weights are exact integers (`tf * (1000000 div df)` — rarer terms
+    * weigh more, the idf spirit without a float log), so dots and norms
+    * are BIGINT-exact and the only floats are one correctly-rounded
+    * sqrt/divide at the end — bit-identical in any IEEE engine.
+    *
+    * Scale shape: the df band [minDf, maxDfFrac·N] is the scale lever —
+    * dropping ubiquitous terms bounds every inverted-index bucket at
+    * maxDfFrac·N docs (the classic frequency-pruned similarity join),
+    * so the term self-join is never all-pairs and its cost is
+    * Σ_t df(t)² over surviving terms only. Corpus size N stays in-plan
+    * (1-row agg, broadcast) — no driver action. */
+  def sparseCosinePairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      minDf: Long = 2L, maxDfFrac: Double = 0.05,
+      minSim: Double = 0.35): DataFrame = {
+    val tf = LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+      .withColumnRenamed("h", "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val wt = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf &&
+        col("df") <= floor(lit(maxDfFrac) * col("n_docs")))
+      .select(col(idCol), col("term"),
+        expr("tf * (1000000 div df)").as("w"))
+    val nrm = wt.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    val dots = wt.select(col(idCol).as("doc_a"), col("term"), col("w").as("wa"))
+      .join(wt.select(col(idCol).as("doc_b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    val sim = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dots
+      .join(nrm.select(col(idCol).as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(nrm.select(col(idCol).as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .filter(sim >= minSim)
+      .select(col("doc_a"), col("doc_b"), round(sim, 6).as("sim"))
+  }
+
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms (k1/b are the standard Okapi constants). Only float-exactness
+    * caveat: `ln` in the idf — every other operation is IEEE-exact or
+    * correctly rounded, token/length sums ride integers, and the
+    * per-term partial scores add in the FIXED left-to-right order of
+    * `queryTerms` (a conditional-aggregation pivot, not an
+    * order-nondeterministic float sum).
+    *
+    * Scale shape: the df/dl/avgdl statistics are one agg each (avgdl is
+    * a 1-row broadcast); scoring touches only rows whose term is in the
+    * query (filter pushed to the tf grain), then one groupBy(doc). */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      "queryTerms must be non-empty and distinct")
+    val tf = df
+      .select(col(idCol), explode(LlmOps.words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tok_total"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val adl = col("tok_total").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val termScore = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("adl")))
+    val scored = tf.filter(col("w").isin(queryTerms: _*))
+      .join(dl, Seq(idCol))
+      .join(dfreq, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("adl", adl)
+      .withColumn("term_score", termScore)
+    val perTerm = queryTerms.map(t =>
+      max(when(col("w") === t, col("term_score"))).as(s"__s_$t"))
+    val total = queryTerms
+      .map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
+      .select(col(idCol), round(total, 6).as("bm25"))
+  }
+
   /** Global top-k n-grams by frequency (hash-identified; deterministic
     * tie-break on the hash). Partial aggregation keeps the shuffle
     * narrow; the final top-k is a single ordered limit. */

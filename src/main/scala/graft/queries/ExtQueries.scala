@@ -745,6 +745,90 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Ordered funnel (signup → click → purchase) -------------------
+    // Greedy-earliest stage times per user under the total order
+    // (ts, event_id): stage i+1 is the first matching event STRICTLY
+    // after stage i's event. Spark computes it in ONE shuffle as a
+    // per-user sorted fold; the oracle derives the same times by
+    // iterated earliest-after-tuple joins — two independent
+    // formulations, one answer.
+    QDef.sql(
+      "ext_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, ts AS s1_ts, event_id AS s1_id FROM events
+        |  WHERE event_type = 'signup'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) = 1
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, e.ts AS s2_ts, e.event_id AS s2_id
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND (e.ts, e.event_id) > (s1.s1_ts, s1.s1_id)
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+        |                             ORDER BY e.ts, e.event_id) = 1
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, e.ts AS s3_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND (e.ts, e.event_id) > (s2.s2_ts, s2.s2_id)
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id
+        |                             ORDER BY e.ts, e.event_id) = 1
+        |),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, s1.s1_ts, s2.s2_ts, s3.s3_ts,
+        |  CAST(CASE WHEN s3.s3_ts IS NOT NULL THEN 3
+        |            WHEN s2.s2_ts IS NOT NULL THEN 2
+        |            WHEN s1.s1_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Ops.funnel(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("user_id")
+    },
+
+    // ----- Cohort retention matrix --------------------------------------
+    // Users cohorted by first-activity day; distinct active users per
+    // (cohort day, day offset). Day grain is a truncated timestamp
+    // (house convention, ext_gapfill/ext_lag_delta).
+    QDef.sql(
+      "ext_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts
+        |  FROM events
+        |),
+        |coh AS (
+        |  SELECT user_id, min(day_ts) AS cohort_day FROM act GROUP BY 1
+        |)
+        |SELECT coh.cohort_day,
+        |       CAST(datediff('day', coh.cohort_day, act.day_ts) AS BIGINT)
+        |         AS day_offset,
+        |       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Ops.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // ----- Fixed-width histogram over lineitem prices --------------------
+    // floor(x / 5000) buckets with per-bucket count and observed
+    // [min, max]. Bucket arithmetic is one IEEE divide + floor —
+    // bit-identical across engines.
+    QDef.sql(
+      "ext_histogram",
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(min(l_extendedprice), 6) AS lo_val,
+        |       round(max(l_extendedprice), 6) AS hi_val
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Ops.histogram(t(s, dir, "lineitem"), col("l_extendedprice"), 5000.0)
+        .orderBy("bucket")
+    },
+
     // ----- X5: TSV sanitization roundtrip ------------------------------
     // Tabs/newlines inside values are deterministically replaced with
     // spaces (the reference's lossy-but-defined X5 semantics); the

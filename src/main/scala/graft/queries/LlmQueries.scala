@@ -615,5 +615,43 @@ object LlmQueries {
         fps.filter(col("doc_id") % 5 =!= 0),
         "fp")
         .orderBy("doc_id")
+    },
+
+    // ----- Int8 embedding quantization ----------------------------------
+    // Symmetric per-vector quantization (scale = 127/max|x|): the q
+    // values and their stats are integer-exact once the two IEEE steps
+    // (divide, multiply) round identically, and round() is
+    // half-away-from-zero on both engines. The quantized array itself is
+    // verified through its exact L1/extremes/saturation stats.
+    QDef.sql(
+      "llm_embed_quantize",
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx
+        |  FROM m
+        |),
+        |qz AS (
+        |  SELECT vec_id, mx,
+        |    list_transform(v, x -> CAST(round(
+        |      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS BIGINT))
+        |      AS q
+        |  FROM s
+        |)
+        |SELECT vec_id, round(mx, 6) AS max_abs,
+        |  CAST(len(q) AS BIGINT) AS n_dims,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(q, x -> abs(x))), (a, b) -> a + b) AS q_l1,
+        |  list_aggregate(q, 'max') AS q_max,
+        |  list_aggregate(q, 'min') AS q_min,
+        |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM qz ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      LlmOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", col("embedding"))
+        .drop("q")
+        .orderBy("vec_id")
     })
 }

@@ -403,6 +403,100 @@ object TextQueries {
         .orderBy("source", "doc_id")
     },
 
+    // ----- Sparse cosine pairs via inverted-index join ------------------
+    // Exact cosine over integer-idf-weighted 3-gram shingles; the df
+    // band [2, 5% of N] is the frequency-pruning scale lever. Dots and
+    // norms are BIGINT-exact; the single float step (sqrt + divide) is
+    // correctly rounded on both engines.
+    QDef.sql(
+      "llm_tfidf_sim",
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         |  FROM w
+         |),
+         |terms AS (SELECT doc_id, ${duckHash("s")} AS term FROM sh),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |wt AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf * (1000000 // dfreq.df) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+         |  WHERE dfreq.df >= 2 AND dfreq.df <= floor(0.05 * nd.n_docs)
+         |),
+         |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(dot AS DOUBLE)
+         |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+         |        6) AS sim
+         |FROM dots JOIN nrm na ON na.doc_id = doc_a
+         |          JOIN nrm nb ON nb.doc_id = doc_b
+         |WHERE CAST(dot AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |      >= 0.35
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      TextOps.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDf = 2L, maxDfFrac = 0.05, minSim = 0.35)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- BM25 relevance against a fixed query --------------------------
+    // Per-term partial scores add in the FIXED left-to-right order of
+    // the query terms on both engines (conditional-aggregation pivot),
+    // token/length statistics ride integers, and the float constants are
+    // rendered into this SQL from the same Scala doubles the Spark plan
+    // uses — ln in the idf is the only library-rounded step.
+    QDef.sql(
+      "llm_bm25", {
+        val (k1, b) = (1.2, 0.75)
+        val qterms = Seq("data", "model", "training")
+        val score = qterms.map(tm =>
+          s"""coalesce(max(CASE WHEN w = '$tm' THEN
+             |  idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+             |  / (CAST(tf AS DOUBLE)
+             |     + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / adl)) END),
+             |  0.0)""".stripMargin).mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents
+           |),
+           |tf0 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+           |        FROM toks GROUP BY 1, 2),
+           |dl0 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |        FROM tf0 GROUP BY 1),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |                 CAST(sum(dl) AS BIGINT) AS tok_total
+           |          FROM dl0),
+           |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+           |          FROM tf0 GROUP BY 1),
+           |sc AS (
+           |  SELECT tf0.doc_id, tf0.w, tf0.tf, dl0.dl,
+           |         CAST(stats.tok_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)
+           |           AS adl,
+           |         ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE)
+           |                   + 0.5)
+           |                  / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS idf
+           |  FROM tf0 JOIN dl0 USING (doc_id) JOIN dfreq USING (w)
+           |           CROSS JOIN stats
+           |  WHERE tf0.w IN (${qterms.map(tm => s"'$tm'").mkString(", ")})
+           |)
+           |SELECT doc_id, round($score, 6) AS bm25
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "model", "training"))
+        .orderBy("doc_id")
+    },
+
     // ----- Boilerplate-segment removal (CCNet-style line dedup) --------
     // Non-overlapping 3-word segments; segments appearing in >= 5
     // distinct docs are boilerplate and dropped; survivors reassemble in

@@ -369,4 +369,66 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L))
   }
+
+  test("quantizeInt8: scale/rounding/saturation on known vectors; " +
+    "zero vector quantizes to zeros") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -2.0f)),      // mx=2, scale=63.5 → q = (64, -127)
+      (2L, Seq(0.0f, 0.0f)),       // zero vector → scale 0, all-zero q
+      (3L, Seq(0.5f, 0.5f, -0.5f)) // all at max → everything saturates
+    ).toDF("vec_id", "embedding")
+    val out = LlmOps.quantizeInt8(vecs, "vec_id", col("embedding"))
+      .orderBy("vec_id").collect()
+    val q1 = out(0).getSeq[Long](1)
+    assert(q1 === Seq(64L, -127L)) // round(63.5) half-away → 64
+    assert(out(0).getLong(4) === 191L)  // q_l1
+    assert(out(0).getLong(5) === 64L)   // q_max
+    assert(out(0).getLong(6) === -127L) // q_min
+    assert(out(0).getLong(7) === 1L)    // n_sat: only the -2.0 component
+    assert(out(1).getSeq[Long](1) === Seq(0L, 0L))
+    assert(out(1).getDouble(2) === 0.0) // max_abs
+    assert(out(2).getSeq[Long](1) === Seq(127L, 127L, -127L))
+    assert(out(2).getLong(7) === 3L)
+    // shuffle-free: per-row transform fused with the scan
+    val plan = LlmOps.quantizeInt8(vecs, "vec_id", col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle:\n$plan")
+  }
+
+  test("sparseCosinePairs: identical docs hit sim 1.0, partial overlap " +
+    "scores in (0,1), df-1 terms are pruned") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val c = "alpha beta gamma delta quebec romeo"
+    val corpus = (Seq((1L, a), (2L, a), (3L, c)) ++
+      // filler docs with unique shingles (df=1 → pruned from the index)
+      (10L until 47L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e")))
+      .toDF("doc_id", "text")
+    val out = TextOps.sparseCosinePairs(corpus, "doc_id", "text",
+      n = 3, minDf = 2L, maxDfFrac = 0.5, minSim = 0.35)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) === 1.0)
+    // A∩C share 2 of A's 4 shingles (df=3) vs A's 2 private ones (df=2):
+    // sim = 2·333333² / sqrt((2·333333²+2·500000²)·2·333333²)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 0.6)
+    assert(out((2L, 3L)) === out((1L, 3L)))
+    assert(out.size === 3, "filler docs must contribute no pairs")
+  }
+
+  test("bm25: higher tf scores higher, longer docs are penalized, " +
+    "docs without query terms are absent") {
+    val corpus = Seq(
+      (1L, "data data data model brief"),             // tf-heavy, short
+      (2L, "data padding " + Seq.fill(50)("x").mkString(" ")), // tf=1, long
+      (3L, "data model brief"),                       // tf=1, short
+      (4L, "nothing relevant here at all"))           // no query terms
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(corpus, "doc_id", "text", Seq("data", "model"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) > out(3L), "tf 3 must outscore tf 1 at similar length")
+    assert(out(3L) > out(2L), "short doc must outscore long doc at equal tf")
+    assert(out.values.forall(_ > 0.0))
+  }
 }

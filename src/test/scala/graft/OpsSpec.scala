@@ -382,4 +382,79 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(3).getDecimal(2) ===
       new java.math.BigDecimal("-9.223372036854775808"))
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: greedy-earliest stages, out-of-order events don't count, " +
+    "ties break on the tie column") {
+    val rows = Seq(
+      // user 1: a click BEFORE the signup must not satisfy stage 2
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "signup"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "click"),
+      (1L, ts("2024-01-01 00:03:00"), 4L, "purchase"),
+      // user 2: click and purchase share a ts; ids order click first → depth 3
+      (2L, ts("2024-01-02 00:00:00"), 10L, "signup"),
+      (2L, ts("2024-01-02 00:01:00"), 12L, "purchase"),
+      (2L, ts("2024-01-02 00:01:00"), 11L, "click"),
+      // user 5: purchase sorts BEFORE the click at the same ts → depth 2
+      (5L, ts("2024-01-05 00:00:00"), 40L, "signup"),
+      (5L, ts("2024-01-05 00:01:00"), 41L, "purchase"),
+      (5L, ts("2024-01-05 00:01:00"), 42L, "click"),
+      // user 3: depth 1; user 4: depth 0
+      (3L, ts("2024-01-03 00:00:00"), 20L, "signup"),
+      (4L, ts("2024-01-04 00:00:00"), 30L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Ops.funnel(rows, "user_id", "ts", "event_id", "event_type",
+      Seq("signup", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(4))).toSeq ===
+      Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 0L), (5L, 2L)))
+    assert(out(0).getTimestamp(1) === ts("2024-01-01 00:01:00"))
+    assert(out(0).getTimestamp(2) === ts("2024-01-01 00:02:00")) // not 00:00
+    assert(out(1).getTimestamp(3) === ts("2024-01-02 00:01:00"))
+    assert(out(4).getTimestamp(3) === null) // purchase before click: unreached
+  }
+
+  test("funnel plans exactly one shuffle (the per-user groupBy)") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val plan = Ops.funnel(df, "user_id", "ts", "event_id", "event_type",
+        Seq("signup", "click", "purchase"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length === 1,
+        s"funnel is ONE keyed shuffle + a per-user fold:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("cohortRetention: day-0 cohort sizes and offsets") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-03 01:00:00")),
+      (2L, ts("2024-01-01 05:00:00")), (2L, ts("2024-01-02 05:00:00")),
+      (3L, ts("2024-01-02 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = Ops.cohortRetention(rows, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", 0L, 2L),  // users 1, 2 on their first day
+      ("2024-01-01 00:00:00.0", 1L, 1L),  // user 2 returns next day
+      ("2024-01-01 00:00:00.0", 2L, 1L),  // user 1 returns on day 2
+      ("2024-01-02 00:00:00.0", 0L, 1L))) // user 3's cohort
+  }
+
+  test("histogram: bucket boundaries, negatives, and observed extremes") {
+    val df = Seq(-0.5, 0.0, 4.9, 5.0, 9.99, 10.0).toDF("v")
+    val out = Ops.histogram(df, $"v", 5.0).orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (-1L, 1L, -0.5, -0.5),
+      (0L, 2L, 0.0, 4.9),
+      (1L, 2L, 5.0, 9.99),
+      (2L, 1L, 10.0, 10.0)))
+  }
 }
