@@ -345,6 +345,42 @@ object LlmOps {
       size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
   }
 
+  /** Similarity search over int8-QUANTIZED vectors — the second half of
+    * the [[quantizeInt8]] story: after the one-time 4× compression, the
+    * scoring inner loop is pure BIGINT multiply-add (|q|≤127, so a
+    * 64-dim dot is ≤ ~1e6 — overflow-free by construction) and the only
+    * float work is one sqrt+divide per surviving pair. Ranking is by
+    * quantized cosine; ties break on candidate id.
+    *
+    * Scale shape: the bounded PROBE side broadcasts (the reverse of
+    * [[cosineTopK]], which broadcasts candidates) so the candidate
+    * corpus streams through in one pass with no shuffle before the
+    * per-probe top-k window. Compose with [[lshBucket]] the same way
+    * annTopKLsh does when even one pass is too much. */
+  def quantizedTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column, k: Int): DataFrame = {
+    def qn(df: DataFrame): DataFrame =
+      quantizeInt8(df, idCol, col(vecCol))
+        .select(col(idCol), col("q"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
+    val cand = qn(vecs)
+      .select(col(idCol).as("cand_id"), col("q").as("ce"), col("n2").as("cn"))
+    val probes = qn(vecs.filter(probeFilter))
+      .select(col(idCol).as("probe_id"), col("q").as("pe"), col("n2").as("pn"))
+    val dot = aggregate(
+      zip_with(col("pe"), col("ce"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val qcos = col("dot").cast("double") /
+      (sqrt(col("pn").cast("double")) * sqrt(col("cn").cast("double")))
+    val w = Window.partitionBy("probe_id").orderBy(col("__c").desc, col("cand_id"))
+    cand.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), dot.as("dot"),
+        col("pn"), col("cn"))
+      .select(col("probe_id"), col("cand_id"), qcos.as("__c"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("__c"), 6).as("qcosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component j (LCG over the flat
     * index), in [-1000, 1000] as double — reproducible in SQL anywhere. */
   private def hp(j: Column): Column =

@@ -374,6 +374,47 @@ object ExtQueries {
         .orderBy("event_type", "day_ts")
     },
 
+    // ----- 7-day rolling window sums (RANGE frame) -----------------------
+    // Rolling sums over a RANGE frame keyed on integer epoch-days — the
+    // frame covers calendar time, not rows, so missing days shrink the
+    // window honestly (ROWS BETWEEN 6 PRECEDING would silently span
+    // gaps). Money rides integer cents; both engines frame on the same
+    // integer day number. One agg shuffle + one keyed window.
+    QDef.sql(
+      "ext_rolling",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS day_value_c
+        |  FROM events GROUP BY 1, 2
+        |),
+        |d2 AS (
+        |  SELECT *, datediff('day', TIMESTAMP '1970-01-01', day_ts) AS day_num
+        |  FROM daily
+        |)
+        |SELECT event_type, day_ts, day_value_c,
+        |  CAST(sum(day_value_c) OVER w AS BIGINT) AS roll7_value_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll7_days
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day_ts""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .withColumn("day_ts", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day_ts")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("day_value_c"))
+        .withColumn("day_num",
+          datediff(col("day_ts"), to_date(lit("1970-01-01"))).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy(col("day_num"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(
+        col("event_type"), col("day_ts"), col("day_value_c"),
+        sum("day_value_c").over(w).as("roll7_value_c"),
+        count(lit(1)).over(w).as("roll7_days"))
+        .orderBy("event_type", "day_ts")
+    },
+
     // ----- SCD type-2 history (state-run collapse) ---------------------
     // Per-user event_type state history: one row per state run with
     // [valid_from, valid_to) bounds and an is_current flag on the open

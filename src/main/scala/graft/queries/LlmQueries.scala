@@ -653,5 +653,54 @@ object LlmQueries {
       LlmOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", col("embedding"))
         .drop("q")
         .orderBy("vec_id")
+    },
+
+    // ----- Top-k search over the int8-quantized vectors ------------------
+    // The payoff of llm_embed_quantize: the scoring loop is pure BIGINT
+    // multiply-add over 8-bit values (overflow-free by construction),
+    // one sqrt+divide per pair at the end. Ranks by quantized cosine
+    // with deterministic candidate-id tiebreak — integer dots make the
+    // ordering engine-exact, no float-sum order concerns at all.
+    QDef.sql(
+      "llm_ann_quantized",
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx
+        |  FROM m
+        |),
+        |qz AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(
+        |      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS BIGINT))
+        |      AS q
+        |  FROM s
+        |),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
+        |  FROM qz
+        |),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 64), i -> p.q[i] * c.q[i])),
+        |      (a, b) -> a + b) AS DOUBLE)
+        |    / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qc
+        |  FROM n p, n c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+        |)
+        |SELECT probe_id, cand_id, round(qc, 6) AS qcosine
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY qc DESC, cand_id) <= 5
+        |ORDER BY probe_id, qcosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.quantizedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5)
+        .orderBy(col("probe_id"), col("qcosine").desc, col("cand_id"))
     })
 }

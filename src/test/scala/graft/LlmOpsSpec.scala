@@ -396,6 +396,23 @@ class LlmOpsSpec extends AnyFunSuite {
       s"quantization must not shuffle:\n$plan")
   }
 
+  test("quantizedTopK: k rows per probe, high recall vs full-precision " +
+    "cosine, self never a candidate") {
+    val vecs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quant = LlmOps.quantizedTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(quant.groupBy(_._1).forall(_._2.length === 5))
+    assert(!quant.exists(p => p._1 === p._2))
+    // int8 keeps ~7 bits of direction: the top-5 sets should mostly agree
+    val recall = full.toSet.intersect(quant.toSet).size.toDouble / full.length
+    assert(recall >= 0.8, s"quantized recall@5 vs full precision: $recall")
+  }
+
   test("sparseCosinePairs: identical docs hit sim 1.0, partial overlap " +
     "scores in (0,1), df-1 terms are pruned") {
     val a = "alpha beta gamma delta epsilon zeta"
