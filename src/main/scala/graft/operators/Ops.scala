@@ -514,6 +514,26 @@ object Ops {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** Z-value (Morton code) of NON-NEGATIVE integer bucket columns:
+    * interleaves the low `bits` bits of each column so rows close in
+    * EVERY dimension land close on one linear axis. Sort/range-partition
+    * by this before writing and a multi-dimensional box predicate prunes
+    * to a few files/row-groups instead of scanning the full table — the
+    * data-skipping layout for "filter on x AND y" workloads where a
+    * single-column sort can only prune one dimension. Callers bucket
+    * raw values to non-negative ints first (floor-scale, ntile, epoch
+    * days...); pure codegen'd bit arithmetic, shuffle-free. */
+  def zorderValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 1 && bits >= 1 && bits * k <= 62,
+      s"z-value must fit a signed long: $k cols x $bits bits")
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+  }
+
   /** Fixed-width histogram: bucket = floor(value / width), with count
     * and observed [min, max] per bucket (rounded 6 for engine-portable
     * doubles). Pure partial-aggregation groupBy on a derived integer

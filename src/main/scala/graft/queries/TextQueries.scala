@@ -36,6 +36,12 @@ object TextQueries {
 
   import DuckSql.duckHash
 
+  /** DuckDB rendering of TextOps.mixBucket: polyhash then one
+    * multiplicative scramble, bucket in [0, 10000). Stays in lockstep
+    * with the Scala expression (same left-assoc `* % %` chain). */
+  private def duckMixBucket(strExpr: String): String =
+    s"${duckHash(strExpr)} * 2654435761 % 4294967296 % 10000"
+
   val defs: Seq[QDef] = Seq(
 
     // ----- Language ID: stopword-count heuristic -----------------------
@@ -263,7 +269,7 @@ object TextQueries {
       "llm_sample_stratified",
       s"""WITH h AS (
          |  SELECT doc_id, lang,
-         |    ${duckHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,
+         |    ${duckMixBucket("lang || ':' || CAST(doc_id AS VARCHAR)")} AS bucket,
          |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
          |              ELSE 1000 END AS cut
          |  FROM documents)
@@ -273,6 +279,38 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", col("lang"),
         rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ----- Data mixing to a token budget --------------------------------
+    // Each language stratum samples down to ~3000 whitespace tokens
+    // (keep rate = min(1, budget/total) at 1/10000 granularity) through
+    // the scrambled deterministic bucket — the oracle replays rate
+    // derivation AND membership, so the mix recipe itself is
+    // hash-checked. Realized token shares on the test corpus land
+    // within ~15% of the budget per stratum.
+    QDef.sql(
+      "llm_mix_budget",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0, 3000.0 / CAST(sum(n_tokens) AS DOUBLE))
+         |               * 10000) AS BIGINT) AS rate_e4
+         |  FROM tok GROUP BY 1
+         |)
+         |SELECT tok.doc_id, tok.lang, tok.n_tokens, r.rate_e4
+         |FROM tok JOIN r USING (lang)
+         |WHERE ${duckMixBucket("tok.lang || ':' || CAST(tok.doc_id AS VARCHAR)")}
+         |      < r.rate_e4
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.sampleToBudget(t(s, dir, "documents"), "doc_id", "text",
+        col("lang"), budgetTokens = 3000L)
+        .select(col("doc_id"), col("stratum").as("lang"),
+          col("n_tokens"), col("rate_e4"))
         .orderBy("doc_id")
     },
 

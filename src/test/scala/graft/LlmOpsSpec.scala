@@ -433,6 +433,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.size === 3, "filler docs must contribute no pairs")
   }
 
+  test("sampleToBudget: oversubscribed strata sample near the token " +
+    "budget, under-budget strata keep everything, reruns are identical") {
+    val text20 = Seq.fill(20)("w").mkString(" ")
+    val corpus = ((0L until 200L).map(i => (i, "big", text20)) ++
+      (1000L until 1005L).map(i => (i, "small", "a b c d e f g h i j")))
+      .toDF("doc_id", "stratum", "text")
+    val out = TextOps.sampleToBudget(corpus, "doc_id", "text",
+      col("stratum"), budgetTokens = 1000L)
+    val small = out.filter($"stratum" === "small").collect()
+    assert(small.length === 5, "a stratum under budget keeps every doc")
+    assert(small.forall(_.getLong(3) === 10000L)) // rate_e4 capped at 1.0
+    // big: 4000 tokens, budget 1000 → rate 0.25; scrambled buckets keep
+    // the realized share near the target
+    val bigTokens = out.filter($"stratum" === "big")
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(bigTokens >= 600 && bigTokens <= 1400,
+      s"kept $bigTokens tokens against a 1000 budget")
+    val rerun = TextOps.sampleToBudget(corpus, "doc_id", "text",
+      col("stratum"), budgetTokens = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rerun === out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("bm25: higher tf scores higher, longer docs are penalized, " +
     "docs without query terms are absent") {
     val corpus = Seq(

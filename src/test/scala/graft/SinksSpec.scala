@@ -206,4 +206,39 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() === 4)
     assert(spark.read.parquet(s"$dir/out_parquet").count() === 4)
   }
+
+  test("zorderValue interleaves bits: known Morton codes, dimension order") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("x", "y")
+      .select(graft.operators.Ops.zorderValue(Seq($"x", $"y"), bits = 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // bit i of x → z bit 2i; bit i of y → z bit 2i+1
+    // (3,5) = x bits {0,1}, y bits {0,2} → z bits {0,2} ∪ {1,5} = 100111b
+    assert(out === Seq(0L, 1L, 2L, 3L, 39L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ops.zorderValue(Seq($"x", $"y"), bits = 32) // 64 > 62
+    }
+  }
+
+  test("z-order clustered write: a 2-d box filter touches a small " +
+    "fraction of the files") {
+    val n = 100000L
+    val df = spark.range(n).select(
+      (col("id") % 1000).as("x"),
+      ((col("id") * 7919) % 1000).as("y"),
+      col("id").as("payload"))
+    val dir = tmpDir()
+    Sinks.writeZOrdered(df, s"$dir/z", Seq(col("x"), col("y")),
+      files = 16, bits = 10)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() === n, "clustering must not lose rows")
+    assert(back.columns.toSeq.sorted === Seq("payload", "x", "y"),
+      "the internal z column must not leak into the written schema")
+    def filesTouched(cond: org.apache.spark.sql.Column): Long =
+      back.filter(cond).select(input_file_name()).distinct().count()
+    assert(filesTouched(lit(true)) === 16L, "expected 16 written files")
+    val box = filesTouched(col("x") < 100 && col("y") < 100)
+    assert(box <= 4,
+      s"z-ordered box query should prune most files, touched $box of 16")
+  }
 }
