@@ -211,6 +211,43 @@ object LlmOps {
     * set (brute-force verifier for the LSH candidates; the probe predicate
     * bounds the quadratic blowup — at scale you run this only on LSH
     * candidate pairs). Joins on the shingle hash, shuffles on h. */
+  /** Jaccard calibration of the MinHash sketch: for every LSH candidate
+    * pair, the signature-agreement ESTIMATE (matching components / k —
+    * k is a power of two, so the divide is float-exact) side by side
+    * with the exact n-gram Jaccard. This is how a pipeline picks its
+    * band/row configuration: run on a sample, read the est-vs-exact
+    * spread, adjust.
+    *
+    * Scale shape: estimates are two keyed joins of the (tiny) signature
+    * frame onto the candidate pairs; the exact side restricts the
+    * shingle self-join to docs that appear in SOME candidate pair
+    * (left-semi) before paying the quadratic-within-bucket cost.
+    * Candidates that share a band by hash collision only (no common
+    * shingle) get exact jaccard 0. */
+  def minHashEstimatePairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val k = SeedA.size
+    val sig = minHashSignature(df, idCol, textCol, n)
+    val pairs = minHashCandidatePairs(df, idCol, textCol, n)
+    val sigA = sig.select(
+      col(idCol).as("doc_a") +: (0 until k).map(i => col(s"m$i").as(s"__a$i")): _*)
+    val sigB = sig.select(
+      col(idCol).as("doc_b") +: (0 until k).map(i => col(s"m$i").as(s"__b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = pairs.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("sig_matches"))
+    val candDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+    val exact = jaccardPairs(
+      df.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol, n)
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        (col("sig_matches") / lit(k.toDouble)).as("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, minJaccard: Double = 0.0): DataFrame = {

@@ -144,6 +144,69 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ----- MinHash calibration: signature estimate vs exact Jaccard ----
+    // For every LSH candidate pair: matching signature components out
+    // of 8 (estimate = matches/8, float-exact), joined with the true
+    // 2-gram Jaccard — the est-vs-exact spread is how band/row configs
+    // get tuned. Hash-collision-only candidates score exact 0.
+    QDef.sql(
+      "llm_minhash_est", {
+        val agree = (0 until 8)
+          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${duckShingleHashes()},
+           |mh AS (
+           |  SELECT doc_id,
+           |    min((1000003 * h + 12345) % 2147483647) AS m0,
+           |    min((1000033 * h + 54321) % 2147483647) AS m1,
+           |    min((1000037 * h + 11111) % 2147483647) AS m2,
+           |    min((1000039 * h + 22222) % 2147483647) AS m3,
+           |    min((1000081 * h + 33333) % 2147483647) AS m4,
+           |    min((1000099 * h + 44444) % 2147483647) AS m5,
+           |    min((1000117 * h + 55555) % 2147483647) AS m6,
+           |    min((1000121 * h + 66666) % 2147483647) AS m7
+           |  FROM hashed GROUP BY doc_id
+           |),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+           |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+           |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+           |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+           |                           AND a.doc_id < b.doc_id
+           |),
+           |est AS (
+           |  SELECT cand.doc_a, cand.doc_b,
+           |         CAST($agree AS BIGINT) AS sig_matches
+           |  FROM cand JOIN mh a ON a.doc_id = cand.doc_a
+           |            JOIN mh b ON b.doc_id = cand.doc_b
+           |),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |),
+           |exact AS (
+           |  SELECT doc_a, doc_b,
+           |         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |)
+           |SELECT est.doc_a, est.doc_b, est.sig_matches,
+           |       est.sig_matches / 8.0 AS est_jaccard,
+           |       coalesce(exact.jaccard, 0.0) AS jaccard
+           |FROM est LEFT JOIN exact USING (doc_a, doc_b)
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, dir) =>
+      LlmOps.minHashEstimatePairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- SimHash fingerprint (16-bit, frequency-weighted) ------------
     QDef.sql(
       "llm_simhash",

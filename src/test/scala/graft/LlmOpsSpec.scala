@@ -396,6 +396,23 @@ class LlmOpsSpec extends AnyFunSuite {
       s"quantization must not shuffle:\n$plan")
   }
 
+  test("minHashEstimatePairs: identical docs estimate 1.0 with exact 1.0; " +
+    "estimates ride alongside true jaccard for candidates") {
+    val out = LlmOps.minHashEstimatePairs(docs, "doc_id", "text")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (m12, est12, j12) = out((1L, 2L)) // identical after lowercasing
+    assert(m12 === 8L && est12 === 1.0 && j12 === 1.0)
+    // the near-dup pair carries a sub-1.0 exact jaccard next to its estimate
+    out.get((1L, 3L)).foreach { case (m, est, j) =>
+      assert(j > 0.5 && j < 1.0)
+      assert(est === m / 8.0)
+    }
+    assert(!out.keySet.exists(p => p._1 === 4L || p._2 === 4L),
+      "the unrelated doc must not appear in any candidate pair")
+  }
+
   test("quantizedTopK: k rows per probe, high recall vs full-precision " +
     "cosine, self never a candidate") {
     val vecs = TestSpark.spark.read

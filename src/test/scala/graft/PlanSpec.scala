@@ -196,6 +196,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse cosine and minhash-estimate pairing plan keyed joins, " +
+    "not cartesians") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val cosPlan = graft.operators.TextOps.sparseCosinePairs(
+      d, "doc_id", "text", n = 3, minDf = 2L, maxDfFrac = 1.0, minSim = 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!cosPlan.contains("CartesianProduct"),
+      s"cartesian in pairing plan:\n$cosPlan")
+    // the only allowed nested-loop is the 1-row corpus-count scalar
+    // broadcast (df-band filter) — a map-side filter, not a pairing
+    // join; it appears once per branch of the self-join (AQE reuses the
+    // underlying exchanges at runtime)
+    assert(cosPlan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("n_docs")),
+      s"only the n_docs scalar broadcast may nested-loop:\n$cosPlan")
+    val estPlan = graft.operators.LlmOps
+      .minHashEstimatePairs(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!estPlan.contains("CartesianProduct"),
+      s"cartesian in pairing plan:\n$estPlan")
+    assert(!estPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in pairing plan:\n$estPlan")
+  }
+
   test("chunkDocs is shuffle-free: generators and array ops fused with the scan") {
     val q = graft.operators.TextOps.chunkDocs(
       spark.read.parquet(docs), "doc_id", "text", window = 32, stride = 24)
