@@ -561,10 +561,12 @@ object LlmOps {
     * home cell), so no dedup is needed. The second scale path next to
     * annTopKLsh (coarser cells, data-adaptive when given real
     * centroids). */
-  def annTopKIvf(
+  /** Cell-assignment ranking shared by the IVF variants: every vector
+    * scored against the (broadcast) codebook, centroids ranked per
+    * vector by cosine with a cell-id tiebreak. */
+  private def ivfRanked(
       vecs: DataFrame, idCol: String, vecCol: String,
-      probeFilter: Column => Column, topK: Int, k: Int = 8,
-      iters: Int = 0, nprobe: Int = 1): DataFrame = {
+      k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
     val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
@@ -572,9 +574,16 @@ object LlmOps {
       .withColumn("cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
     val ccos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
     val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
-    val ranked = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("ccos", ccos)
       .withColumn("__rn", row_number().over(w))
+  }
+
+  def annTopKIvf(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, topK: Int, k: Int = 8,
+      iters: Int = 0, nprobe: Int = 1): DataFrame = {
+    val ranked = ivfRanked(vecs, idCol, vecCol, k, iters)
     val cands = ranked.filter(col("__rn") === 1)
       .select(col("vid").as("cand_id"), col("e"), col("nrm"),
         col("cid").as("cell"))
@@ -589,6 +598,45 @@ object LlmOps {
       .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= topK)
       .select(col("probe_id"), col("cand_id"), col("cell"),
         round(col("c"), 6).as("cosine"))
+  }
+
+  /** IVF × int8 — the production ANN layout at corpus scale: coarse
+    * cell assignment runs at full precision against the tiny broadcast
+    * codebook (float math touches k centroids per vector, once), while
+    * the data-sized in-cell scoring loop runs on the
+    * [[quantizeInt8]]-compressed vectors as pure BIGINT multiply-add.
+    * Same plan shape as [[annTopKIvf]] (broadcast codebook, shuffle on
+    * the cell id, per-probe top-k window); ranking is by quantized
+    * cosine with a candidate-id tiebreak. */
+  def annTopKIvfQuantized(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, topK: Int, k: Int = 8,
+      iters: Int = 0, nprobe: Int = 1): DataFrame = {
+    val ranked = ivfRanked(vecs, idCol, vecCol, k, iters)
+      .select(col("vid"), col("cid"), col("__rn"))
+    val qn = quantizeInt8(vecs, idCol, col(vecCol))
+      .select(col(idCol).as("vid"), col("q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
+    val cands = ranked.filter(col("__rn") === 1).join(qn, Seq("vid"))
+      .select(col("vid").as("cand_id"), col("cid").as("cell"),
+        col("q").as("cq"), col("n2").as("cn"))
+    val probes = ranked.filter(probeFilter(col("vid")) && col("__rn") <= nprobe)
+      .join(qn, Seq("vid"))
+      .select(col("vid").as("probe_id"), col("cid").as("cell"),
+        col("q").as("pq"), col("n2").as("pn"))
+    val dotq = aggregate(
+      zip_with(col("pq"), col("cq"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val qcos = col("dot").cast("double") /
+      (sqrt(col("pn").cast("double")) * sqrt(col("cn").cast("double")))
+    val w2 = Window.partitionBy("probe_id").orderBy(col("__c").desc, col("cand_id"))
+    probes.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("cell"),
+        dotq.as("dot"), col("pn"), col("cn"))
+      .select(col("probe_id"), col("cand_id"), col("cell"), qcos.as("__c"))
+      .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= topK)
+      .select(col("probe_id"), col("cand_id"), col("cell"),
+        round(col("__c"), 6).as("qcosine"))
   }
 
   /** Connected-components canonicalization over near-duplicate pairs:

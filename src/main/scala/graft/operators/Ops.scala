@@ -514,6 +514,24 @@ object Ops {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** Key-skew profile: the k heaviest keys of a prospective shuffle/join
+    * key with their row counts and share of the table — the diagnostic
+    * to run BEFORE a 100 TB groupBy/join, deciding between a plain
+    * shuffle, salting (see saltedJoin), or AQE skew handling. One
+    * partial-agg groupBy + an ordered limit; the total rides a 1-row
+    * broadcast. Share is rounded 6 (exact integer divide then round). */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"top-k must be >= 1: $k")
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("total_rows"))
+    counts
+      .orderBy(col("n_rows").desc +: keyCols.map(_.asc): _*)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("pct",
+        round(col("n_rows").cast("double") / col("total_rows").cast("double") * 100, 6))
+  }
+
   /** Z-value (Morton code) of NON-NEGATIVE integer bucket columns:
     * interleaves the low `bits` bits of each column so rows close in
     * EVERY dimension land close on one linear axis. Sort/range-partition

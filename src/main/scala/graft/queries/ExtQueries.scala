@@ -415,6 +415,30 @@ object ExtQueries {
         .orderBy("event_type", "day_ts")
     },
 
+    // ----- Key-skew profile (pre-shuffle diagnostic) ---------------------
+    // Top-10 heaviest user_ids with row share — the check run before a
+    // 100 TB join decides between plain shuffle / salting / AQE skew
+    // handling. Ties break on the key.
+    QDef.sql(
+      "ext_skew_profile",
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1
+        |),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM c),
+        |top AS (
+        |  SELECT user_id, n_rows FROM c
+        |  ORDER BY n_rows DESC, user_id LIMIT 10
+        |)
+        |SELECT top.user_id, top.n_rows, t.total_rows,
+        |       round(CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) * 100,
+        |             6) AS pct
+        |FROM top CROSS JOIN t
+        |ORDER BY n_rows DESC, user_id""".stripMargin) { (s, dir) =>
+      Ops.keySkewProfile(t(s, dir, "events"), Seq(col("user_id")), k = 10)
+        .orderBy(col("n_rows").desc, col("user_id"))
+    },
+
     // ----- SCD type-2 history (state-run collapse) ---------------------
     // Per-user event_type state history: one row per state run with
     // [valid_from, valid_to) bounds and an is_current flag on the open

@@ -315,6 +315,74 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     },
 
+    // ----- ANN top-k, IVF over int8-quantized vectors --------------------
+    // The production composition: coarse assignment at full precision
+    // against the seed codebook, in-cell scoring on quantized vectors
+    // with pure-integer dots. Seed codebook (iters=0) keeps the oracle
+    // to one ranked-assignment CTE; trained-codebook assignment is
+    // covered by llm_ann_ivf, quantization exactness by
+    // llm_embed_quantize.
+    QDef.sql(
+      "llm_ann_ivf_quantized",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+         |  FROM embeddings
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cid, e AS ce,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
+         |  FROM v WHERE vec_id < 8
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid AS cell
+         |  FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+         |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+         |    FROM v, cents c
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+         |),
+         |s AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+         |                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx,
+         |    e
+         |  FROM v
+         |),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> CAST(round(
+         |      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS BIGINT))
+         |      AS q
+         |  FROM s
+         |),
+         |n AS (
+         |  SELECT qz.vec_id, q, cell,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
+         |  FROM qz JOIN assign ON assign.vec_id = qz.vec_id
+         |),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.cell AS cell,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, 64), i -> p.q[i] * c.q[i])),
+         |      (a, b) -> a + b) AS DOUBLE)
+         |    / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qc
+         |  FROM n p JOIN n c ON p.cell = c.cell AND c.vec_id != p.vec_id
+         |  WHERE p.vec_id < 20
+         |)
+         |SELECT probe_id, cand_id, cell, round(qc, 6) AS qcosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY qc DESC, cand_id) <= 3
+         |ORDER BY probe_id, qcosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKIvfQuantized(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, topK = 3, k = 8, iters = 0)
+        .orderBy(col("probe_id"), col("qcosine").desc, col("cand_id"))
+    },
+
     // ----- Embedding-cosine near-duplicate dedup pairs -----------------
     // Fifth dedup method: LSH-bucketed cosine threshold; keep_id is the
     // dedup survivor, dup_id the removable near-duplicate.

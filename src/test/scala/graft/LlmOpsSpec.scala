@@ -450,6 +450,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.size === 3, "filler docs must contribute no pairs")
   }
 
+  test("annTopKIvfQuantized: same cells and mostly the same neighbors as " +
+    "the full-precision IVF path") {
+    val vecs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = LlmOps.annTopKIvf(vecs, "vec_id", "embedding",
+      probeFilter = _ < 10, topK = 3, k = 8, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quant = LlmOps.annTopKIvfQuantized(vecs, "vec_id", "embedding",
+      probeFilter = _ < 10, topK = 3, k = 8, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(quant.groupBy(_._1).keySet === full.groupBy(_._1).keySet,
+      "both paths must answer for the same probes")
+    val recall = full.toSet.intersect(quant.toSet).size.toDouble / full.length
+    assert(recall >= 0.7, s"quantized IVF recall@3 vs full precision: $recall")
+  }
+
   test("sampleToBudget: oversubscribed strata sample near the token " +
     "budget, under-budget strata keep everything, reruns are identical") {
     val text20 = Seq.fill(20)("w").mkString(" ")

@@ -447,6 +447,19 @@ class OpsSpec extends AnyFunSuite {
       ("2024-01-02 00:00:00.0", 0L, 1L))) // user 3's cohort
   }
 
+  test("keySkewProfile: heaviest keys first, deterministic tiebreak, " +
+    "share sums over the WHOLE table not just the top-k") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq.fill(3)("warm2") ++
+      Seq("c1", "c2", "c3", "c4")).toDF("k")
+    val out = Ops.keySkewProfile(df, Seq(col("k")), k = 3)
+      .orderBy(col("n_rows").desc, col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq("hot", "warm", "warm2")) // tie: warm < warm2
+    assert(out(0)._2 === 6L)
+    assert(out.forall(_._3 === 16L), "total covers all 16 rows, not the top-3")
+    assert(out(0)._4 === 37.5) // 6/16
+  }
+
   test("histogram: bucket boundaries, negatives, and observed extremes") {
     val df = Seq(-0.5, 0.0, 4.9, 5.0, 9.99, 10.0).toDF("v")
     val out = Ops.histogram(df, $"v", 5.0).orderBy("bucket")
