@@ -743,6 +743,37 @@ object ExtQueries {
         .orderBy(col("event_id"), asc_nulls_first("p_event"))
     },
 
+    // ----- Stream-stream interval join, LEFT SEMI batch twin -----------
+    // The existence-test shape: each error emits AT MOST ONCE iff any
+    // same-user purchase preceded it within the hour — no fan-out on
+    // multi-match, left columns only. At scale this is the cheapest of
+    // the three interval-join variants (matched left state drops at
+    // first match instead of buffering for every future right row).
+    QDef.sql(
+      "ext_stream_semi",
+      """SELECT l.event_id, l.user_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') l
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events r
+        |  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        |    AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR)
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      Streams.intervalJoin(
+        l, r, leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        watermarkDelay = "10 minutes", window = "1 hour",
+        joinType = "left_semi")
+        .select(col("event_id"), col("user_id"))
+        .orderBy("event_id")
+    },
+
     // ----- Approximate aggregates (sketches) ---------------------------
     // HLL++ distinct counts and quantile sketches are THE 100 TB
     // aggregation tools (bounded memory per group vs exact distinct's

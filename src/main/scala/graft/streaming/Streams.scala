@@ -214,11 +214,17 @@ object Streams {
     * is the batch-at-scale shape — ext_stream_stream pins all of them
     * to one answer). Column names must be disjoint across the sides.
     *
-    * `joinType` "inner" (default) or "left_outer": the outer variant
-    * emits an unmatched left row with null right columns — in
-    * streaming, only once the watermark proves no in-window right row
-    * can still arrive (the null is a STATEMENT about the bounded past,
-    * which is why outer stream-stream joins require the watermark). */
+    * `joinType` "inner" (default), "left_outer" or "left_semi". The
+    * outer variant emits an unmatched left row with null right columns
+    * — in streaming, only once the watermark proves no in-window right
+    * row can still arrive (the null is a STATEMENT about the bounded
+    * past, which is why outer stream-stream joins require the
+    * watermark). The semi variant is the existence test: each left row
+    * emits AT MOST ONCE (left columns only) as soon as the first
+    * in-window right match arrives — the cheap shape when the question
+    * is "did a matching event happen" rather than "which ones", since
+    * matched left state can drop immediately instead of buffering for
+    * every future match. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -229,8 +235,8 @@ object Streams {
       watermarkDelay: String,
       window: String,
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"intervalJoin supports inner|left_outer, got '$joinType'")
+    require(Set("inner", "left_outer", "left_semi")(joinType),
+      s"intervalJoin supports inner|left_outer|left_semi, got '$joinType'")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalJoin: sides share column names " +

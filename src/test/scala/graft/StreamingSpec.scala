@@ -262,6 +262,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI interval join: each left row emits at most " +
+    "once, immediately on first match, with left columns only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val lIn = MemoryStream[(Long, String, Timestamp)]
+    val rIn = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      lIn.toDF().toDF("id", "key", "ts"),
+      rIn.toDF().toDF("pid", "pkey", "pts"),
+      leftKey = "key", rightKey = "pkey", leftTs = "ts", rightTs = "pts",
+      watermarkDelay = "10 minutes", window = "1 hour",
+      joinType = "left_semi")
+    assert(joined.columns.toSeq === Seq("id", "key", "ts"),
+      "semi join must project left columns only")
+    val q = joined.select("id").writeStream.format("memory")
+      .queryName("ssj_semi").outputMode("append").start()
+    try {
+      // TWO in-window u1 purchases: the semi join must still emit id=1 once
+      rIn.addData((100L, "u1", ts(0)), (101L, "u1", ts(10)))
+      lIn.addData((1L, "u1", ts(30)))  // matched twice → one row
+      lIn.addData((2L, "u2", ts(30)))  // never matched → no row, ever
+      q.processAllAvailable()
+      def got() = spark.table("ssj_semi").collect().map(_.getLong(0)).toSeq
+      assert(got() === Seq(1L), s"expected a single semi row for id=1: ${got()}")
+      // advance both watermarks far past id=2's window: still no emission
+      lIn.addData((3L, "u3", tsH(3, 0)))
+      rIn.addData((300L, "u3", tsH(3, 0)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(got().sorted === Seq(1L, 3L),
+        s"unmatched left must NEVER emit from a semi join: ${got()}")
+    } finally q.stop()
+  }
+
   test("intervalJoin and enrich reject colliding column names up front") {
     import spark.implicits._
     val a = Seq((1L, "k", ts(0))).toDF("id", "key", "ts")
