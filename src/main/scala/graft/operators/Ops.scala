@@ -565,6 +565,39 @@ object Ops {
         round(max("__v"), 6).as("hi_val"))
   }
 
+  /** Snapshot diff: classify every key as added / removed / changed
+    * between two versions of a table (unchanged keys are dropped — on
+    * a 100 TB table the diff is the small output, never the input).
+    * `keys` must identify a row in each snapshot; `compareCols` are
+    * null-safely compared as one struct, so a null→value transition
+    * counts as a change and null→null does not.
+    *
+    * Scale shape: ONE co-partitioned shuffle — both sides exchange on
+    * the key once for the full-outer sort-merge join, and the
+    * classification is a codegen'd projection on the joined row. With
+    * both snapshots bucketed by the key ([[graft.sinks.Sinks]]
+    * writeBucketed) the exchanges vanish entirely — the daily
+    * "what moved since yesterday" incremental pattern. */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs columns to compare")
+    val o = oldDf.select(
+      keys.map(col) :+ struct(compareCols.map(col): _*).as("__old_v"): _*)
+    val n = newDf.select(
+      keys.map(col) :+ struct(compareCols.map(col): _*).as("__new_v"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__old_v").isNull, lit("added"))
+          .when(col("__new_v").isNull, lit("removed"))
+          .when(!(col("__old_v") <=> col("__new_v")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   // ---------------------------------------------------------------------
   // Union sources (SURVEY §2.1 S6/S7)
   // ---------------------------------------------------------------------

@@ -820,6 +820,86 @@ object ExtQueries {
           <= col("exact_median") * 0.05).as("median_in_bounds"))
     },
 
+    // ----- Mergeable HLL re-aggregation ---------------------------------
+    // THE 100 TB rollup pattern: distinct-count sketches built once at a
+    // fine grain (per supplier), then UNIONED to the coarse grain
+    // without rescanning the data — hll_sketch_agg partials are
+    // mergeable, so daily/per-partition sketches roll up to any
+    // ancestor grain for free, which exact countDistinct can never do
+    // (it must re-shuffle raw keys). Orderkeys overlap across modes, so
+    // the union genuinely deduplicates across partials. Sketch bytes
+    // differ across engines, so the output carries the engine-portable
+    // values only (ext_approx_agg's documented convention): the exact
+    // count, the number of partials merged, and each engine asserting
+    // its own coarse estimate lands within the error bound (lgK=12 →
+    // ~1.6% rsd; 5% is > 3 sigma).
+    QDef.sql(
+      "ext_hll_merge",
+      """WITH a AS (
+        |  SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_partials,
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |         approx_count_distinct(l_orderkey) AS est
+        |  FROM lineitem)
+        |SELECT n_partials, exact_orders,
+        |       abs(est - exact_orders) <= exact_orders * 0.05
+        |         AS merged_in_bounds
+        |FROM a""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val partials = li.groupBy("l_suppkey")
+        .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
+      val merged = partials.agg(
+        count(lit(1)).as("n_partials"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      merged.crossJoin(exact).select(
+        col("n_partials"),
+        col("exact_orders"),
+        (abs(col("est") - col("exact_orders"))
+          <= col("exact_orders") * 0.05).as("merged_in_bounds"))
+    },
+
+    // ----- Snapshot diff (incremental table comparison) -----------------
+    // "What moved since yesterday": two versions of orders derived
+    // deterministically from the base table (drops, inserts, and a
+    // price restatement on every 5th key), classified added / removed /
+    // changed by Ops.snapshotDiff — one co-partitioned full-outer join,
+    // null-safe struct compare, unchanged keys never leave the join.
+    // The oracle states the same diff as a FULL JOIN with IS DISTINCT
+    // FROM — two formulations, one answer.
+    QDef.sql(
+      "ext_snapshot_diff",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+        |  FROM orders WHERE o_orderkey % 4 <> 0),
+        |n AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS tp
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.k, n.k) AS o_orderkey,
+        |         CASE WHEN o.k IS NULL THEN 'added'
+        |              WHEN n.k IS NULL THEN 'removed'
+        |              WHEN o.st IS DISTINCT FROM n.st
+        |                OR o.tp IS DISTINCT FROM n.tp THEN 'changed'
+        |         END AS change
+        |  FROM o FULL JOIN n ON o.k = n.k)
+        |SELECT o_orderkey, change FROM d
+        |WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val old = ord.filter(col("o_orderkey") % 4 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val neu = ord.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.operators.Ops.snapshotDiff(
+        old, neu, keys = Seq("o_orderkey"),
+        compareCols = Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // ----- X4: CSV escaping roundtrip ----------------------------------
     // Payload embeds separators, quotes and newlines; Spark writes it
     // through the X4 single-file renderer and parses it back — the

@@ -470,4 +470,26 @@ class OpsSpec extends AnyFunSuite {
       (1L, 2L, 5.0, 9.99),
       (2L, 1L, 10.0, 10.0)))
   }
+
+  test("snapshotDiff: added/removed/changed classification, unchanged " +
+    "dropped, null-safe value compare") {
+    val old = Seq(
+      (1L, Some("a"), Some(10)),  // unchanged → dropped
+      (2L, Some("b"), Some(20)),  // value change
+      (3L, None: Option[String], Some(30)),  // null → value = changed
+      (4L, Some("d"), None: Option[Int]),    // null stays null = unchanged
+      (5L, Some("e"), Some(50)))  // removed
+      .toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("b"), Some(21)),
+      (3L, Some("c"), Some(30)),
+      (4L, Some("d"), None: Option[Int]),
+      (6L, Some("f"), Some(60)))  // added
+      .toDF("k", "s", "v")
+    val out = Ops.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (2L, "changed"), (3L, "changed"), (5L, "removed"), (6L, "added")))
+  }
 }
