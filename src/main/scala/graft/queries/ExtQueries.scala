@@ -900,6 +900,45 @@ object ExtQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- Upsert sink roundtrip (foreachBatch merge) -------------------
+    // The x4 pattern applied to the upsert sink: two REAL upsertBatch
+    // calls build a partitioned parquet table (initial load, then a
+    // batch that updates every 4th key and inserts the rest of its
+    // rows), and the query reads the table back. The oracle states the
+    // same final state declaratively: a later batch wins over the
+    // initial row, untouched initial rows survive. Any merge bug —
+    // anti-join dropping too much, dynamic overwrite clobbering an
+    // untouched partition, latest-wins picking the wrong version —
+    // breaks the hash.
+    QDef.sql(
+      "ext_upsert",
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0 OR o_orderkey % 4 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM f ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_ext_upsert").toString + "/t"
+      val init = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").as("ts"))
+      val upd = ord.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1000).as("o_totalprice"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"))
+      Streams.upsertBatch(init, table,
+        keys = Seq("o_orderkey"), tsCol = "ts", partitionCol = "o_orderstatus")
+      Streams.upsertBatch(upd, table,
+        keys = Seq("o_orderkey"), tsCol = "ts", partitionCol = "o_orderstatus")
+      s.read.parquet(table)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- X4: CSV escaping roundtrip ----------------------------------
     // Payload embeds separators, quotes and newlines; Spark writes it
     // through the X4 single-file renderer and parses it back — the

@@ -250,6 +250,94 @@ object Streams {
       joinType)
   }
 
+  /** Merge one (micro-)batch into a Hive-partitioned parquet table with
+    * upsert semantics: latest version per key wins (by `tsCol`, ties
+    * arbitrary — feed distinct versions distinct timestamps), existing
+    * rows whose key is absent from the batch survive untouched. Key
+    * identity is (partitionCol, keys) — PARTITION-SCOPED, the standard
+    * date-partitioned-upsert contract: a key that reappears under a new
+    * partition value is a new row there, not a move (retracting the old
+    * partition's copy would mean scanning the whole table). Only
+    * the partitions the batch touches are read and rewritten (dynamic
+    * partition overwrite), so cost scales with the batch's partition
+    * footprint, never the table: the parquet-native MERGE shape — a
+    * transactional table format (Delta/Iceberg) replaces the
+    * read-union-overwrite with a commit, the plan shape stays.
+    *
+    * IDEMPOTENT by construction: re-running the same batch anti-joins
+    * away the versions it wrote last time and writes them again —
+    * replays after a streaming restart converge to the same table
+    * state, which is what makes [[upsertSink]] exactly-once-effect
+    * under foreachBatch's at-least-once contract.
+    *
+    * The merged frame is pinned with an eager localCheckpoint before
+    * the overwrite — the scan and the overwrite target the same files,
+    * so the read must be materialized first — and the pin is released
+    * once the write commits. */
+  def upsertBatch(
+      batch: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      tsCol: String,
+      partitionCol: String): Unit = {
+    require(keys.nonEmpty, "upsertBatch needs at least one key column")
+    require(!keys.contains(partitionCol),
+      "partitionCol is the distribution axis, not a key column")
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((partitionCol +: keys).map(col): _*)
+      .orderBy(col(tsCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fsPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fsPath)) {
+      latest.write.partitionBy(partitionCol).parquet(tablePath)
+    } else {
+      // bounded driver-side list: the partition values THIS batch touches
+      val touched = latest.select(partitionCol).distinct().collect()
+        .map(_.get(0)).toSeq
+      if (touched.nonEmpty) {
+        // explicit schema: no infer pass over the table (one less full
+        // listing at scale), and an existing-but-empty directory reads
+        // as an empty frame instead of failing inference
+        val existing = spark.read.schema(latest.schema).parquet(tablePath)
+          .filter(col(partitionCol).isin(touched: _*))
+        val merged = existing
+          .join(latest.select((partitionCol +: keys).map(col): _*),
+            partitionCol +: keys, "left_anti")
+          .unionByName(latest)
+        val pinned = merged.localCheckpoint(true)
+        try {
+          pinned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(tablePath)
+        } finally graft.operators.LlmOps.releaseCheckpoint(pinned)
+      }
+    }
+  }
+
+  /** Streaming upsert sink: foreachBatch → [[upsertBatch]]. The
+    * checkpointed offsets make replays possible; upsertBatch's
+    * idempotency makes them harmless — together, exactly-once EFFECT on
+    * the table without a transactional format. */
+  def upsertSink(
+      stream: DataFrame,
+      tablePath: String,
+      checkpointLocation: String,
+      keys: Seq[String],
+      tsCol: String,
+      partitionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        upsertBatch(b, tablePath, keys, tsCol, partitionCol)
+      }
+      .start()
+
   /** Streaming exact dedup with BOUNDED state: duplicates arriving
     * within the watermark horizon are dropped; state for older keys is
     * reclaimed. (The streaming twin of the batch D1/D2 operators.) */

@@ -296,6 +296,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertSink: latest-wins merge per partition, untouched partitions " +
+    "survive, and a replayed batch is a no-op (idempotent effect)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_upsert_t").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_upsert_cp").toString
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val q = Streams.upsertSink(
+      in.toDF().toDF("k", "part", "v", "ts"),
+      table, cp, keys = Seq("k"), tsCol = "ts", partitionCol = "part")
+    def state() = spark.read.parquet(table)
+      .select("k", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    try {
+      // batch 0 creates the table; k=1 arrives twice — latest ts wins
+      in.addData((1L, "p1", "stale", ts(0)), (1L, "p1", "a", ts(5)),
+        (2L, "p1", "b", ts(5)), (9L, "p2", "z", ts(5)))
+      q.processAllAvailable()
+      assert(state() === Set((1L, "p1", "a"), (2L, "p1", "b"), (9L, "p2", "z")))
+      // batch 1 updates k=1, inserts k=3, touches ONLY p1 — p2 intact
+      in.addData((1L, "p1", "a2", ts(10)), (3L, "p1", "c", ts(10)))
+      q.processAllAvailable()
+      assert(state() === Set(
+        (1L, "p1", "a2"), (2L, "p1", "b"), (3L, "p1", "c"), (9L, "p2", "z")))
+    } finally q.stop()
+    // replay batch 1 by hand (the restart-after-uncommitted-batch case):
+    // the table state must not change
+    val replay = Seq((1L, "p1", "a2", ts(10)), (3L, "p1", "c", ts(10)))
+      .toDF("k", "part", "v", "ts")
+    Streams.upsertBatch(replay, table, Seq("k"), "ts", "part")
+    assert(state() === Set(
+      (1L, "p1", "a2"), (2L, "p1", "b"), (3L, "p1", "c"), (9L, "p2", "z")),
+      "replaying an already-applied batch must be a no-op")
+  }
+
   test("intervalJoin and enrich reject colliding column names up front") {
     import spark.implicits._
     val a = Seq((1L, "k", ts(0))).toDF("id", "key", "ts")
