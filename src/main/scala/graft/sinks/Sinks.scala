@@ -6,7 +6,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
 
 import graft.config.LoadDef
 import graft.operators.Ops
@@ -221,6 +221,61 @@ object Sinks {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).format(format).save(path)
+  }
+
+  /** Compact the small files of a Hive-partitioned parquet table — the
+    * maintenance pass every incremental sink needs: repeated
+    * [[graft.streaming.Streams.upsertBatch]] / append batches fragment
+    * partitions into per-batch files, and at 100 TB the resulting
+    * listing + open-per-file cost dominates reads long before data
+    * volume does. Rewrites each selected partition's rows into
+    * ~`maxRecordsPerFile`-row files.
+    *
+    * Scale shape: the compacted data is written to a STAGING directory
+    * first and each partition directory is then swapped into place —
+    * the table's data never has to fit in executor/block-manager
+    * memory (no localCheckpoint of the whole table), and a crash
+    * before the swap leaves the live table intact. One shuffle on
+    * (partition, salt): `parallelism` spreads a hot partition across
+    * that many writer tasks — per-value single-writer is the classic
+    * compactor bottleneck. Scope daily runs with `partitionValues`
+    * (only those partitions are read, pruned at the scan). */
+  def compactPartitions(
+      spark: SparkSession,
+      tablePath: String,
+      partitionCol: String,
+      maxRecordsPerFile: Long,
+      parallelism: Int = 4,
+      partitionValues: Option[Seq[Any]] = None): Unit = {
+    require(maxRecordsPerFile > 0 && parallelism > 0,
+      "compaction needs positive file size and parallelism")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tablePath + "__graft_compact_staging")
+    fs.delete(staging, true)
+    val all = spark.read.parquet(tablePath)
+    val scoped = partitionValues
+      .map(vs => all.filter(col(partitionCol).isin(vs: _*)))
+      .getOrElse(all)
+    val salt = pmod(xxhash64(struct(scoped.columns.map(col): _*)),
+      lit(parallelism.toLong))
+    scoped
+      .repartition(col(partitionCol), salt)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(staging.toString)
+    // swap compacted partition directories into the live table
+    fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        val dest = new Path(table, st.getPath.getName)
+        fs.delete(dest, true)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"compaction swap failed for ${st.getPath} -> $dest")
+      }
+    fs.delete(staging, true)
   }
 
   /** Driver byte write through the Hadoop FileSystem API so local and

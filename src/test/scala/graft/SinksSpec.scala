@@ -241,4 +241,38 @@ class SinksSpec extends AnyFunSuite {
     assert(box <= 4,
       s"z-ordered box query should prune most files, touched $box of 16")
   }
+
+  test("compactPartitions: fragmented partition collapses to few files, " +
+    "rows byte-identical, unscoped partition left untouched") {
+    val dir = tmpDir()
+    val table = s"$dir/frag"
+    // 8 writer tasks per partition → 8 small files in each of p=a, p=b
+    spark.range(400).select(
+      (col("id") % 2 === 0).cast("string").as("p"),
+      col("id").as("v"))
+      .withColumn("p", when(col("p") === "true", "a").otherwise("b"))
+      .repartition(8)
+      .write.partitionBy("p").parquet(table)
+    def partFiles(p: String): Long =
+      spark.read.parquet(table).filter(col("p") === p)
+        .select(input_file_name()).distinct().count()
+    val before = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(partFiles("a") === 8L && partFiles("b") === 8L)
+    Sinks.compactPartitions(spark, table, "p",
+      maxRecordsPerFile = 1000000L, parallelism = 2,
+      partitionValues = Some(Seq("a")))
+    assert(partFiles("a") <= 2L,
+      s"compacted partition should have <= parallelism files, got ${partFiles("a")}")
+    assert(partFiles("b") === 8L, "unscoped partition must be untouched")
+    val after = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before, "compaction must not change the data")
+    // full-table compaction sweeps the rest
+    Sinks.compactPartitions(spark, table, "p",
+      maxRecordsPerFile = 1000000L, parallelism = 1)
+    assert(partFiles("b") === 1L)
+    assert(spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === before)
+  }
 }
