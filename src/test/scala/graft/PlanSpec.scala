@@ -238,4 +238,20 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(plan).length === 1,
       s"CUBE must read events exactly once:\n$plan")
   }
+
+  test("snapshotDiff plans one co-partitioned full-outer join: one Exchange " +
+    "per side, classification without a further shuffle") {
+    val old = spark.range(2000).select($"id".as("k"), ($"id" % 7).as("v"))
+    val neu = spark.range(1500).select($"id".as("k"), ($"id" % 5).as("v"))
+    val diff = Ops.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+    diff.collect() // executed plan, post-AQE
+    // AQE's toString repeats the pre-adaptive plan under "== Initial
+    // Plan ==" — audit only the final plan
+    val plan = diff.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"diff must shuffle each side at most once, found $exchanges:\n$plan")
+  }
 }
