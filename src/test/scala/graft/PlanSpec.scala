@@ -239,6 +239,43 @@ class PlanSpec extends AnyFunSuite {
       s"CUBE must read events exactly once:\n$plan")
   }
 
+  test("runtime bloom filter: a selective dim predicate injects " +
+    "might_contain into the fact side of a shuffle join") {
+    // The 100 TB semi-join pushdown: when the dim side of a shuffle join
+    // carries a selective filter, Catalyst builds a bloom filter over
+    // its join keys and applies it to the fact scan, cutting shuffle
+    // write volume before the exchange. It is gated on size thresholds
+    // (application side >= 10 GB by default) so it fires at production
+    // scale, never on test data — the test lowers the gate to prove the
+    // engine's plans are injectable (nothing in our operator stack
+    // blocks the rewrite).
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(Option(conf.get(k))).getOrElse(None))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join: broadcast sides don't take bloom filters
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("snapshotDiff plans one co-partitioned full-outer join: one Exchange " +
     "per side, classification without a further shuffle") {
     val old = spark.range(2000).select($"id".as("k"), ($"id" % 7).as("v"))
