@@ -325,6 +325,37 @@ object TextOps {
       .select(col(idCol), col("stratum"), col("n_tokens"), col("rate_e4"))
   }
 
+  /** Deterministic holdout split (train/val/test): each row's
+    * destination is a pure function of (salt, id) — the scrambled
+    * [[mixBucket]] against cumulative integer cutoffs at 1/10000
+    * granularity. No RNG, no seed plumbing: reruns assign identically,
+    * and because the bucket ignores everything but the id, GROWING the
+    * corpus never moves an existing document across splits — the
+    * property that keeps eval sets eval sets as the crawl refreshes
+    * (rand()-based splits silently leak train into test on every
+    * re-partition). Distinct `salt` values give independent splits for
+    * independent experiments. Per-row, shuffle-free, fused with the
+    * scan. */
+  def holdoutSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val cuts = fractions.map { case (n, f) => (n, Math.round(f * 10000).toInt) }
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0),
+      s"every split needs a positive share at 1e-4 granularity: $fractions")
+    require(cuts.map(_._2).sum == 10000,
+      s"split fractions must sum to 1: $fractions")
+    val bucket = mixBucket(lit(salt), col(idCol))
+    val bounds = cuts.scanLeft(0)(_ + _._2).tail
+    val assigned = cuts.zip(bounds).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), bound)) =>
+        Some(acc.fold(when(bucket < bound, name))(_.when(bucket < bound, name)))
+      }
+      .fold(lit(cuts.head._1))(_.otherwise(cuts.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** Sequence packing for pretraining: assign documents to fixed
     * token-budget training sequences. Documents pack in deterministic
     * (shard, id) order; a document joins the sequence its cumulative

@@ -9,6 +9,11 @@ import Tables.t
   * (TextOps / MultimodalOps), DuckDB-oracle-checked. */
 object TextQueries {
 
+  /** ONE source for llm_split's recipe — the Spark op and the oracle
+    * SQL both render their cutoffs from it. */
+  private[queries] val SplitFractions =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   private def duckList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -311,6 +316,36 @@ object TextQueries {
         col("lang"), budgetTokens = 3000L)
         .select(col("doc_id"), col("stratum").as("lang"),
           col("n_tokens"), col("rate_e4"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Deterministic holdout split ----------------------------------
+    // 90/5/5 train/val/test as a pure function of (salt, doc_id): the
+    // oracle replays the scrambled bucket and the SAME integer cutoffs
+    // (rendered from one Scala source below), so any drift in the hash,
+    // the scramble, or the cumulative-bound arithmetic breaks the hash
+    // compare. Growth-stability (new docs never move old ones) is
+    // pinned in LlmOpsSpec.
+    QDef.sql(
+      "llm_split", {
+        val bounds = TextQueries.SplitFractions
+          .map { case (n, f) => (n, Math.round(f * 10000).toInt) }
+        val cums = bounds.scanLeft(0)(_ + _._2).tail
+        val branches = bounds.zip(cums).dropRight(1)
+          .map { case ((n, _), b) => s"WHEN bucket < $b THEN '$n'" }
+          .mkString(" ")
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |         ${duckMixBucket("'split:' || CAST(doc_id AS VARCHAR)")}
+           |           AS bucket
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CASE $branches ELSE '${bounds.last._1}' END AS split
+           |FROM b ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.holdoutSplit(
+        t(s, dir, "documents").select("doc_id"),
+        "doc_id", TextQueries.SplitFractions)
         .orderBy("doc_id")
     },
 

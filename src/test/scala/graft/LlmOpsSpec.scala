@@ -489,6 +489,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rerun === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("holdoutSplit: exhaustive assignment near the recipe shares, " +
+    "growth never moves an existing doc, salts are independent") {
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val small = (0L until 400L).toDF("doc_id")
+    val splitSmall = TextOps.holdoutSplit(small, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitSmall.size === 400, "every doc gets exactly one split")
+    val trainShare = splitSmall.values.count(_ == "train") / 400.0
+    assert(trainShare > 0.85 && trainShare < 0.95,
+      s"train share $trainShare should track 0.9")
+    assert(splitSmall.values.toSet === Set("train", "val", "test"))
+    // growth stability: tripling the corpus leaves old assignments alone
+    val grown = (0L until 1200L).toDF("doc_id")
+    val splitGrown = TextOps.holdoutSplit(grown, "doc_id", fr)
+      .filter($"doc_id" < 400).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitGrown === splitSmall,
+      "growing the corpus must never move an existing doc across splits")
+    // a different salt reshuffles: some doc lands elsewhere
+    val other = TextOps.holdoutSplit(small, "doc_id", fr, salt = "exp2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other.exists { case (k, v) => splitSmall(k) != v },
+      "distinct salts must give independent splits")
+    intercept[IllegalArgumentException](
+      TextOps.holdoutSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("bm25: higher tf scores higher, longer docs are penalized, " +
     "docs without query terms are absent") {
     val corpus = Seq(
