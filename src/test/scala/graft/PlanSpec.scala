@@ -276,6 +276,31 @@ class PlanSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("parquet aggregate pushdown: count/min/max answered from footers " +
+    "(PushedAggregation in the v2 scan), values identical to a full scan") {
+    // The metadata-only aggregate: parquet footers already carry
+    // row counts and column min/max per row group, so a whole-table
+    // count/min/max never needs to touch data pages — on a 100 TB
+    // table that is the difference between a listing pass and a full
+    // read. V2-source feature; the engine's v1 default path computes
+    // the same values, asserted equal here.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val agg = s2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"),
+        max("o_orderkey").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregates not pushed to the parquet scan:\n$plan")
+    val Array(pushed) = agg.collect()
+    val Array(full) = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).collect()
+    assert(pushed.toSeq === full.toSeq,
+      "footer-answered aggregates must equal the full-scan values")
+  }
+
   test("snapshotDiff plans one co-partitioned full-outer join: one Exchange " +
     "per side, classification without a further shuffle") {
     val old = spark.range(2000).select($"id".as("k"), ($"id" % 7).as("v"))
