@@ -276,6 +276,49 @@ class PlanSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("AQE skew join: a hot key's partition is split at runtime " +
+    "(skew=true on the join), rows identical to the un-split join") {
+    // The automatic complement to Ops.saltedJoin (LX1) and
+    // keySkewProfile (AQ15): AQE detects an oversized shuffle
+    // partition AT RUNTIME and splits it across tasks, no manual salt.
+    // Thresholds are lowered so the ~200k-row hot key trips the
+    // detector on test data; at production scale the defaults (256 MB)
+    // trip the same rewrite.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(Option(conf.get(k))).getOrElse(None))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 95% of probe rows share one key; build side is uniform
+      val probe = spark.range(200000).select(
+        when($"id" % 20 =!= 0, lit(7L)).otherwise($"id" % 100).as("k"),
+        $"id".as("v"))
+      val build = spark.range(100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = probe.join(build, "k")
+      val n = j.collect().length // execute THIS plan, not a count() twin
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+      assert(n === 200000, "skew split must not change the join result")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("parquet aggregate pushdown: count/min/max answered from footers " +
     "(PushedAggregation in the v2 scan), values identical to a full scan") {
     // The metadata-only aggregate: parquet footers already carry
