@@ -939,6 +939,31 @@ object ExtQueries {
         .orderBy("o_orderkey")
     },
 
+    // ----- Compaction roundtrip -----------------------------------------
+    // Content-preservation gate for the small-files maintenance pass: a
+    // deliberately fragmented partitioned table (8 writer tasks per
+    // partition) is compacted through the real staging-swap path, and
+    // the read-back must hash-match the source selection. File-count
+    // reduction and scoped-partition isolation are pinned in SinksSpec;
+    // this row pins that the swap never loses or duplicates a row.
+    QDef.sql(
+      "ext_compact",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_ext_compact").toString + "/t"
+      t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition(8)
+        .write.partitionBy("o_orderstatus").parquet(table)
+      Sinks.compactPartitions(s, table, "o_orderstatus",
+        maxRecordsPerFile = 1000000L, parallelism = 2)
+      s.read.parquet(table)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // ----- X4: CSV escaping roundtrip ----------------------------------
     // Payload embeds separators, quotes and newlines; Spark writes it
     // through the X4 single-file renderer and parses it back — the
