@@ -325,6 +325,30 @@ object TextOps {
       .select(col(idCol), col("stratum"), col("n_tokens"), col("rate_e4"))
   }
 
+  /** Adaptive per-stratum filter: keep rows whose `scoreCol` is at or
+    * above their OWN stratum's interpolated `q`-quantile — "drop the
+    * shortest quartile per language" instead of one global constant,
+    * which over-prunes strata whose score distribution runs low and
+    * under-prunes the rest. Exact percentile (sort-based partial agg,
+    * Spark `percentile` ≡ DuckDB `quantile_cont`), not a sketch: the
+    * threshold frame is one row per stratum.
+    *
+    * Scale shape: one agg to the tiny per-stratum threshold frame
+    * (broadcast back under AQE) — the corpus side never shuffles, the
+    * filter fuses with its scan. */
+  def adaptiveFilter(
+      df: DataFrame,
+      scoreCol: String,
+      stratumCol: Column,
+      q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1): $q")
+    val thr = df.groupBy(stratumCol.as("__stratum"))
+      .agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
+    df.join(thr, stratumCol === col("__stratum"))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Deterministic holdout split (train/val/test): each row's
     * destination is a pure function of (salt, id) — the scrambled
     * [[mixBucket]] against cumulative integer cutoffs at 1/10000

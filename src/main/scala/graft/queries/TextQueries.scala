@@ -349,6 +349,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Adaptive per-stratum quality filter ---------------------------
+    // Drop the shortest quartile PER LANGUAGE: the threshold adapts to
+    // each stratum's own length distribution (a global cutoff would
+    // gut the short-document language and keep the long one whole).
+    // Exact interpolated percentile — Spark `percentile` and DuckDB
+    // `quantile_cont` proved bit-identical by ext_median.
+    QDef.sql(
+      "llm_adaptive_filter",
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.25) AS thr
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN q USING (lang)
+        |WHERE d.n_chars >= q.thr
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.adaptiveFilter(
+        t(s, dir, "documents"), "n_chars", col("lang"), q = 0.25)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ----- Sequence packing (token-budget binning) ---------------------
     // Offset packing: per-shard running token sum, sequence number =
     // offset div budget — the window shape that packs a 100 TB corpus

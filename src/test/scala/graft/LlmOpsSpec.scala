@@ -489,6 +489,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rerun === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("adaptiveFilter: each stratum prunes against its OWN quantile, " +
+    "interpolated threshold, boundary rows kept") {
+    val df = Seq(
+      // stratum "short": scores 1..4 → p25 = 1.75, keeps 2,3,4
+      ("short", 1L), ("short", 2L), ("short", 3L), ("short", 4L),
+      // stratum "long": scores 100..400 → p25 = 175, keeps 200,300,400
+      ("long", 100L), ("long", 200L), ("long", 300L), ("long", 400L))
+      .toDF("stratum", "score")
+    val kept = TextOps.adaptiveFilter(df, "score", $"stratum", 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept === Set(("short", 2L), ("short", 3L), ("short", 4L),
+      ("long", 200L), ("long", 300L), ("long", 400L)),
+      s"per-stratum quartile must prune independently: $kept")
+    // exact-boundary score survives (>= threshold)
+    val tie = Seq(("s", 10L), ("s", 10L), ("s", 10L), ("s", 10L))
+      .toDF("stratum", "score")
+    assert(TextOps.adaptiveFilter(tie, "score", $"stratum", 0.25)
+      .count() === 4, "scores equal to the threshold are kept")
+    intercept[IllegalArgumentException](
+      TextOps.adaptiveFilter(df, "score", $"stratum", 1.5))
+  }
+
   test("holdoutSplit: exhaustive assignment near the recipe shares, " +
     "growth never moves an existing doc, salts are independent") {
     val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
