@@ -333,8 +333,18 @@ object LlmOps {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product via zip_with + ordered fold. */
-  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+  /** Ordered dot product — the native codegen'd expression
+    * (graft.functions.DotProduct), bit-identical to the
+    * `aggregate(zip_with(a,b,_*_))` form it replaced (same
+    * left-to-right IEEE sum; oracle untouched) but allocation-free:
+    * one primitive loop per pair instead of a zipped intermediate
+    * array + two interpreted lambdas per element. The pairwise scoring
+    * loop is the data-sized cost of every similarity operator below. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Brute-force cosine top-k: every probe row scored against every
     * candidate. The probe side is bounded (broadcast) so the plan is a
@@ -344,10 +354,10 @@ object LlmOps {
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column, k: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+      .withColumn("nrm", dot(col("e"), col("e")))
     val probes = vecs.filter(probeFilter)
       .select(col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("pe"))
-      .withColumn("pnrm", foldSum(zip_with(col("pe"), col("pe"), (x, y) => x * y)))
+      .withColumn("pnrm", dot(col("pe"), col("pe")))
     val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
     val scored = probes.join(broadcast(v), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), cosine.as("c"))
@@ -444,7 +454,7 @@ object LlmOps {
     val v = vecs
       .select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("bucket", lshBucket(col("e"), planes, dims))
-      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+      .withColumn("nrm", dot(col("e"), col("e")))
     val probes = v.filter(probeFilter(col("cand_id")))
       .select(col("cand_id").as("probe_id"), col("e").as("pe"),
         col("bucket"), col("nrm").as("pnrm"))
@@ -470,7 +480,7 @@ object LlmOps {
     val v = vecs
       .select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("bucket", lshBucket(col("e"), planes, dims))
-      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+      .withColumn("nrm", dot(col("e"), col("e")))
     val a = v.select(col("vid").as("keep_id"), col("e").as("ea"),
       col("bucket"), col("nrm").as("na"))
     val b = v.select(col("vid").as("dup_id"), col("e").as("eb"),
@@ -497,7 +507,7 @@ object LlmOps {
       vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dims: Int = 64): DataFrame = {
     val v0 = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+      .withColumn("nrm", dot(col("e"), col("e")))
     // each training round scans the vectors (+ the 64-element norm
     // folds); cache them for the duration of training — every round
     // after the first reads blocks instead of re-scanning the source.
@@ -514,7 +524,7 @@ object LlmOps {
     try {
     for (_ <- 1 to iters) {
       val cc = cents.withColumn(
-        "cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
+        "cnrm", dot(col("ce"), col("ce")))
       val cos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
       val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
       val assign = v.crossJoin(broadcast(cc))
@@ -568,10 +578,10 @@ object LlmOps {
       vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("nrm", foldSum(zip_with(col("e"), col("e"), (x, y) => x * y)))
+      .withColumn("nrm", dot(col("e"), col("e")))
     val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
       .select(col("cid"), col("ce"))
-      .withColumn("cnrm", foldSum(zip_with(col("ce"), col("ce"), (x, y) => x * y)))
+      .withColumn("cnrm", dot(col("ce"), col("ce")))
     val ccos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
     val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
     v.crossJoin(broadcast(cents))
