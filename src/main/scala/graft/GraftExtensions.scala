@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.PolyHash
+import graft.functions.{DotProduct, PolyHash}
 
 /** Session extensions: registers the engine's native expressions so they
   * are callable from SQL and `call_function` in any session built with
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"graft_polyhash expects exactly 1 argument, got ${children.size}")
         PolyHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_dot expects exactly 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
       }))
   }
 }

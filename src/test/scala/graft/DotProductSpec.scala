@@ -66,4 +66,25 @@ class DotProductSpec extends AnyFunSuite {
     assert(plan.contains("graft_dot"), s"expression missing:\n$plan")
     assert(q.count() === 10)
   }
+
+  test("GraftExtensions registers graft_dot for SQL use") {
+    // same session dance as the graft_polyhash registration test:
+    // detach the shared default session, rebuild on the same context
+    // with extensions, restore after
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val v = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      assert(v === 11.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }
