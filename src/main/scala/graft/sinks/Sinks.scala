@@ -239,7 +239,20 @@ object Sinks {
     * (partition, salt): `parallelism` spreads a hot partition across
     * that many writer tasks — per-value single-writer is the classic
     * compactor bottleneck. Scope daily runs with `partitionValues`
-    * (only those partitions are read, pruned at the scan). */
+    * (only those partitions are read, pruned at the scan).
+    *
+    * Crash contract (rerun-to-finish): each partition swap is
+    * rename-aside → rename-in → drop-aside, so at every instant either
+    * the live directory or the aside copy holds a complete copy of the
+    * partition, and the staged copy is never the only one that a later
+    * cleanup could delete. A crash mid-pass leaves a mix of compacted
+    * and not-yet-compacted partitions — content-identical to the live
+    * table either way — plus staging/aside leftovers; the next
+    * [[compactPartitions]] call first runs [[recoverCompaction]],
+    * which finishes a committed pass (staging marker present),
+    * restores any partition whose only copy is the aside dir, and
+    * only then discards leftovers. Single compactor per table path
+    * assumed (concurrent passes would race on the same staging dir). */
   def compactPartitions(
       spark: SparkSession,
       tablePath: String,
@@ -251,8 +264,9 @@ object Sinks {
       "compaction needs positive file size and parallelism")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(tablePath + "__graft_compact_staging")
-    fs.delete(staging, true)
+    val staging = new Path(tablePath + StagingSuffix)
+    val aside = new Path(tablePath + AsideSuffix)
+    recoverCompaction(spark, tablePath)
     val all = spark.read.parquet(tablePath)
     val scoped = partitionValues
       .map(vs => all.filter(col(partitionCol).isin(vs: _*)))
@@ -265,17 +279,74 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(staging.toString)
-    // swap compacted partition directories into the live table
+    // Commit point: once the marker exists, the staged pass is complete
+    // and MUST be swapped in (by this run or a recovery rerun).
+    fs.create(new Path(staging, StagedMarker), true).close()
+    swapStagedPartitions(fs, table, staging, aside)
+    fs.delete(staging, true)
+    fs.delete(aside, true)
+  }
+
+  private val StagingSuffix = "__graft_compact_staging"
+  private val AsideSuffix = "__graft_compact_old"
+  private val StagedMarker = "_GRAFT_STAGED"
+
+  /** Swap every staged partition directory into the live table.
+    * Per partition: live → aside (keeps the old copy), staged → live,
+    * drop aside. Idempotent over a partial pass: partitions already
+    * swapped have no staged dir left and are skipped. */
+  private def swapStagedPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: Path, staging: Path, aside: Path): Unit = {
+    fs.mkdirs(aside)
     fs.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach { st =>
         val dest = new Path(table, st.getPath.getName)
-        fs.delete(dest, true)
+        val old = new Path(aside, st.getPath.getName)
+        if (fs.exists(dest) && !fs.rename(dest, old))
+          throw new java.io.IOException(
+            s"compaction aside-rename failed for $dest -> $old")
         if (!fs.rename(st.getPath, dest))
           throw new java.io.IOException(
             s"compaction swap failed for ${st.getPath} -> $dest")
+        fs.delete(old, true)
       }
-    fs.delete(staging, true)
+  }
+
+  /** Bring a table back to a consistent state after a compaction pass
+    * crashed mid-swap. Safe to call any time (no-op on a clean table):
+    *  1. an aside dir whose live partition is missing is the ONLY copy
+    *     (crash between rename-aside and rename-in) → restored;
+    *     an aside dir whose live partition exists is a superseded copy
+    *     (crash before drop-aside) → dropped;
+    *  2. a staging dir with the commit marker is a complete compacted
+    *     pass → the remaining swaps are finished; without the marker
+    *     the staged write never completed and the live table was never
+    *     touched → discarded. */
+  def recoverCompaction(spark: SparkSession, tablePath: String): Unit = {
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(tablePath + StagingSuffix)
+    val aside = new Path(tablePath + AsideSuffix)
+    if (fs.exists(aside)) {
+      fs.listStatus(aside)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .foreach { st =>
+          val dest = new Path(table, st.getPath.getName)
+          if (!fs.exists(dest)) {
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"compaction recovery restore failed for ${st.getPath} -> $dest")
+          } else fs.delete(st.getPath, true)
+        }
+    }
+    if (fs.exists(staging)) {
+      if (fs.exists(new Path(staging, StagedMarker)))
+        swapStagedPartitions(fs, table, staging, aside)
+      fs.delete(staging, true)
+    }
+    fs.delete(aside, true)
   }
 
   /** Driver byte write through the Hadoop FileSystem API so local and

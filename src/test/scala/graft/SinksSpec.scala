@@ -275,4 +275,75 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(table).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet === before)
   }
+
+  test("compactPartitions crash recovery: a partition whose ONLY copy " +
+    "is the aside dir is restored, a committed staging pass is finished, " +
+    "and the rerun completes the compaction") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir()
+    val table = s"$dir/crash"
+    spark.range(100).select(
+      when(col("id") % 2 === 0, "a").otherwise("b").as("p"),
+      col("id").as("v"))
+      .repartition(4)
+      .write.partitionBy("p").parquet(table)
+    val before = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Build the worst crash state by hand: a full pass was staged and
+    // committed (marker present); for p=a the crash hit between
+    // rename-aside and rename-in, so the live p=a is GONE and the old
+    // copy sits in the aside dir; p=b was never swapped.
+    val staging = new Path(table + "__graft_compact_staging")
+    val aside = new Path(table + "__graft_compact_old")
+    spark.read.parquet(table)
+      .repartition(col("p"))
+      .write.partitionBy("p").parquet(staging.toString)
+    fs.create(new Path(staging, "_GRAFT_STAGED"), true).close()
+    fs.mkdirs(aside)
+    assert(fs.rename(new Path(table, "p=a"), new Path(aside, "p=a")))
+    // The old code's first move (`fs.delete(staging, true)`) would have
+    // destroyed the only durable copy of p=a here. The rerun must
+    // instead finish the committed pass and keep every row.
+    Sinks.compactPartitions(spark, table, "p",
+      maxRecordsPerFile = 1000000L, parallelism = 1)
+    val after = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before, "recovery must not lose or duplicate rows")
+    assert(!fs.exists(staging) && !fs.exists(aside),
+      "recovery must clean up staging and aside dirs")
+  }
+
+  test("compactPartitions crash recovery: uncommitted staging garbage " +
+    "is discarded and aside-only partitions restored, table intact") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir()
+    val table = s"$dir/crash2"
+    spark.range(60).select(
+      when(col("id") % 3 === 0, "a").otherwise("b").as("p"),
+      col("id").as("v"))
+      .write.partitionBy("p").parquet(table)
+    val before = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash mid-write: staging exists but has NO commit marker (and
+    // holds a half-written, garbage partition) — must be discarded,
+    // never swapped in.
+    val staging = new Path(table + "__graft_compact_staging")
+    fs.mkdirs(new Path(staging, "p=a"))
+    fs.create(new Path(staging, "p=a/part-00000.parquet"), true).close()
+    // Separately, a leftover aside copy whose live partition vanished
+    // (simulates a crash in an earlier pass) must come back.
+    val aside = new Path(table + "__graft_compact_old")
+    fs.mkdirs(aside)
+    assert(fs.rename(new Path(table, "p=b"), new Path(aside, "p=b")))
+    Sinks.recoverCompaction(spark, table)
+    val after = spark.read.parquet(table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before,
+      "uncommitted staging must be dropped, aside-only partition restored")
+    assert(!fs.exists(staging) && !fs.exists(aside))
+  }
 }
