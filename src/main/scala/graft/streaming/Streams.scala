@@ -273,7 +273,19 @@ object Streams {
     * The merged frame is pinned with an eager localCheckpoint before
     * the overwrite — the scan and the overwrite target the same files,
     * so the read must be materialized first — and the pin is released
-    * once the write commits. */
+    * once the write commits.
+    *
+    * SINGLE WRITER assumed: the read → anti-join → dynamic-overwrite
+    * window is not atomic, so two concurrent writers touching the same
+    * partition can each read a pre-write snapshot and clobber the
+    * other's keys. The intended topology is the one [[upsertSink]]
+    * builds — one stream, one table, batches serialized by the
+    * streaming engine. Fan multiple streams into one table through a
+    * union upstream, not through concurrent sinks.
+    *
+    * Null `partitionCol` values land in Spark's default partition and
+    * are merged null-safely (`<=>`): existing null-partition keys
+    * survive a batch that touches the null partition. */
   def upsertBatch(
       batch: DataFrame,
       tablePath: String,
@@ -299,14 +311,31 @@ object Streams {
       val touched = latest.select(partitionCol).distinct().collect()
         .map(_.get(0)).toSeq
       if (touched.nonEmpty) {
+        // isin() never matches null, but dynamic overwrite DOES rewrite
+        // the null partition — so the membership test must be null-safe
+        // or existing null-partition keys would be silently dropped
+        val nonNullTouched = touched.filter(_ != null)
+        val inNonNull =
+          if (nonNullTouched.isEmpty) lit(false)
+          else col(partitionCol).isin(nonNullTouched: _*)
+        val touchedPred =
+          if (touched.exists(_ == null)) inNonNull || col(partitionCol).isNull
+          else inNonNull
         // explicit schema: no infer pass over the table (one less full
         // listing at scale), and an existing-but-empty directory reads
         // as an empty frame instead of failing inference
         val existing = spark.read.schema(latest.schema).parquet(tablePath)
-          .filter(col(partitionCol).isin(touched: _*))
+          .filter(touchedPred)
+        val mergeCols = partitionCol +: keys
+        val batchKeys = latest
+          .select(mergeCols.map(c => col(c).as(s"__b_$c")): _*)
+        // null-safe anti join: a null partition value (or null key) must
+        // still MATCH its batch twin, or the old row survives the union
+        // as a duplicate of the upserted one
+        val sameKey = mergeCols
+          .map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
         val merged = existing
-          .join(latest.select((partitionCol +: keys).map(col): _*),
-            partitionCol +: keys, "left_anti")
+          .join(batchKeys, sameKey, "left_anti")
           .unionByName(latest)
         val pinned = merged.localCheckpoint(true)
         try {

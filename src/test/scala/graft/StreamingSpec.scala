@@ -331,6 +331,29 @@ class StreamingSpec extends AnyFunSuite {
       "replaying an already-applied batch must be a no-op")
   }
 
+  test("upsertBatch: null partition values merge null-safely — existing " +
+    "null-partition keys survive a batch touching the null partition") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_upsert_n").toString
+    // seed: k=1 and k=2 live in the NULL partition, k=9 in p1
+    Streams.upsertBatch(
+      Seq((1L, Option.empty[String], "a", ts(0)),
+        (2L, Option.empty[String], "b", ts(0)),
+        (9L, Option("p1"), "z", ts(0))).toDF("k", "part", "v", "ts"),
+      table, Seq("k"), "ts", "part")
+    // batch updates k=1 (null partition) — k=2 must SURVIVE even though
+    // dynamic overwrite rewrites the whole null partition
+    Streams.upsertBatch(
+      Seq((1L, Option.empty[String], "a2", ts(5)))
+        .toDF("k", "part", "v", "ts"),
+      table, Seq("k"), "ts", "part")
+    val got = spark.read.parquet(table).select("k", "part", "v").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, None, "a2"), (2L, None, "b"), (9L, Some("p1"), "z")),
+      "null-partition survivors must not be dropped, k=1 not duplicated")
+  }
+
   test("intervalJoin and enrich reject colliding column names up front") {
     import spark.implicits._
     val a = Seq((1L, "k", ts(0))).toDF("id", "key", "ts")
