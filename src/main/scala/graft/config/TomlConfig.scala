@@ -30,11 +30,34 @@ package graft.config
   */
 object TomlConfig {
 
+  /** Swappable warning sink (stderr by default) so tests can assert the
+    * inert-knob courtesy warnings without scraping process output. */
+  @volatile var warnSink: String => Unit =
+    msg => System.err.println(s"[graft-config] $msg")
+
+  /** The two `[performance]` knobs that are declared-but-dead in the
+    * reference (toml_config.rs:112-117) and deliberately NOT mapped to a
+    * pipeline behavior here: both are cluster resource config in Spark.
+    * A migrating user who sets them gets told where the knob went
+    * instead of being silently ignored (SURVEY §2.12). */
+  private def warnInertPerformanceKnobs(root: Map[String, Any]): Unit = {
+    val perf = tbl(root.get("performance"))
+    if (perf.contains("memory_limit_mb"))
+      warnSink("[performance].memory_limit_mb has no per-pipeline effect " +
+        "(dead in the reference too); size executor memory instead: " +
+        "spark.executor.memory / spark.memory.fraction")
+    if (perf.contains("disk_cache_enabled"))
+      warnSink("[performance].disk_cache_enabled has no per-pipeline effect " +
+        "(dead in the reference too); use Dataset.persist with a " +
+        "disk-backed StorageLevel (e.g. MEMORY_AND_DISK) instead")
+  }
+
   def loadSequence(text: String, env: Map[String, String] = sys.env): SequenceDef = {
     val afterEnv = Templates.substEnv(text, env)
     val pre = Toml.parse(afterEnv)
     val sharedVars = strMap(tbl(pre.get("global")).get("shared_variables"))
     val root = Toml.parse(Templates.substShared(afterEnv, sharedVars))
+    warnInertPerformanceKnobs(root)
     // Layout dispatch: `[[pipelines]]` = sequence config
     // (sequence_config.rs); top-level `[pipeline]`+`[source]` = the
     // reference's single-pipeline toml_etl layout (toml_config.rs:9-19),
@@ -55,8 +78,9 @@ object TomlConfig {
     val srcT = tbl(root.get("source"))
     // [performance].request_timeout (toml_config.rs:112-117,
     // declared-but-dead in the reference): honest config-wide default
-    // HTTP timeout. memory_limit_mb / disk_cache_enabled stay inert —
-    // they are cluster resource config in Spark, documented SURVEY §2.12.
+    // HTTP timeout. memory_limit_mb / disk_cache_enabled stay inert
+    // (cluster resource config in Spark, SURVEY §2.12) but warn via
+    // warnInertPerformanceKnobs at loadSequence.
     val defTimeout = long(tbl(root.get("performance")).get("request_timeout"))
       .getOrElse(30L)
     val extract0 = parseExtract(tbl(root.get("extract")))

@@ -152,6 +152,41 @@ class TomlSpec extends AnyFunSuite {
     assert(http2.timeoutSeconds === 9, "explicit source timeout wins")
   }
 
+  test("inert [performance] knobs warn with the Spark-side equivalent " +
+    "instead of being silently ignored") {
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = TomlConfig.warnSink
+    TomlConfig.warnSink = warnings += _
+    try {
+      TomlConfig.loadSequence(
+        """[pipeline]
+          |name = "p"
+          |[source]
+          |endpoint = "https://api.example.com/items"
+          |[performance]
+          |memory_limit_mb = 512
+          |disk_cache_enabled = true
+          |""".stripMargin, env = Map.empty)
+      assert(warnings.exists(w => w.contains("memory_limit_mb")
+        && w.contains("spark.executor.memory")),
+        s"memory knob must name the Spark equivalent: $warnings")
+      assert(warnings.exists(w => w.contains("disk_cache_enabled")
+        && w.contains("MEMORY_AND_DISK")),
+        s"cache knob must name the Spark equivalent: $warnings")
+      warnings.clear()
+      TomlConfig.loadSequence(
+        """[pipeline]
+          |name = "p"
+          |[source]
+          |endpoint = "https://api.example.com/items"
+          |[performance]
+          |request_timeout = 30
+          |""".stripMargin, env = Map.empty)
+      assert(warnings.isEmpty,
+        s"the honestly-mapped knob must not warn: $warnings")
+    } finally TomlConfig.warnSink = prev
+  }
+
   test("parser: string escapes and key-vals after an array-of-tables header") {
     val doc = Toml.parse(
       """[[p]]
