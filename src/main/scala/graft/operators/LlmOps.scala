@@ -298,25 +298,37 @@ object LlmOps {
     * anti-join verify. The output is exact — the bloom only prunes, the
     * join decides.
     *
-    * The sketch build and the broadcast are Spark actions at plan-build
-    * time (same contract as `df.stat.bloomFilter`). The probe is a
-    * Scala UDF over the broadcast sketch: a deliberate exception to the
-    * functions-first rule, as Spark exposes no public `might_contain`
-    * function — one primitive-long call per row, no serialization in
-    * the loop. */
+    * The sketch build is a Spark action at plan-build time (same
+    * contract as `df.stat.bloomFilter`, but through the native
+    * `bloom_filter_agg` expression so build and probe share one
+    * serialized format). The probe is Spark's own codegen'd
+    * `BloomFilterMightContain` — the expression the runtime-filter
+    * rewrite injects — over the built sketch embedded as a binary
+    * literal (exactly what the rewrite's executed scalar subquery
+    * collapses to), so the per-row probe stays inside
+    * WholeStageCodegen instead of bouncing through an interpreted UDF
+    * on every corpus row. */
   def incrementalDedup(
       newDf: DataFrame, hist: DataFrame, fpCol: String,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
     val histFp = hist.select(fpCol)
     val expected = histFp.count()
-    // Spark's sketch aggregate NPEs on an empty input — and an empty
-    // corpus can't contain anything, so the whole batch is fresh
+    // an empty corpus can't contain anything: the whole batch is fresh
     if (expected == 0L) return newDf
-    val bf = histFp.stat.bloomFilter(fpCol, expected, fpp)
-    val bc = newDf.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((fp: Long) => bc.value.mightContain(fp))
-    val fresh = newDf.filter(!mightContain(col(fpCol)))
-    val verified = newDf.filter(mightContain(col(fpCol)))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expected, fpp)
+    val bfBytes = histFp.select(ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col(fpCol)),
+        Literal(expected), Literal(numBits)).toAggregateExpression()))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), ColumnBridge.expression(col(fpCol))))
+    val fresh = newDf.filter(!mightContain)
+    val verified = newDf.filter(mightContain)
       .join(histFp.distinct(), Seq(fpCol), "left_anti")
     fresh.unionByName(verified.select(newDf.columns.map(col).toIndexedSeq: _*))
   }
@@ -349,15 +361,22 @@ object LlmOps {
   /** Brute-force cosine top-k: every probe row scored against every
     * candidate. The probe side is bounded (broadcast) so the plan is a
     * single pass over the candidates — the correctness baseline the LSH
-    * path is judged against. Ties break on candidate id. */
+    * path is judged against. Ties break on candidate id.
+    *
+    * Zero-norm vectors are excluded from scoring (here and in every
+    * similarity scorer below): cosine is undefined for them, and the
+    * 0/0 = NaN they'd produce sorts ABOVE every real score in a
+    * descending window, letting junk rows dominate the top-k. */
   def cosineTopK(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column, k: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0)
     val probes = vecs.filter(probeFilter)
       .select(col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("pe"))
       .withColumn("pnrm", dot(col("pe"), col("pe")))
+      .filter(col("pnrm") > 0)
     val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
     val scored = probes.join(broadcast(v), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), cosine.as("c"))
@@ -411,6 +430,7 @@ object LlmOps {
       quantizeInt8(df, idCol, col(vecCol))
         .select(col(idCol), col("q"),
           aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
+        .filter(col("n2") > 0) // zero vector → 0/0 NaN would top the sort
     val cand = qn(vecs)
       .select(col(idCol).as("cand_id"), col("q").as("ce"), col("n2").as("cn"))
     val probes = qn(vecs.filter(probeFilter))
@@ -455,6 +475,7 @@ object LlmOps {
       .select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("bucket", lshBucket(col("e"), planes, dims))
       .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0) // cosine undefined for the zero vector
     val probes = v.filter(probeFilter(col("cand_id")))
       .select(col("cand_id").as("probe_id"), col("e").as("pe"),
         col("bucket"), col("nrm").as("pnrm"))
@@ -481,6 +502,7 @@ object LlmOps {
       .select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("bucket", lshBucket(col("e"), planes, dims))
       .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0) // cosine undefined for the zero vector
     val a = v.select(col("vid").as("keep_id"), col("e").as("ea"),
       col("bucket"), col("nrm").as("na"))
     val b = v.select(col("vid").as("dup_id"), col("e").as("eb"),
@@ -579,6 +601,7 @@ object LlmOps {
       k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0) // cosine undefined for the zero vector
     val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
       .select(col("cid"), col("ce"))
       .withColumn("cnrm", dot(col("ce"), col("ce")))
@@ -627,6 +650,7 @@ object LlmOps {
     val qn = quantizeInt8(vecs, idCol, col(vecCol))
       .select(col(idCol).as("vid"), col("q"),
         aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
+      .filter(col("n2") > 0) // zero vector → 0/0 NaN would top the sort
     val cands = ranked.filter(col("__rn") === 1).join(qn, Seq("vid"))
       .select(col("vid").as("cand_id"), col("cid").as("cell"),
         col("q").as("cq"), col("n2").as("cn"))

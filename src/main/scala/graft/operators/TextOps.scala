@@ -294,7 +294,7 @@ object TextOps {
     * hash and silently drop the row). */
   private[graft] def mixBucket(stratum: Column, id: Column): Column =
     LlmOps.strHash(
-      concat(coalesce(stratum.cast("string"), lit(" ")),
+      concat(coalesce(stratum.cast("string"), lit("\u0000")),
         lit(":"), id.cast("string"))) * 2654435761L % 4294967296L % 10000L
 
   /** Data mixing to a TOKEN budget: sample each stratum down to
@@ -335,7 +335,10 @@ object TextOps {
     *
     * Scale shape: one agg to the tiny per-stratum threshold frame
     * (broadcast back under AQE) — the corpus side never shuffles, the
-    * filter fuses with its scan. */
+    * filter fuses with its scan. The join-back is null-safe (`<=>`):
+    * a null stratum is its own group with its own threshold, consistent
+    * with [[mixBucket]]'s null-stratum handling, instead of being
+    * silently dropped by a null-rejecting equi join. */
   def adaptiveFilter(
       df: DataFrame,
       scoreCol: String,
@@ -343,8 +346,8 @@ object TextOps {
       q: Double): DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1): $q")
     val thr = df.groupBy(stratumCol.as("__stratum"))
-      .agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
-    df.join(thr, stratumCol === col("__stratum"))
+      .agg(percentile(col(scoreCol), lit(q)).as("__thr"))
+    df.join(thr, stratumCol <=> col("__stratum"))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__stratum", "__thr")
   }

@@ -258,6 +258,7 @@ object LlmQueries {
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings
+         |  WHERE ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} > 0
          |),
          |scored AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -298,6 +299,7 @@ object LlmQueries {
          |  SELECT v.vec_id, e, bucket,
          |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS nrm
          |  FROM v JOIN bk USING (vec_id)
+         |  WHERE nrm > 0
          |),
          |scored AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.bucket AS bucket,
@@ -341,6 +343,7 @@ object LlmQueries {
          |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
          |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
          |    FROM v, cents c
+         |    WHERE v.nrm > 0
          |  )
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
          |),
@@ -363,6 +366,7 @@ object LlmQueries {
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
          |  FROM qz JOIN assign ON assign.vec_id = qz.vec_id
+         |  WHERE n2 > 0
          |),
          |scored AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.cell AS cell,
@@ -407,6 +411,7 @@ object LlmQueries {
          |  SELECT v.vec_id, e, bucket,
          |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS nrm
          |  FROM v JOIN bk USING (vec_id)
+         |  WHERE nrm > 0
          |),
          |pairs AS (
          |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
@@ -452,6 +457,7 @@ object LlmQueries {
          |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
          |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
          |    FROM v, cents c
+         |    WHERE v.nrm > 0
          |  )
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
          |),
@@ -496,6 +502,7 @@ object LlmQueries {
          |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
          |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
          |    FROM v, cents c
+         |    WHERE v.nrm > 0
          |  )
          |),
          |cand AS (SELECT vec_id, e, nrm, cid AS cell FROM ranked WHERE rn = 1),
@@ -816,6 +823,7 @@ object LlmQueries {
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
         |  FROM qz
+        |  WHERE n2 > 0
         |),
         |scored AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -361,7 +361,8 @@ object TextQueries {
         |  SELECT lang, quantile_cont(n_chars, 0.25) AS thr
         |  FROM documents GROUP BY 1)
         |SELECT d.doc_id, d.lang, d.n_chars
-        |FROM documents d JOIN q USING (lang)
+        |FROM documents d
+        |JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
         |WHERE d.n_chars >= q.thr
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       TextOps.adaptiveFilter(

@@ -72,6 +72,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2).getDouble(2) === 0.0)
   }
 
+  test("zero vectors are excluded from similarity scoring, not NaN-ranked " +
+    "to the top") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: cosine undefined
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val full = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") === 0, k = 3).collect()
+    assert(full.map(_.getLong(1)).toSet === Set(1L, 3L),
+      s"zero vector must not appear as candidate: ${full.mkString(",")}")
+    assert(full.forall(r => !r.getDouble(2).isNaN), "no NaN scores")
+    val quant = LlmOps.quantizedTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") === 0, k = 3).collect()
+    assert(quant.map(_.getLong(1)).toSet === Set(1L, 3L),
+      s"zero vector must not appear in quantized top-k: ${quant.mkString(",")}")
+    assert(quant.forall(r => !r.getDouble(2).isNaN), "no NaN quantized scores")
+    // a zero-vector PROBE emits nothing rather than a NaN-ranked block
+    val zp = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") === 2, k = 3).collect()
+    assert(zp.isEmpty, "zero-vector probe must emit no rows")
+  }
+
   test("lsh ann: parallel vectors share a bucket; probe scored only in-bucket") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)),
@@ -370,6 +394,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L))
   }
 
+  test("incrementalDedup probe is the native might_contain inside " +
+    "WholeStageCodegen, not an interpreted UDF") {
+    // range-based inputs: ConvertToLocalRelation would fold a filter
+    // over a literal local relation clean out of the plan
+    val hist = spark.range(100).select((col("id") * 7L).as("fp"))
+    val newB = spark.range(50)
+      .select(col("id").as("batch_id"), (col("id") * 3L).as("fp"))
+    val out = LlmOps.incrementalDedup(newB, hist, "fp")
+    out.collect() // run it: AQE stamps codegen stages only on the final plan
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("might_contain"),
+      s"probe must be the native BloomFilterMightContain:\n$finalPlan")
+    assert(!finalPlan.contains("UDF"),
+      s"no interpreted UDF may remain on the probe path:\n$finalPlan")
+    // the probing Filter must sit under a codegen stage: every Filter
+    // node in the final plan carries a codegen-stage star
+    val filterLines = finalPlan.linesIterator
+      .filter(_.contains("Filter")).toSeq
+    assert(filterLines.nonEmpty && filterLines.forall(_.contains("*(")),
+      s"probe filters must be codegen'd:\n${filterLines.mkString("\n")}")
+  }
+
   test("quantizeInt8: scale/rounding/saturation on known vectors; " +
     "zero vector quantizes to zeros") {
     val vecs = Seq(
@@ -509,6 +556,19 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() === 4, "scores equal to the threshold are kept")
     intercept[IllegalArgumentException](
       TextOps.adaptiveFilter(df, "score", $"stratum", 1.5))
+    // null strata form their own group with their own threshold
+    // (null-safe join-back) instead of being silently dropped
+    val withNull = Seq(
+      (Option("a"), 1L), (Option("a"), 2L), (Option("a"), 3L), (Option("a"), 4L),
+      (Option.empty[String], 10L), (Option.empty[String], 20L),
+      (Option.empty[String], 30L), (Option.empty[String], 40L))
+      .toDF("stratum", "score")
+    val keptN = TextOps.adaptiveFilter(withNull, "score", $"stratum", 0.25)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(keptN === Set(
+      (Some("a"), 2L), (Some("a"), 3L), (Some("a"), 4L),
+      (None, 20L), (None, 30L), (None, 40L)),
+      s"null stratum must filter against its own quantile: $keptN")
   }
 
   test("holdoutSplit: exhaustive assignment near the recipe shares, " +
