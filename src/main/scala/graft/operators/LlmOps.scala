@@ -426,11 +426,16 @@ object LlmOps {
   def quantizedTopK(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column, k: Int): DataFrame = {
+    // Zero-vector exclusion runs on the RAW vector (n2 = 0 iff the
+    // input is all-zero: any nonzero vector's max element quantizes to
+    // ±127). Filtering on n2 itself would let PushDownPredicates
+    // substitute the alias and re-evaluate the whole quantization chain
+    // per row just for the predicate (measured 3× on this query).
     def qn(df: DataFrame): DataFrame =
-      quantizeInt8(df, idCol, col(vecCol))
+      quantizeInt8(df.filter(exists(col(vecCol), x => x =!= 0.0f)),
+        idCol, col(vecCol))
         .select(col(idCol), col("q"),
           aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
-        .filter(col("n2") > 0) // zero vector → 0/0 NaN would top the sort
     val cand = qn(vecs)
       .select(col(idCol).as("cand_id"), col("q").as("ce"), col("n2").as("cn"))
     val probes = qn(vecs.filter(probeFilter))
@@ -647,10 +652,12 @@ object LlmOps {
       iters: Int = 0, nprobe: Int = 1): DataFrame = {
     val ranked = ivfRanked(vecs, idCol, vecCol, k, iters)
       .select(col("vid"), col("cid"), col("__rn"))
-    val qn = quantizeInt8(vecs, idCol, col(vecCol))
+    // raw-vector zero exclusion: see quantizedTopK's note on why the
+    // guard must not be a filter over the computed n2
+    val qn = quantizeInt8(vecs.filter(exists(col(vecCol), x => x =!= 0.0f)),
+      idCol, col(vecCol))
       .select(col(idCol).as("vid"), col("q"),
         aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("n2"))
-      .filter(col("n2") > 0) // zero vector → 0/0 NaN would top the sort
     val cands = ranked.filter(col("__rn") === 1).join(qn, Seq("vid"))
       .select(col("vid").as("cand_id"), col("cid").as("cell"),
         col("q").as("cq"), col("n2").as("cn"))
