@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the harness testdata (TESTDATA.md schemas)
+  * for scale-proof benchmarking: `sfN × factor` rows with the SAME
+  * per-replica statistical structure, so a plan that is linear in rows
+  * must bench ~linear across the generated scale factors.
+  *
+  * Replication scheme — replica 0 is the source data byte-for-byte;
+  * replica i > 0 offsets every key by `i · (max_key + 1)` per key
+  * domain, so foreign keys stay consistent (orders→customer,
+  * lineitem→orders/part/supplier) and replicas never collide. The two
+  * fixed dimensions (region, nation) are copied unscaled, as TPC-H
+  * scaling does.
+  *
+  * Content decorrelation — the similarity corpora must NOT become
+  * cross-replica near-duplicates, or pair-producing operators
+  * (MinHash/SimHash/Jaccard/sparse-cosine) would see every duplicate
+  * cluster grow 10× denser and their OUTPUT would grow quadratically —
+  * a data artifact that would masquerade as a super-linear plan:
+  *  - documents.text: replica i > 0 word-shuffles each document with a
+  *    deterministic per-(word, position, replica) hash sort. The word
+  *    MULTISET is preserved (language-ID, quality ratios, token counts,
+  *    TF/DF and BM25 statistics are untouched) while word ORDER is
+  *    replica-specific, so n-word shingles — the feature base of every
+  *    near-dup operator — are ~disjoint across replicas. Within a
+  *    replica, near-duplicate docs differ in few (word, position)
+  *    pairs, get near-identical sort keys, and stay near-duplicates.
+  *  - embeddings.embedding: replica i rotates dimensions by i (mod
+  *    dims). Norms (and so quantization stats) are preserved exactly;
+  *    cross-replica cosines decay to noise; within-replica geometry is
+  *    identical.
+  *
+  * events.ts rides as raw nanosecond longs (the source reads under
+  * spark.sql.legacy.parquet.nanosAsLong), which Tables.t converts the
+  * same way it converts the driver's TIMESTAMP(NANOS).
+  */
+object ScaleData {
+
+  /** Key domains to offset, per table. */
+  private val KeyCols: Map[String, Seq[(String, String)]] = Map(
+    // table -> (column, key domain whose stride applies)
+    "customer" -> Seq("c_custkey" -> "customer"),
+    "supplier" -> Seq("s_suppkey" -> "supplier"),
+    "part" -> Seq("p_partkey" -> "part"),
+    "orders" -> Seq("o_orderkey" -> "orders", "o_custkey" -> "customer"),
+    "lineitem" -> Seq("l_orderkey" -> "orders", "l_partkey" -> "part",
+      "l_suppkey" -> "supplier"),
+    "events" -> Seq("event_id" -> "events", "user_id" -> "events_user"),
+    "documents" -> Seq("doc_id" -> "documents"),
+    "embeddings" -> Seq("vec_id" -> "embeddings"))
+
+  /** (table, key column) pairs defining each key domain's max. */
+  private val DomainOf: Map[String, (String, String)] = Map(
+    "customer" -> ("customer", "c_custkey"),
+    "supplier" -> ("supplier", "s_suppkey"),
+    "part" -> ("part", "p_partkey"),
+    "orders" -> ("orders", "o_orderkey"),
+    "events" -> ("events", "event_id"),
+    "events_user" -> ("events", "user_id"),
+    "documents" -> ("documents", "doc_id"),
+    "embeddings" -> ("embeddings", "vec_id"))
+
+  /** Deterministic per-replica word shuffle preserving the multiset:
+    * sort words by xxhash64(word, position, replica). */
+  private def shuffleWords(text: Column, replica: Column): Column = {
+    val ws = split(text, " ")
+    val keyed = zip_with(ws, sequence(lit(0), size(ws) - 1),
+      (w, j) => struct(xxhash64(w, j, replica).as("h"), w.as("w")))
+    array_join(transform(array_sort(keyed), s => s.getField("w")), " ")
+  }
+
+  /** Rotate array dimensions by `replica` (mod length), type-preserving. */
+  private def rotateVec(vec: Column, replica: Column): Column =
+    transform(sequence(lit(0), size(vec) - 1),
+      j => element_at(vec, pmod(j + replica, size(vec)).cast("int") + 1))
+
+  def scale(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    def src(name: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+
+    // strides: one tiny agg per key domain
+    val stride: Map[String, Long] = DomainOf.map { case (dom, (tbl, c)) =>
+      dom -> (src(tbl).agg(max(col(c))).head.getLong(0) + 1L)
+    }
+
+    val replicas = broadcast(
+      spark.range(0, factor.toLong).select(col("id").as("__r")))
+
+    def write(df: DataFrame, name: String, files: Int): Unit =
+      df.repartition(files)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // fixed dims: copied unscaled
+    write(src("region"), "region", 1)
+    write(src("nation"), "nation", 1)
+
+    KeyCols.foreach { case (name, keys) =>
+      val base = src(name)
+      var df = base.crossJoin(replicas)
+      keys.foreach { case (c, dom) =>
+        df = df.withColumn(c, col(c) + col("__r") * stride(dom))
+      }
+      if (name == "documents")
+        df = df.withColumn("text",
+          when(col("__r") === 0, col("text"))
+            .otherwise(shuffleWords(col("text"), col("__r"))))
+      if (name == "embeddings")
+        df = df.withColumn("embedding",
+          when(col("__r") === 0, col("embedding"))
+            .otherwise(rotateVec(col("embedding"), col("__r"))))
+      val files = math.max(1, (base.count() * factor / 200000L).toInt)
+      write(df.drop("__r").select(base.columns.map(col).toIndexedSeq: _*),
+        name, files)
+    }
+  }
+
+  /** args: srcDir outDir [factor=10] */
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .appName("graft-scaledata")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try scale(spark, srcDir, outDir, factor)
+    finally spark.stop()
+    println(s"[scaledata] wrote $outDir at factor $factor from $srcDir")
+  }
+}
