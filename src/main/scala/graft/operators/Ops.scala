@@ -177,10 +177,18 @@ object Ops {
     }: _*)
   }
 
-  /** X1 — clean_text: trim + newline→space on every string column.
-    * Reference: contextual_pipeline.rs:882-889. */
+  /** Edge-trim of ASCII whitespace. Spark's `trim` strips ONLY the
+    * space character; the reference's `str::trim` strips whitespace
+    * (contextual_pipeline.rs:886) — `\s` is the Java∩RE2 portable
+    * approximation (ASCII whitespace; the reference's Unicode extras
+    * like NBSP are a documented deviation). */
+  private def trimWs(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** X1 — clean_text: whitespace-trim + newline→space on every string
+    * column. Reference: contextual_pipeline.rs:882-889. */
   def cleanText(df: DataFrame): DataFrame =
-    mapStringCols(df, c => regexp_replace(trim(c), "\n", " "))
+    mapStringCols(df, c => regexp_replace(trimWs(c), "\n", " "))
 
   /** X2 — normalize_fields: lowercase the listed string fields. */
   def normalizeFields(fields: Seq[String])(df: DataFrame): DataFrame = {
@@ -248,7 +256,7 @@ object Ops {
 
   /** X6 — trim_whitespace / remove_html_tags (declared-but-dead in the
     * reference, toml_config.rs:59-60; implemented honestly here). */
-  def trimWhitespace(df: DataFrame): DataFrame = mapStringCols(df, trim)
+  def trimWhitespace(df: DataFrame): DataFrame = mapStringCols(df, trimWs)
   def removeHtmlTags(fields: Seq[String])(df: DataFrame): DataFrame = {
     val targets = fields.filter(df.columns.contains).toSet
     if (targets.isEmpty) df

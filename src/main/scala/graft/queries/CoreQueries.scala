@@ -334,7 +334,9 @@ object CoreQueries {
     // ----- X1: clean_text (contextual_pipeline.rs:882-889) -----
     QDef.sql(
       "x1_clean_text",
-      """SELECT doc_id, replace(trim(text), chr(10), ' ') AS text
+      """SELECT doc_id,
+        |  replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), chr(10), ' ')
+        |    AS text
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Ops.cleanText(t(s, dir, "documents").select("doc_id", "text"))
         .orderBy("doc_id")
