@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   * (MinHash/SimHash/Jaccard/sparse-cosine) would see every duplicate
   * cluster grow 10× denser and their OUTPUT would grow quadratically —
   * a data artifact that would masquerade as a super-linear plan:
-  *  - documents.text: replica i > 0 word-shuffles each document with a
-  *    deterministic per-(word, position, replica) hash sort. The word
-  *    MULTISET is preserved (language-ID, quality ratios, token counts,
-  *    TF/DF and BM25 statistics are untouched) while word ORDER is
-  *    replica-specific, so n-word shingles — the feature base of every
-  *    near-dup operator — are ~disjoint across replicas. Within a
-  *    replica, near-duplicate docs differ in few (word, position)
-  *    pairs, get near-identical sort keys, and stay near-duplicates.
+  *  - documents.text: replica i > 0 rewrites each non-stopword word
+  *    with an alphanumeric replica suffix and then word-shuffles the
+  *    document with a deterministic per-(word, position, replica) hash
+  *    sort. The suffix decorrelates ORDER-INDEPENDENT feature bases
+  *    (SimHash's unigram bag — a pure shuffle left replica copies with
+  *    IDENTICAL codes and quadratic pair blowup); the shuffle
+  *    decorrelates shingle bases even across shared stopword runs.
+  *    Stopwords are kept verbatim and the suffix is alphanumeric, so
+  *    language-ID stopword counts, quality punctuation/stopword ratios
+  *    and token counts are preserved per document. Within a replica,
+  *    near-duplicate docs undergo the SAME rewrite and near-identical
+  *    sort keys, so they stay near-duplicates.
   *  - embeddings.embedding: replica i rotates dimensions by i (mod
   *    dims). Norms (and so quantization stats) are preserved exactly;
   *    cross-replica cosines decay to noise; within-replica geometry is
@@ -63,11 +67,24 @@ object ScaleData {
     "documents" -> ("documents", "doc_id"),
     "embeddings" -> ("embeddings", "vec_id"))
 
-  /** Deterministic per-replica word shuffle preserving the multiset:
-    * sort words by xxhash64(word, position, replica). */
-  private def shuffleWords(text: Column, replica: Column): Column = {
-    val ws = split(text, " ")
-    val keyed = zip_with(ws, sequence(lit(0), size(ws) - 1),
+  /** Every stopword any engine statistic keys on (TextOps language-ID
+    * lists) — preserved verbatim so per-replica langid/quality/token
+    * statistics match replica 0. */
+  private val StopWords: Seq[String] =
+    (graft.operators.TextOps.StopEn ++ graft.operators.TextOps.StopDe ++
+      graft.operators.TextOps.StopEs ++ graft.operators.TextOps.StopFr).distinct
+
+  /** Deterministic per-replica text decorrelation: non-stopword words
+    * get an alphanumeric replica suffix (breaks unigram-bag features
+    * like SimHash without touching punctuation ratios), then the word
+    * sequence is shuffled by an xxhash64(word, position, replica) sort
+    * (breaks shingle features even across stopword runs). */
+  private def decorrelateText(text: Column, replica: Column): Column = {
+    val stops = typedLit(StopWords)
+    val suffixed = transform(split(text, " "), w =>
+      when(array_contains(stops, lower(w)), w)
+        .otherwise(concat(w, lit("xr"), replica.cast("string"))))
+    val keyed = zip_with(suffixed, sequence(lit(0), size(suffixed) - 1),
       (w, j) => struct(xxhash64(w, j, replica).as("h"), w.as("w")))
     array_join(transform(array_sort(keyed), s => s.getField("w")), " ")
   }
@@ -106,9 +123,13 @@ object ScaleData {
         df = df.withColumn(c, col(c) + col("__r") * stride(dom))
       }
       if (name == "documents")
-        df = df.withColumn("text",
-          when(col("__r") === 0, col("text"))
-            .otherwise(shuffleWords(col("text"), col("__r"))))
+        df = df
+          .withColumn("text",
+            when(col("__r") === 0, col("text"))
+              .otherwise(decorrelateText(col("text"), col("__r"))))
+          .withColumn("n_chars", // keep the n_chars = length(text) invariant
+            when(col("__r") === 0, col("n_chars"))
+              .otherwise(length(col("text")).cast("long")))
       if (name == "embeddings")
         df = df.withColumn("embedding",
           when(col("__r") === 0, col("embedding"))

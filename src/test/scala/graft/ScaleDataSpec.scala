@@ -44,28 +44,45 @@ class ScaleDataSpec extends AnyFunSuite {
       l("l_suppkey") === col("s_suppkey"), "left_anti").count() === 0L)
   }
 
-  test("documents: replica 0 is byte-identical; replicas preserve the " +
-    "word multiset but break word order (shingle decorrelation)") {
+  test("documents: replica 0 is byte-identical; replicas preserve token " +
+    "counts, stopword counts and n_chars=length(text), while both the " +
+    "unigram bag and the word order are decorrelated") {
+    import graft.operators.{LlmOps, TextOps}
     val src = t(srcDir, "documents")
     val out = t(outDir, "documents")
     val stride = src.agg(max($"doc_id")).head.getLong(0) + 1L
     // replica 0 byte-identical
     assert(out.filter($"doc_id" < stride).exceptAll(src).count() === 0L)
-    // replica 1: same multiset, different order for multi-word docs
+    // n_chars invariant holds everywhere
+    assert(out.filter($"n_chars" =!= length($"text")).count() === 0L)
     val r1 = out.filter($"doc_id" >= stride && $"doc_id" < 2 * stride)
       .select(($"doc_id" - stride).as("doc_id"), $"text".as("text1"))
-    val joined = src.select($"doc_id", $"text").join(r1, "doc_id")
-      .select($"doc_id", $"text", $"text1",
-        array_sort(split($"text", " ")).as("ws"),
-        array_sort(split($"text1", " ")).as("ws1"))
-      .cache()
-    assert(joined.filter(not($"ws" <=> $"ws1")).count() === 0L,
-      "word multiset must be preserved")
-    val shuffled = joined
-      .filter(size(array_distinct(split($"text", " "))) > 3)
-      .filter($"text" === $"text1").count()
-    assert(shuffled === 0L,
-      "multi-word docs must be reordered in replica 1")
+    def stopCount(c: org.apache.spark.sql.Column) =
+      size(filter(LlmOps.words(c),
+        w => array_contains(typedLit(TextOps.StopEn ++ TextOps.StopDe ++
+          TextOps.StopEs ++ TextOps.StopFr), w)))
+    val joined = src.select($"doc_id", $"text").join(r1, "doc_id").cache()
+    // statistics the curation operators key on are preserved per doc
+    assert(joined.filter(
+      size(split($"text", " ")) =!= size(split($"text1", " "))).count() === 0L,
+      "token count must be preserved")
+    assert(joined.filter(
+      stopCount($"text") =!= stopCount($"text1")).count() === 0L,
+      "stopword counts (language-ID feature base) must be preserved")
+    // suffix strips back to the original multiset (1:1 word rewrite)
+    assert(joined.filter(not(
+      array_sort(transform(split($"text1", " "),
+        w => regexp_replace(w, "xr1$", ""))) <=>
+        array_sort(split($"text", " ")))).count() === 0L,
+      "replica words must strip back to the source multiset")
+    // unigram-bag decorrelation: docs with content words must NOT share
+    // their full word bag with the source (SimHash would collide)
+    val contentful = joined.filter(
+      size(split($"text", " ")) - stopCount($"text") > 0)
+    assert(contentful.filter(
+      array_sort(split($"text", " ")) <=> array_sort(split($"text1", " ")))
+      .count() === 0L,
+      "content-word bags must differ across replicas")
     joined.unpersist()
   }
 
