@@ -465,22 +465,32 @@ object TextOps {
     * `text_clean`, `n_kept`, `n_total` — a doc whose every segment is
     * boilerplate still emits a row with an empty `text_clean`.
     *
-    * Scale shape: segments are keyed by their 64-bit [[LlmOps.strHash]]
-    * so the DF count and the join back shuffle 8-byte keys, not segment
-    * strings; the second exchange reuses the first's partitioning (same
-    * key). One final groupBy on the doc id rebuilds the text with a
-    * bounded per-doc state (the doc's own segment list) — never a
-    * corpus-wide window. */
+    * Scale shape: ONE corpus scan. The df count rides two windows over
+    * the segment stream instead of a groupBy + self-join — the join
+    * form scans the corpus (and computes every segment hash) twice,
+    * once per join side; the window form shuffles the 8-byte-keyed
+    * stream on (hash, doc) then (hash) and tags each occurrence with
+    * its segment's distinct-doc count in place. One final groupBy on
+    * the doc id rebuilds the text with a bounded per-doc state (the
+    * doc's own segment list) — never a corpus-wide window. */
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String,
       window: Int, minDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(minDf >= 2, s"minDf < 2 would drop every segment: $minDf")
     val segs = chunkDocs(df, idCol, textCol, window, stride = window)
       .withColumn("__h", LlmOps.strHash(col("chunk_text")))
-    val dfCounts = segs.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__df"))
+    // distinct-doc count per segment hash, windowed: flag one occurrence
+    // per (segment, doc), then sum the flags across the segment
+    val wDoc = Window.partitionBy(col("__h"), col(idCol))
+      .orderBy(col("chunk_idx"))
+    val wSeg = Window.partitionBy(col("__h"))
+    val withDf = segs
+      .withColumn("__first",
+        when(row_number().over(wDoc) === 1, 1L).otherwise(0L))
+      .withColumn("__df", sum(col("__first")).over(wSeg))
     val keep = col("__df") < minDf
-    segs.join(dfCounts, "__h")
+    withDf
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_total"),

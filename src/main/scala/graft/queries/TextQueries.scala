@@ -636,5 +636,182 @@ object TextQueries {
       TextOps.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
         window = 3, minDf = 5)
         .orderBy("doc_id")
+    },
+
+    // ----- End-to-end curation pipeline (the production composition) ---
+    // boilerplate-strip → langid+quality filter → exact dedup →
+    // MinHash-CC near-dedup → stratified mix → holdout split, composed
+    // as one dataflow: the non-iterative prefix fuses into a single
+    // plan pinned ONCE (both the pair generation and the final
+    // keep-join read that checkpoint — the corpus-sized text is never
+    // recomputed), the CC loop is the only iterative stage, and
+    // everything after it is shuffle-free per-row hashing. Mirrors how
+    // the stages would actually chain on a 100 TB corpus.
+    QDef.sql(
+      "llm_curation_e2e",
+      s"""WITH RECURSIVE w0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |),
+         |c0 AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) <= 3 THEN 1
+         |         ELSE ((len(ws) - 3 + 2) // 3) + 1 END AS nc
+         |  FROM w0
+         |),
+         |e0 AS (
+         |  SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS chunk_idx
+         |  FROM c0
+         |),
+         |g0 AS (
+         |  SELECT doc_id, chunk_idx,
+         |    array_to_string(ws[chunk_idx * 3 + 1 : chunk_idx * 3 + 3], ' ')
+         |      AS seg
+         |  FROM e0
+         |),
+         |hs0 AS (
+         |  SELECT doc_id, chunk_idx, seg, ${duckHash("seg")} AS h FROM g0
+         |),
+         |d0 AS (
+         |  SELECT h, count(DISTINCT doc_id) AS df FROM hs0 GROUP BY 1
+         |),
+         |bp AS (
+         |  SELECT hs0.doc_id,
+         |         coalesce(string_agg(CASE WHEN d0.df < 5 THEN hs0.seg END,
+         |                             ' ' ORDER BY hs0.chunk_idx), '')
+         |           AS tc
+         |  FROM hs0 JOIN d0 USING (h)
+         |  GROUP BY 1
+         |),
+         |scored AS (
+         |  SELECT doc_id, tc,
+         |    CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |         WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |         WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+         |         WHEN c_fr > 0 THEN 'fr'
+         |         ELSE 'und' END AS lang_pred,
+         |    round(CASE WHEN length(tc) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(ws) AS BIGINT) / 50.0) * 0.4
+         |        + (CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE)
+         |           / CAST(len(ws) AS BIGINT)) * 0.3
+         |        + (1.0 - CAST(length(regexp_replace(lower(tc), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |           / length(tc)) * 0.3 END, 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, tc, ws,
+         |      ${duckStopCount(TextOps.StopEn)} AS c_en,
+         |      ${duckStopCount(TextOps.StopDe)} AS c_de,
+         |      ${duckStopCount(TextOps.StopEs)} AS c_es,
+         |      ${duckStopCount(TextOps.StopFr)} AS c_fr
+         |    FROM (SELECT doc_id, tc, string_split(lower(tc), ' ') AS ws FROM bp)
+         |  )
+         |),
+         |filt AS (
+         |  SELECT * FROM scored WHERE lang_pred != 'und' AND quality >= 0.3
+         |),
+         |exact AS (
+         |  SELECT doc_id, tc, lang_pred, quality
+         |  FROM (
+         |    SELECT *, ${duckHash("regexp_replace(trim(__lt), '\\s+', ' ', 'g')")} AS fp
+         |    FROM (SELECT doc_id, lower(tc) AS __lt, tc, lang_pred, quality FROM filt)
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         |),
+         |cws AS (
+         |  SELECT doc_id, string_split(lower(tc), ' ') AS ws FROM exact
+         |),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS s
+         |  FROM cws
+         |),
+         |chashed AS (
+         |  SELECT DISTINCT doc_id, ${duckHash("s")} AS h FROM csh
+         |),
+         |mh AS (
+         |  SELECT doc_id,
+         |    min((1000003 * h + 12345) % 2147483647) AS m0,
+         |    min((1000033 * h + 54321) % 2147483647) AS m1,
+         |    min((1000037 * h + 11111) % 2147483647) AS m2,
+         |    min((1000039 * h + 22222) % 2147483647) AS m3,
+         |    min((1000081 * h + 33333) % 2147483647) AS m4,
+         |    min((1000099 * h + 44444) % 2147483647) AS m5,
+         |    min((1000117 * h + 55555) % 2147483647) AS m6,
+         |    min((1000121 * h + 66666) % 2147483647) AS m7
+         |  FROM chashed GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+         |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+         |),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |                           AND a.doc_id < b.doc_id
+         |),
+         |cedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs
+         |),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM exact
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN cedges e ON e.src = r.doc_id
+         |),
+         |canon AS (
+         |  SELECT doc_id, min(label) AS comp FROM reach GROUP BY doc_id
+         |),
+         |kept AS (
+         |  SELECT x.doc_id, x.lang_pred, x.quality
+         |  FROM exact x JOIN canon ON canon.doc_id = x.doc_id
+         |  WHERE canon.comp = x.doc_id
+         |),
+         |mixed AS (
+         |  SELECT doc_id, lang_pred, quality
+         |  FROM kept
+         |  WHERE ${duckMixBucket("lang_pred || ':' || CAST(doc_id AS VARCHAR)")}
+         |    < CASE lang_pred WHEN 'en' THEN 9000 WHEN 'de' THEN 8000
+         |                     WHEN 'es' THEN 7000 WHEN 'fr' THEN 6000
+         |                     ELSE 5000 END
+         |)
+         |SELECT doc_id, lang_pred, quality,
+         |  CASE WHEN ${duckMixBucket("'split:' || CAST(doc_id AS VARCHAR)")} < 9000 THEN 'train'
+         |       WHEN ${duckMixBucket("'split:' || CAST(doc_id AS VARCHAR)")} < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM mixed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bp = TextOps.stripBoilerplate(docs, "doc_id", "text",
+        window = 3, minDf = 5)
+        .select(col("doc_id"), col("text_clean").as("tc"))
+      val scored = bp
+        .withColumn("lang_pred", TextOps.langId(col("tc")))
+        .withColumn("quality", round(TextOps.qualityScore(col("tc")), 6))
+        .filter(col("lang_pred") =!= "und" && col("quality") >= 0.3)
+      // exact dedup on the normalized-clean-text fingerprint, min-id wins
+      // same normalization as TextOps.fingerprints: lower, trim, collapse
+      val exact = scored
+        .withColumn("fp", LlmOps.strHash(
+          regexp_replace(trim(lower(col("tc"))), "\\s+", " ")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .select("doc_id", "tc", "lang_pred", "quality")
+      // Pin the fused prefix ONCE: the CC pair generation AND the final
+      // keep-join both read this frame — without the pin the whole
+      // boilerplate+filter+dedup prefix would recompute per consumer.
+      val pinned = exact.localCheckpoint(true)
+      val labels = LlmOps.dedupGroups(pinned, "doc_id",
+        LlmOps.minHashCandidatePairs(pinned, "doc_id", "tc"))
+      val kept = pinned.join(
+        labels.filter(col("doc_id") === col("canonical_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val mixed = TextOps.stratifiedSample(kept, "doc_id", col("lang_pred"),
+        Map("en" -> 0.9, "de" -> 0.8, "es" -> 0.7, "fr" -> 0.6),
+        defaultRate = 0.5)
+      TextOps.holdoutSplit(mixed, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "lang_pred", "quality", "split")
+        .orderBy("doc_id")
     })
 }

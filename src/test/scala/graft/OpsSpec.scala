@@ -190,7 +190,9 @@ class OpsSpec extends AnyFunSuite {
       assert(after === baseline + 1, s"expected one fused projection, got ${after - baseline}")
     }
     val out = Ops.cleanText(wide).select("s1").as[String].first()
-    assert(out === "v1 ") // space-trim + newline→space still applied
+    // whitespace edge-trim (incl. the trailing \n, like the reference's
+    // str::trim) — the old space-only trim left "v1 " here
+    assert(out === "v1")
   }
 
   test("qualityScore: empty text scores an explicit 0.0 and keeps its row") {

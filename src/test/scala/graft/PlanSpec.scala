@@ -359,4 +359,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"diff must shuffle each side at most once, found $exchanges:\n$plan")
   }
+
+  test("curation prefix (boilerplate strip -> langid/quality filter -> " +
+    "exact dedup) fuses into ONE plan: a single parquet scan, bounded " +
+    "shuffles, no materialization between stages") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bp = TextOps.stripBoilerplate(docs, "doc_id", "text",
+      window = 3, minDf = 5)
+      .select($"doc_id", $"text_clean".as("tc"))
+    val prefix = bp
+      .withColumn("lang_pred", TextOps.langId($"tc"))
+      .withColumn("quality", round(TextOps.qualityScore($"tc"), 6))
+      .filter($"lang_pred" =!= "und" && $"quality" >= 0.3)
+      .withColumn("fp", graft.operators.LlmOps.strHash(
+        regexp_replace(trim(lower($"tc")), "\\s+", " ")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"__rn" === 1)
+      .select("doc_id", "lang_pred", "quality")
+    prefix.collect()
+    val plan = prefix.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1,
+      s"the whole prefix must read the corpus ONCE, found $scans scans:\n$plan")
+    // shuffle budget: the 4 keyed repartitions the stages are DEFINED
+    // by — (seg,doc) window, (seg) df window, doc rebuild, fingerprint
+    // window — and nothing more: stage fusion must not add shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4,
+      s"stage fusion must not add shuffles beyond the 4 keyed ones, " +
+        s"found $exchanges:\n$plan")
+  }
 }
