@@ -453,6 +453,44 @@ object LlmOps {
       .select(col("probe_id"), col("cand_id"), round(col("__c"), 6).as("qcosine"))
   }
 
+  /** Two-stage retrieval: quantized COARSE ranking (pure BIGINT
+    * multiply-add over the whole candidate stream) keeps the top
+    * `coarseK` per probe, then ONLY those pairs are re-scored at full
+    * float precision for the final top `k` — the production
+    * recall-repair pattern over [[quantizedTopK]]: the expensive exact
+    * math touches coarseK·probes rows instead of N·probes, and
+    * candidates the int8 pass ranked just outside k from quantization
+    * error are recovered as long as they land inside coarseK.
+    * Ranking is by exact cosine with a candidate-id tiebreak.
+    *
+    * Scale shape: stage 1 is [[quantizedTopK]] (broadcast probes, one
+    * candidate pass, no shuffle before the per-probe window); stage 2
+    * joins the bounded (probes·coarseK) pair frame back to the vectors
+    * — at scale that frame broadcasts, so the rerank never shuffles
+    * the corpus. */
+  def quantizedRerankTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column, k: Int, coarseK: Int): DataFrame = {
+    require(coarseK >= k, s"coarse pool $coarseK must be >= final k $k")
+    val coarse = quantizedTopK(vecs, idCol, vecCol, probeFilter, coarseK)
+      .select(col("probe_id"), col("cand_id"))
+    val v = vecs.select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0)
+    val probes = vecs.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("pe"))
+      .withColumn("pnrm", dot(col("pe"), col("pe")))
+      .filter(col("pnrm") > 0)
+    val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    coarse
+      .join(v, Seq("cand_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"), cosine.as("c"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component j (LCG over the flat
     * index), in [-1000, 1000] as double — reproducible in SQL anywhere. */
   private def hp(j: Column): Column =

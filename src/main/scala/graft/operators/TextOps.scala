@@ -503,6 +503,35 @@ object TextOps {
           " ").as("text_clean"))
   }
 
+  /** Unigram log-frequency quality proxy — the LM-filter slot of a
+    * CCNet-style curation pipeline: score = mean bit-length of each
+    * token's corpus frequency (`length(bin(count))` = ⌊log2 count⌋+1).
+    * Documents made of common, well-formed words score high;
+    * gibberish, OCR noise and rare-token spam score low — the same
+    * signal a KenLM perplexity filter thresholds on, as a pure
+    * integer-exact column computation both engines reproduce bit-for-
+    * bit (a float `ln` would be sum-order-sensitive; bit-length is
+    * not). A real n-gram LM slots in at exactly this shape: replace
+    * the count frame with (ngram, logprob) and the mean stays one
+    * keyed join + one doc agg.
+    *
+    * Scale shape: one shuffle on the token hash builds the vocabulary
+    * counts and the occurrence join reuses that partitioning
+    * (ReusedExchange); one re-agg on the doc id. The vocabulary frame
+    * is Zipf-shaped — at extreme scale broadcast the head and bucket
+    * the tail, same plan otherwise. */
+  def unigramLogFreq(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = LlmOps.tokenHashes(df, idCol, textCol)
+    val counts = toks.groupBy("h").agg(count(lit(1)).as("__cnt"))
+    toks.join(counts, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(length(bin(col("__cnt")))).as("__bits"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__bits").cast("double") / col("n_tokens"), 6).as("lm_score"))
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

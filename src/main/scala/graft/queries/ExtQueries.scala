@@ -743,6 +743,37 @@ object ExtQueries {
         .orderBy(col("event_id"), asc_nulls_first("p_event"))
     },
 
+    // ----- Stream-stream interval join, FULL OUTER batch twin ----------
+    // Completes the interval-join matrix: unmatched errors emit with
+    // null purchase columns AND unmatched purchases emit with null
+    // error columns (in streaming, each side's unmatched rows emit once
+    // its watermark-bounded window closes). Both sides' ids ride the
+    // output so the null pattern is fully checkable.
+    QDef.sql(
+      "ext_stream_full_outer",
+      """SELECT l.event_id, l.user_id, r.event_id AS p_event, r.user_id AS p_user
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') l
+        |FULL JOIN (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+        |ORDER BY l.event_id NULLS FIRST, p_event NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      Streams.intervalJoin(
+        l, r, leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        watermarkDelay = "10 minutes", window = "1 hour",
+        joinType = "full_outer")
+        .select(col("event_id"), col("user_id"), col("p_event"), col("p_user"))
+        .orderBy(asc_nulls_first("event_id"), asc_nulls_first("p_event"))
+    },
+
     // ----- Stream-stream interval join, LEFT SEMI batch twin -----------
     // The existence-test shape: each error emits AT MOST ONCE iff any
     // same-user purchase preceded it within the hour — no fan-out on

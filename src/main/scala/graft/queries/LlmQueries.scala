@@ -841,5 +841,67 @@ object LlmQueries {
       LlmOps.quantizedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 5)
         .orderBy(col("probe_id"), col("qcosine").desc, col("cand_id"))
+    },
+
+    // ----- Quantized-coarse + exact-rerank retrieval ---------------------
+    // The production two-stage pattern: int8 scan keeps top-20 per
+    // probe, full-precision cosine reranks ONLY those to the final
+    // top-5. Quantization error inside the coarse pool is repaired;
+    // the float math touches 20·probes rows, never the corpus.
+    QDef.sql(
+      "llm_ann_rerank",
+      s"""WITH m AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+         |                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx
+         |  FROM m
+         |),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(round(
+         |      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS BIGINT))
+         |      AS q
+         |  FROM s
+         |),
+         |n AS (
+         |  SELECT vec_id, q,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
+         |  FROM qz
+         |  WHERE n2 > 0
+         |),
+         |coarse AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(generate_series(1, 64), i -> p.q[i] * c.q[i])),
+         |        (a, b) -> a + b) AS DOUBLE)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qc
+         |    FROM n p, n c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                             ORDER BY qc DESC, cand_id) <= 20
+         |),
+         |rescored AS (
+         |  SELECT coarse.probe_id, coarse.cand_id,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> p.v[i] * c.v[i])")}
+         |      / (sqrt(${duckFold("list_transform(generate_series(1,64), i -> p.v[i] * p.v[i])")})
+         |       * sqrt(${duckFold("list_transform(generate_series(1,64), i -> c.v[i] * c.v[i])")})) AS cos
+         |  FROM coarse
+         |  JOIN m p ON p.vec_id = coarse.probe_id
+         |  JOIN m c ON c.vec_id = coarse.cand_id
+         |)
+         |SELECT probe_id, cand_id, round(cos, 6) AS cosine
+         |FROM rescored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY cos DESC, cand_id) <= 5
+         |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.quantizedRerankTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5, coarseK = 20)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     })
 }

@@ -638,6 +638,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Unigram log-frequency LM-quality proxy ----------------------
+    // Mean bit-length of each token's corpus frequency: the integer-
+    // exact stand-in for a KenLM perplexity filter (common-word docs
+    // score high, rare-token spam low). Both engines agree bit-for-bit
+    // because the only float op is one final division.
+    QDef.sql(
+      "llm_lm_quality",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents
+         |),
+         |h AS (
+         |  SELECT doc_id, ${duckHash("w")} AS h FROM toks
+         |),
+         |c AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(length(bin(cnt))) AS DOUBLE) / count(*), 6)
+         |    AS lm_score
+         |FROM h JOIN c USING (h)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.unigramLogFreq(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ----- End-to-end curation pipeline (the production composition) ---
     // boilerplate-strip → langid+quality filter → exact dedup →
     // MinHash-CC near-dedup → stratified mix → holdout split, composed

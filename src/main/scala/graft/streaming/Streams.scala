@@ -235,8 +235,11 @@ object Streams {
       watermarkDelay: String,
       window: String,
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer", "left_semi")(joinType),
-      s"intervalJoin supports inner|left_outer|left_semi, got '$joinType'")
+    // full_outer completes the matrix: unmatched rows from EITHER side
+    // emit null-padded once the watermark closes their window — both
+    // sides' state is watermark-bounded exactly like left_outer's.
+    require(Set("inner", "left_outer", "left_semi", "full_outer")(joinType),
+      s"intervalJoin supports inner|left_outer|left_semi|full_outer, got '$joinType'")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalJoin: sides share column names " +

@@ -477,6 +477,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"quantized recall@5 vs full precision: $recall")
   }
 
+  test("quantizedRerankTopK: exact rerank of the coarse pool repairs " +
+    "quantization error — recall >= plain quantized, exact scores") {
+    val vecs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") < 10, k = 5))
+    val quant = pairs(LlmOps.quantizedTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") < 10, k = 5))
+    val rerank = LlmOps.quantizedRerankTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") < 10, k = 5, coarseK = 20)
+    val rerankPairs = pairs(rerank)
+    val qRecall = full.intersect(quant).size.toDouble / full.size
+    val rRecall = full.intersect(rerankPairs).size.toDouble / full.size
+    assert(rRecall >= qRecall,
+      s"rerank recall $rRecall must be >= coarse-only recall $qRecall")
+    assert(rRecall >= 0.9, s"rerank recall@5 vs full precision: $rRecall")
+    // reranked scores are EXACT cosines: every surviving pair's score
+    // equals the brute-force value
+    val exact = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") < 10, k = 2000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    rerank.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) === r.getDouble(2),
+        s"reranked score for $key must be the exact cosine")
+    }
+    intercept[IllegalArgumentException](
+      LlmOps.quantizedRerankTopK(vecs, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 10, k = 5, coarseK = 3))
+  }
+
   test("sparseCosinePairs: identical docs hit sim 1.0, partial overlap " +
     "scores in (0,1), df-1 terms are pruned") {
     val a = "alpha beta gamma delta epsilon zeta"

@@ -262,6 +262,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: unmatched rows from BOTH " +
+    "sides emit null-padded after the watermark closes their windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val lIn = MemoryStream[(Long, String, Timestamp)]
+    val rIn = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      lIn.toDF().toDF("id", "key", "ts"),
+      rIn.toDF().toDF("pid", "pkey", "pts"),
+      leftKey = "key", rightKey = "pkey", leftTs = "ts", rightTs = "pts",
+      watermarkDelay = "10 minutes", window = "1 hour",
+      joinType = "full_outer")
+      .select("id", "pid")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_full").outputMode("append").start()
+    try {
+      rIn.addData((100L, "u1", ts(0)))   // matched by id=1
+      rIn.addData((200L, "u9", ts(0)))   // no u9 error → eventual null-left
+      lIn.addData((1L, "u1", ts(30)))    // matched
+      lIn.addData((2L, "u2", ts(30)))    // no u2 purchase → eventual null-right
+      q.processAllAvailable()
+      def got() = spark.table("ssj_full").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // unmatched rows can't emit yet: either side could still match
+      assert(got() === Set((1L, 100L)))
+      // advance BOTH watermarks well past every open window
+      lIn.addData((3L, "u3", tsH(3, 0)))
+      rIn.addData((300L, "u3", tsH(3, 0)))
+      q.processAllAvailable()
+      q.processAllAvailable() // outer-null emission needs the extra batch
+      assert(got().contains((2L, -1L)),
+        s"unmatched LEFT must emit null-padded: ${got()}")
+      assert(got().contains((-1L, 200L)),
+        s"unmatched RIGHT must emit null-padded: ${got()}")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT SEMI interval join: each left row emits at most " +
     "once, immediately on first match, with left columns only") {
     import spark.implicits._
