@@ -90,7 +90,14 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
 
   private def interpret(p: PipelineDef, input: Seq[Row]): Seq[Row] = {
     var rows = input
-    // extract: filters -> dedup -> sort -> limit
+    // extract: field mapping FIRST (reference location,
+    // sequence_config.rs:73) so filters/dedup/sort see mapped names
+    if (p.extract.fieldMapping.nonEmpty)
+      rows = rows.map(r => p.extract.fieldMapping.foldLeft(r) {
+        case (r2, (src, dst)) =>
+          if (r2.contains(src)) (r2 - src).updated(dst, r2(src)) else r2
+      })
+    // then: filters -> dedup -> sort -> limit
     p.extract.filters.foreach { case (f, v) =>
       v match {
         case vs: Seq[_] =>
@@ -145,6 +152,25 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
       rows = rows.map(r => r.filter(kv => t.keepOnlyFields.contains(kv._1)))
     else if (t.excludeFields.nonEmpty)
       rows = rows.map(r => r.filter(kv => !t.excludeFields.contains(kv._1)))
+    // enrichment runs AFTER the projection (orchestrator order)
+    if (t.enrichment.nonEmpty)
+      rows = rows.map(r => t.enrichment.foldLeft(r) { case (r2, (src, dst)) =>
+        r2.updated(dst, s"enriched_${r2(src)}")
+      })
+    if (t.computedFields.nonEmpty)
+      t.computedFields.foreach { case (name, e) =>
+        e match {
+          case "record_index" =>
+            // 0-based global index under the configured unique order
+            val ordered = rows.sortBy(_(t.recordIndexOrderBy.head)
+              .asInstanceOf[Long])
+            rows = ordered.zipWithIndex.map { case (r, i) =>
+              r.updated(name, i.toLong)
+            }
+          case "pipeline_name" => rows = rows.map(_.updated(name, p.name))
+          case other => rows = rows.map(_.updated(name, other))
+        }
+      }
     if (t.addProcessedFlags)
       rows = rows.map(_ ++ Map[String, Any](
         "processed" -> true, "processed_by" -> p.name))
@@ -204,11 +230,15 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
     "row-at-a-time reference interpreter") {
     val rnd = new Random(20260813L)
     def oneOf[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
-    for (i <- 0 until 220) {
+    for (i <- 0 until 260) {
+      // extract-phase rename applies BEFORE filters/dedup/sort — when
+      // on, every later reference to the value column uses the new name
+      val extractRename = rnd.nextInt(4) == 0
+      val valueField = if (extractRename) "val" else "value"
       val filters: Map[String, Any] = rnd.nextInt(4) match {
         case 0 => Map.empty
         case 1 => Map("category" -> oneOf(Seq("a", "b", "c")))
-        case 2 => Map("value" -> oneOf(Seq(2L, 9L, 10L, 21L)))
+        case 2 => Map(valueField -> oneOf(Seq(2L, 9L, 10L, 21L)))
         case _ => Map("category" ->
           Seq(oneOf(Seq("a", "b")), oneOf(Seq("b", "c"))))
       }
@@ -217,7 +247,7 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
         case 1 => (true, Nil)
         case _ => (false, Seq("id"))
       }
-      val sortBy = oneOf(Seq(None, Some("id"), Some("value"),
+      val sortBy = oneOf(Seq(None, Some("id"), Some(valueField),
         Some("category"), Some("name")))
       val sortOrder = oneOf(Seq("asc", "desc"))
       val asString = rnd.nextBoolean()
@@ -232,7 +262,7 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
         case 1 => Map("category" -> "cat")
         case _ => Map("category" -> "cat", "name" -> "title")
       }
-      val renamed = Seq("id", "value") ++ rename.values ++
+      val renamed = Seq("id", valueField) ++ rename.values ++
         (Seq("category", "name") diff rename.keys.toSeq)
       val keep =
         if (rnd.nextInt(3) == 0)
@@ -240,10 +270,30 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
         else Nil
       val excl =
         if (rnd.nextInt(3) == 0) Seq(oneOf(renamed)) else Nil
+      // enrichment and computed fields only when their source column
+      // survives the projection
+      val idSurvives = (keep.isEmpty || keep.contains("id")) &&
+        !excl.contains("id")
+      val enrichment =
+        if (idSurvives && rnd.nextInt(3) == 0) Map("id" -> "id_enriched")
+        else Map.empty[String, String]
+      // record_index resorts the frame physically, so pair it only with
+      // unsorted extracts (the multiset check still applies in full)
+      val (computed, idxOrder) =
+        if (idSurvives && sortBy.isEmpty && rnd.nextInt(3) == 0)
+          rnd.nextInt(3) match {
+            case 0 => (Map("rec_idx" -> "record_index"), Seq("id"))
+            case 1 => (Map("src_pipeline" -> "pipeline_name"), Nil)
+            case _ => (Map("tag" -> "static_tag"), Nil)
+          }
+        else (Map.empty[String, String], Nil)
       val cfg = PipelineDef(
         name = s"prop$i",
         source = FileSource(fixturePath),
         extract = ExtractDef(
+          fieldMapping =
+            if (extractRename) Map("value" -> "val")
+            else Map.empty,
           maxRecords = maxRecords,
           firstRecordOnly = firstOnly,
           filters = filters,
@@ -263,6 +313,9 @@ class PropertyOrchestratorSpec extends AnyFunSuite {
           // chain, so they always address the pre-rename name
           normalizeFields = if (rnd.nextBoolean()) Seq("name") else Nil,
           removeHtmlTagsFields = if (rnd.nextBoolean()) Seq("name") else Nil,
+          enrichment = enrichment,
+          computedFields = computed,
+          recordIndexOrderBy = idxOrder,
           addProcessedFlags = rnd.nextBoolean()))
       runOne(cfg, s"config #$i")
     }
