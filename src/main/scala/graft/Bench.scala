@@ -34,7 +34,12 @@ object Bench {
     // iteration order would reshuffle them as the set grows).
     // A failed pass records -1 for the query (visible in the JSON),
     // never a fast time-to-failure that would flatter the total.
+    // Optional subset run (comma-separated names): spot-checks at big
+    // generated scale factors where a full 107-query pass is wasteful.
+    val onlyNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyNames.forall(_(n)) }
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -166,9 +166,23 @@ object LlmOps {
   /** SimHash (frequency-weighted, `bits`-bit) from token hashes: bit b of
     * the fingerprint is 1 iff the sum over tokens of ±1 (sign of bit b of
     * the token hash) is positive. One explode + two keyed aggregations;
-    * near-dup lookup is then Hamming distance on the compact code. */
-  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val toks = tokenHashes(df, idCol, textCol)
+    * near-dup lookup is then Hamming distance on the compact code.
+    *
+    * Token-hash width: the engine-portable PolyHash (mod 1e9+7) carries
+    * ~30 bits of entropy, so code bits above 30 would be constant zero
+    * — `wideTokenHash = true` switches the feature hash to the 64-bit
+    * xxhash64 for wide codes (NOT oracle-portable; use it for the
+    * scale path, where [[simHashPairs]] needs the bucket space to grow
+    * with the corpus — see the probe note there). */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16,
+      wideTokenHash: Boolean = false): DataFrame = {
+    require(wideTokenHash || bits <= 32,
+      s"PolyHash carries ~30 useful bits; code width $bits needs wideTokenHash")
+    val toks =
+      if (wideTokenHash)
+        df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+          .select(col(idCol), xxhash64(col("__w")).as("h"))
+      else tokenHashes(df, idCol, textCol)
     toks
       .select(col(idCol), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
       .groupBy(col(idCol), col("b"))
@@ -184,13 +198,24 @@ object LlmOps {
     * (band, slice value) and only candidates pay the popcount(xor)
     * verification. One shuffle on the band key, never an all-pairs
     * scan; exact for maxHamming < bands (the usual configuration),
-    * recall-lossy above it (documented, like any banded scheme). */
+    * recall-lossy above it (documented, like any banded scheme).
+    *
+    * SCALE KNOB — measured at the r8 sf10 spot check: candidate volume
+    * is ∝ N² / 2^(bits/bands) because the bucket space is fixed by the
+    * slice width, so a corpus that grows 10× packs ~10× more docs per
+    * bucket and the in-bucket quadratic eventually dominates (32-bit
+    * codes / 8-bit slices went 24.8× for the last 10× of rows). Grow
+    * the code width with the corpus — bits ≈ bands·log2(N/docs-per-
+    * bucket), `wideTokenHash = true` past 30 bits — and the search
+    * returns to candidate-bounded cost at identical pigeonhole
+    * exactness (maxHamming < bands is width-independent). */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, bits: Int = 16, bands: Int = 2): DataFrame = {
+      maxHamming: Int, bits: Int = 16, bands: Int = 2,
+      wideTokenHash: Boolean = false): DataFrame = {
     require(bits % bands == 0, s"bits $bits must split into $bands bands")
     val width = bits / bands
-    val codes = simHash(df, idCol, textCol, bits)
+    val codes = simHash(df, idCol, textCol, bits, wideTokenHash)
     val banded = codes.select(col(idCol), col("simhash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("slice",

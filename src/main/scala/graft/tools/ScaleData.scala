@@ -95,14 +95,16 @@ object ScaleData {
       j => element_at(vec, pmod(j + replica, size(vec)).cast("int") + 1))
 
   def scale(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, only: Set[String] = Set.empty): Unit = {
     require(factor >= 1, s"factor must be >= 1: $factor")
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
 
     // strides: one tiny agg per key domain
-    val stride: Map[String, Long] = DomainOf.map { case (dom, (tbl, c)) =>
-      dom -> (src(tbl).agg(max(col(c))).head.getLong(0) + 1L)
+    val stride: Map[String, Long] = DomainOf.collect {
+      case (dom, (tbl, c)) if wanted(tbl) =>
+        dom -> (src(tbl).agg(max(col(c))).head.getLong(0) + 1L)
     }
 
     val replicas = broadcast(
@@ -113,10 +115,10 @@ object ScaleData {
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // fixed dims: copied unscaled
-    write(src("region"), "region", 1)
-    write(src("nation"), "nation", 1)
+    if (wanted("region")) write(src("region"), "region", 1)
+    if (wanted("nation")) write(src("nation"), "nation", 1)
 
-    KeyCols.foreach { case (name, keys) =>
+    KeyCols.filter(kv => wanted(kv._1)).foreach { case (name, keys) =>
       val base = src(name)
       var df = base.crossJoin(replicas)
       keys.foreach { case (c, dom) =>
@@ -140,11 +142,14 @@ object ScaleData {
     }
   }
 
-  /** args: srcDir outDir [factor=10] */
+  /** args: srcDir outDir [factor=10] [onlyTables=comma,separated] */
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set.empty[String]
     val spark = SparkSession.builder()
       .appName("graft-scaledata")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
@@ -152,7 +157,7 @@ object ScaleData {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try scale(spark, srcDir, outDir, factor)
+    try scale(spark, srcDir, outDir, factor, only)
     finally spark.stop()
     println(s"[scaledata] wrote $outDir at factor $factor from $srcDir")
   }

@@ -49,6 +49,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 <= 3), "no pair past the Hamming threshold")
   }
 
+  test("simhash wide codes (the corpus-scale knob): 56-bit wideTokenHash " +
+    "codes still pair identical docs at 0 and use the high bits") {
+    val out = LlmOps.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, bits = 56, bands = 4, wideTokenHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L },
+      "identical docs must still pair at distance 0 under wide codes")
+    // high bits must carry signal: with PolyHash they'd be constant
+    // zero and every doc would share the top band's bucket
+    val codes = LlmOps.simHash(docs, "doc_id", "text", bits = 56,
+      wideTokenHash = true)
+      .collect().map(_.getLong(1))
+    assert(codes.exists(c => (c >>> 30) != 0L),
+      s"wide codes must populate bits above 30: ${codes.mkString(",")}")
+    // narrow PolyHash codes past 30 bits are rejected up front
+    intercept[IllegalArgumentException](
+      LlmOps.simHash(docs, "doc_id", "text", bits = 56))
+  }
+
   test("jaccard: crafted 0.5 similarity computes exactly") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // 2-gram shingles: {ab,bc,cd} vs {ab,bc,ce} → inter 2, union 4
