@@ -522,7 +522,13 @@ object LlmOps {
     ((lit(1103515245L) * j + 12345L) % 2001L - 1000L).cast("double")
 
   /** Random-hyperplane LSH bucket id: bit h of the bucket = sign of the
-    * dot product with hyperplane h. One narrow pass, fully codegen'd. */
+    * dot product with hyperplane h. One narrow pass, fully codegen'd.
+    *
+    * SCALE KNOB (measured, r8 sf10 probe): bucket count is 2^planes —
+    * fixed — so in-bucket candidate volume is ∝ N²/2^planes; grow
+    * `planes` ∝ log2(N) (each extra plane doubles the buckets for one
+    * more narrow pass: 8 → 16 planes on 200k vectors halved
+    * embedNearDupPairs' runtime at identical output). */
   def lshBucket(vecCol: Column, planes: Int = 8, dims: Int = 64): Column =
     (0 until planes).map { h =>
       val d = foldSum(transform(sequence(lit(0), lit(dims - 1)),

@@ -125,6 +125,12 @@ class LlmOpsSpec extends AnyFunSuite {
       probeFilter = _ === 0, k = 5, planes = 4, dims = 8).collect()
     assert(out.map(_.getLong(1)).toSet === Set(1L), "only the co-bucketed vector is scored")
     assert(out(0).getDouble(3) === 1.0)
+    // the scale knob: parallel vectors agree on EVERY hyperplane sign,
+    // so raising planes (more buckets) never separates true neighbors
+    val wide = LlmOps.annTopKLsh(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, k = 5, planes = 16, dims = 8).collect()
+    assert(wide.map(_.getLong(1)).toSet === Set(1L),
+      "parallel vectors must stay co-bucketed at any plane count")
   }
 
   test("ivf ann: k-means training moves the codebook and holds recall@3 " +
