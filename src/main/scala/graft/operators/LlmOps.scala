@@ -602,8 +602,13 @@ object LlmOps {
   def kmeansCentroids(
       vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dims: Int = 64): DataFrame = {
+    // zero-norm vectors can neither seed a centroid nor vote for one
+    // (cosine is undefined — and under ANSI mode the 0-divide is a hard
+    // error, not a NaN): train on the nonzero corpus only. Mirrored in
+    // the oracle CTEs (cents_0 / asg WHERE nrm > 0).
     val v0 = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0)
     // each training round scans the vectors (+ the 64-element norm
     // folds); cache them for the duration of training — every round
     // after the first reads blocks instead of re-scanning the source.
@@ -672,11 +677,11 @@ object LlmOps {
     * vector by cosine with a cell-id tiebreak. */
   private def ivfRanked(
       vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, dims: Int = 64): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", dot(col("e"), col("e")))
       .filter(col("nrm") > 0) // cosine undefined for the zero vector
-    val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
+    val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters, dims)
       .select(col("cid"), col("ce"))
       .withColumn("cnrm", dot(col("ce"), col("ce")))
     val ccos = dot(col("e"), col("ce")) / (sqrt(col("nrm")) * sqrt(col("cnrm")))
@@ -747,6 +752,51 @@ object LlmOps {
       .withColumn("__rn", row_number().over(w2)).filter(col("__rn") <= topK)
       .select(col("probe_id"), col("cand_id"), col("cell"),
         round(col("__c"), 6).as("qcosine"))
+  }
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-style: the
+    * corpus is clustered once ([[kmeansCentroids]] codebook, broadcast;
+    * nearest-cell assignment with the usual cosine argmax + id
+    * tiebreak), and the quadratic near-dup screen then runs ONLY inside
+    * each cell: a vector is dropped when any smaller-id cell-mate
+    * scores cosine >= `threshold` against it (deterministic
+    * first-id-wins, the same keep rule as [[embedNearDupPairs]]).
+    * Output is one row per clustered nonzero vector: its cell, the max
+    * cosine to any smaller-id cell-mate (`best_sim`, null when none),
+    * and the `kept` verdict — corpus dedup is `filter(kept)`.
+    *
+    * This is the sixth dedup method (after exact, subset, MinHash CC,
+    * SimHash, and LSH embedding pairs): clustering buys the cell
+    * locality that [[lshBucket]] buys with hyperplanes, but
+    * data-adaptively — cells track the corpus's real density instead
+    * of fixed random cuts. Scale shape: the codebook is k tiny
+    * broadcast rows, assignment is one pass over the vectors, and the
+    * only data-sized shuffle keys on the cell id; the screen costs
+    * Σ|cell|², held flat by growing k ∝ N — the same grow-the-bucket-
+    * space law measured for `bits`/`planes` (SURVEY §6), with k the
+    * knob. Cross-cell near-dups (split by a cell boundary) are the
+    * recall cost of cell locality, exactly as in the paper's recipe. */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 8, iters: Int = 2,
+      dims: Int = 64): DataFrame = {
+    val assign = ivfRanked(vecs, idCol, vecCol, k, iters, dims)
+      .filter(col("__rn") === 1)
+      .select(col("vid"), col("e"), col("nrm"), col("cid").as("cell"))
+    val a = assign.select(col("vid").as("vec_id"), col("e").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val b = assign.select(col("vid").as("bid"), col("e").as("eb"),
+      col("nrm").as("nb"), col("cell"))
+    val cosine = dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))
+    val best = a.join(b, Seq("cell"))
+      .filter(col("bid") < col("vec_id"))
+      .select(col("vec_id"), cosine.as("c"))
+      .groupBy("vec_id").agg(max(col("c")).as("best"))
+    assign.select(col("vid").as("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("best"), 6).as("best_sim"),
+        (col("best").isNull || col("best") < threshold).as("kept"))
   }
 
   /** Connected-components canonicalization over near-duplicate pairs:

@@ -94,6 +94,7 @@ object LlmQueries {
        |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
        |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
        |    FROM v, cw_$tag c
+       |    WHERE v.nrm > 0
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
        |),
@@ -334,7 +335,7 @@ object LlmQueries {
          |cents AS (
          |  SELECT vec_id AS cid, e AS ce,
          |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
-         |  FROM v WHERE vec_id < 8
+         |  FROM v WHERE vec_id < 8 AND nrm > 0
          |),
          |assign AS (
          |  SELECT vec_id, cid AS cell
@@ -441,7 +442,7 @@ object LlmQueries {
          |  FROM embeddings
          |),
          |cents_0 AS (
-         |  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8
+         |  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8 AND nrm > 0
          |),
          |${kmeansIterCte("cents_0", "cents_1", "t1")},
          |${kmeansIterCte("cents_1", "cents_2", "t2")},
@@ -477,6 +478,55 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     },
 
+    // ----- Semantic dedup (SemDeDup: cluster, then screen in-cell) -----
+    // Same trained codebook as llm_ann_ivf (seeded init + 2 rounds);
+    // a vector is dropped when a smaller-id cell-mate is within
+    // cosine 0.2. kept compares the UNROUNDED max (round is for the
+    // emitted column only), mirrored exactly in the oracle.
+    QDef.sql(
+      "llm_semantic_dedup",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+         |  FROM embeddings
+         |),
+         |cents_0 AS (
+         |  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8 AND nrm > 0
+         |),
+         |${kmeansIterCte("cents_0", "cents_1", "t1")},
+         |${kmeansIterCte("cents_1", "cents_2", "t2")},
+         |cents AS (
+         |  SELECT cid, ce,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> ce[i] * ce[i])")} AS cnrm
+         |  FROM cents_2
+         |),
+         |assign AS (
+         |  SELECT vec_id, e, nrm, cid AS cell
+         |  FROM (
+         |    SELECT v.vec_id, v.e, v.nrm, c.cid,
+         |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+         |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+         |    FROM v, cents c
+         |    WHERE v.nrm > 0
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+         |),
+         |best AS (
+         |  SELECT a.vec_id,
+         |    max(${duckFold("list_transform(generate_series(1,64), i -> a.e[i] * b.e[i])")}
+         |      / (sqrt(a.nrm) * sqrt(b.nrm))) AS best
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  GROUP BY a.vec_id
+         |)
+         |SELECT a.vec_id, a.cell, round(b.best, 6) AS best_sim,
+         |       (b.best IS NULL OR b.best < 0.2) AS kept
+         |FROM assign a LEFT JOIN best b ON a.vec_id = b.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      LlmOps.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
+
     // ----- ANN top-k, IVF with nprobe=2 --------------------------------
     // The IVF recall knob: probes search their TWO nearest cells
     // (candidates still live in exactly one home cell, so no pair
@@ -492,7 +542,7 @@ object LlmQueries {
          |cents AS (
          |  SELECT vec_id AS cid, e AS ce,
          |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
-         |  FROM v WHERE vec_id < 8
+         |  FROM v WHERE vec_id < 8 AND nrm > 0
          |),
          |ranked AS (
          |  SELECT vec_id, e, nrm, cid,

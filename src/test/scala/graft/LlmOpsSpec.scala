@@ -133,6 +133,27 @@ class LlmOpsSpec extends AnyFunSuite {
       "parallel vectors must stay co-bucketed at any plane count")
   }
 
+  test("semantic dedup: in-cell near-dups drop deterministically; " +
+    "cluster minima, distinct neighbors, and only nonzero vectors survive") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)), // ~parallel to 0
+      (3L, Array(0f, 1.0f, 0.01f, 0f, 0f, 0f, 0f, 0f)), // ~parallel to 1
+      (4L, Array(0f, 0.9f, 0.5f, 0f, 0f, 0f, 0f, 0f)),  // cell-mate of 1, cos < τ
+      (5L, Array.fill(8)(0.0f))                          // zero vector: excluded
+    ).toDF("vec_id", "embedding")
+    val out = LlmOps.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, k = 2, iters = 1, dims = 8).collect()
+    val kept = out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    val cells = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(0L) === cells(2L) && cells(1L) === cells(3L) && cells(3L) === cells(4L))
+    assert(cells(0L) !== cells(1L), "the two seed directions stay separate cells")
+    assert(out.filter(r => r.getLong(0) <= 1L).forall(_.isNullAt(2)),
+      "cluster-min ids have no smaller-id cell-mate, so best_sim is null")
+  }
+
   test("ivf ann: k-means training moves the codebook and holds recall@3 " +
     "against the brute-force baseline") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
