@@ -127,7 +127,18 @@ object TextOps {
     * maxDfFrac·N docs (the classic frequency-pruned similarity join),
     * so the term self-join is never all-pairs and its cost is
     * Σ_t df(t)² over surviving terms only. Corpus size N stays in-plan
-    * (1-row agg, broadcast) — no driver action. */
+    * (1-row agg, broadcast) — no driver action.
+    *
+    * MEASURED (r8 sf10 probe, `tools/TfidfScaleProbe`): the cap is a
+    * noise valve, not a speed dial. On decorrelated natural text no
+    * term approaches any sane cap (max df 999 of 500k docs) and the
+    * cap moves nothing; against injected boilerplate (terms whose df
+    * grows WITH the corpus) it cuts 2.12× candidate volume at
+    * identical output — corpus-frequent terms cannot push a pair over
+    * a useful minSim. Size the cap from the probe's one-pass df
+    * histogram (exact predicted volume Σ df·(df−1)/2), and treat
+    * faster-than-corpus volume growth as the cue to strip boilerplate
+    * (stripBoilerplate) before pairing. */
   def sparseCosinePairs(
       df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       minDf: Long = 2L, maxDfFrac: Double = 0.05,
