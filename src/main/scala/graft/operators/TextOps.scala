@@ -553,6 +553,103 @@ object TextOps {
     df.select(col(idCol), LlmOps.strHash(norm).as("fp"))
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm; rolling-hash document fingerprinting). Text is
+    * normalized to bare [a-z0-9] (case/whitespace/punctuation-
+    * insensitive), hashed at every k-char gram, and each window of w
+    * consecutive gram hashes selects its minimum (rightmost position on
+    * ties). The selected (fp, pos) set carries the winnowing GUARANTEE:
+    * any shared run of ≥ w+k−1 normalized chars between two documents
+    * yields at least one shared fingerprint — LOCAL overlap detection
+    * (quotes, shared passages, partial plagiarism) that the GLOBAL
+    * sketches (MinHash Jaccard, SimHash) structurally miss, at an
+    * expected density of ~2/(w+1) of the gram count. Documents shorter
+    * than w+k−1 normalized chars produce no fingerprints.
+    *
+    * Scale shape: one explode (gram index per row, hash computed
+    * per-row AFTER the explode — scalar codegen, no higher-order
+    * lambdas) and ONE keyed shuffle: a (doc, gram-index) window pass
+    * selects each w-window's minimum, sharing its sort with the
+    * completeness count — the same one-keyed-shuffle family as tfDf
+    * and packSequences. A previous formulation built the hash array
+    * and window selection as NESTED higher-order lambdas over one
+    * projected alias; CollapseProject inlined the whole O(len) hash
+    * chain into every per-window reference and the optimizer ground to
+    * a halt building the O(len·w)-node tree — the relational form is
+    * both the fast one and the one the DuckDB oracle mirrors
+    * line-for-line.
+    *
+    * Output: (idCol, fp BIGINT, pos BIGINT) — pos is the 1-based gram
+    * index of the selected hash; (idCol, pos) is unique. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1: k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Substring}
+    // substring with a DYNAMIC position (the Scala functions.substring
+    // only takes literal pos/len)
+    def gram(s: Column, pos: Column): Column = ColumnBridge.column(
+      Substring(ColumnBridge.expression(s), ColumnBridge.expression(pos),
+        Literal(k)))
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val grams = df.select(col(idCol), norm.as("__s"))
+      .withColumn("__n", length(col("__s")) - (k - 1)) // gram count
+      .filter(col("__n") >= 1)
+      .select(col(idCol), col("__s"),
+        explode(sequence(lit(1L), col("__n").cast("long"))).as("i"))
+      .select(col(idCol), col("i"),
+        LlmOps.strHash(gram(col("__s"), col("i"))).as("h"))
+    // window starting at gram i covers hashes i..i+w-1; min(struct(h,-i))
+    // is (min hash, rightmost gram index on ties) in one frame pass
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__cnt", count(lit(1)).over(win))
+      .withColumn("__sel", min(struct(col("h"), (-col("i")).as("ni"))).over(win))
+      .filter(col("__cnt") === w) // complete windows only
+      .select(col(idCol), col("__sel.h").as("fp"), (-col("__sel.ni")).as("pos"))
+      .distinct()
+  }
+
+  /** Overlap pairs over winnowing fingerprints: documents sharing
+    * ≥ minShared selected fingerprints, scored by containment
+    * shared / min(|A|, |B|) (the plagiarism-detection score — a short
+    * quote inside a long document still scores high, where Jaccard
+    * would dilute it). Bucket-bounded like every similarity join here:
+    * fingerprints held by more than maxDocsPerFp documents are dropped
+    * before the self-join (corpus-frequent grams are boilerplate noise
+    * for OVERLAP detection, and the df cap is what keeps the join from
+    * going quadratic on them — same law as sparseCosinePairs, measured
+    * in `bench_r8_tfidf_band_probe.json`). Containment denominators use
+    * the UNCAPPED fingerprint sets, so the cap only prunes candidate
+    * generation, never the score's meaning. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocsPerFp: Long = 50,
+      minShared: Long = 2): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val bounded = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= maxDocsPerFp)
+        .select("fp"),
+      Seq("fp"))
+    val inter = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("__na"), col("__nb")), 6)
+          .as("overlap"))
+  }
 }
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque

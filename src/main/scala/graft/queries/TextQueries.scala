@@ -39,6 +39,45 @@ object TextQueries {
   private def duckStopCount(list: Seq[String]): String =
     s"len(list_filter(ws, x -> list_contains(${duckList(list)}, x)))"
 
+  /** Winnowing fingerprint CTE chain (normalize → k-gram hashes →
+    * window-min with rightmost-tie selection → distinct (fp, pos)),
+    * ending in `fps(doc_id, fp, pos)`. Mirrors
+    * [[graft.operators.TextOps.winnowFingerprints]] exactly: same
+    * normalization regex, same char-fold hash ([[DuckSql.duckHash]]),
+    * same rightmost-argmin convention (max gram index achieving the
+    * window minimum). */
+  private def duckWinnow(k: Int, w: Int, filter: String): String =
+    s"""norm AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM documents $filter
+       |),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(s) - ${k - 1})) AS i, s
+       |  FROM norm WHERE length(s) >= $k
+       |),
+       |gh AS (
+       |  SELECT doc_id, i, ${DuckSql.duckHash(s"substr(s, CAST(i AS INT), $k)")} AS h
+       |  FROM g
+       |),
+       |wj AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(s) - ${k + w - 2})) AS j
+       |  FROM norm WHERE length(s) >= ${k + w - 1}
+       |),
+       |wing AS (
+       |  SELECT wj.doc_id, wj.j, gh.i, gh.h
+       |  FROM wj JOIN gh ON gh.doc_id = wj.doc_id
+       |    AND gh.i BETWEEN wj.j AND wj.j + ${w - 1}
+       |),
+       |mins AS (SELECT doc_id, j, min(h) AS fp FROM wing GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT m.doc_id, m.fp, max(wi.i) AS pos
+       |  FROM mins m JOIN wing wi
+       |    ON wi.doc_id = m.doc_id AND wi.j = m.j AND wi.h = m.fp
+       |  GROUP BY m.doc_id, m.j, m.fp
+       |),
+       |fps AS (SELECT DISTINCT doc_id, fp, CAST(pos AS BIGINT) AS pos FROM sel)"""
+      .stripMargin
+
   import DuckSql.duckHash
 
   /** DuckDB rendering of TextOps.mixBucket: polyhash then one
@@ -131,6 +170,44 @@ object TextQueries {
          |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // ----- Winnowing fingerprints (MOSS rolling-hash selection) --------
+    QDef.sql(
+      "llm_winnow",
+      s"""WITH ${duckWinnow(8, 4, "WHERE doc_id < 120")}
+         |SELECT doc_id, fp, pos FROM fps
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      TextOps.winnowFingerprints(
+        t(s, dir, "documents").filter(col("doc_id") < 120),
+        "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "pos")
+    },
+
+    // ----- Winnowing overlap pairs (local-similarity join) -------------
+    QDef.sql(
+      "llm_winnow_pairs",
+      s"""WITH ${duckWinnow(8, 4, "WHERE doc_id < 150")},
+         |f AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+         |b AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS shared
+         |  FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+         |       round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE shared >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      TextOps.winnowPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 150),
+        "doc_id", "text", k = 8, w = 4, maxDocsPerFp = 50, minShared = 2)
+        .orderBy("doc_a", "doc_b")
     },
 
     // ----- Stopword removal --------------------------------------------

@@ -494,4 +494,68 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       (2L, "changed"), (3L, "changed"), (5L, "removed"), (6L, "added")))
   }
+
+  test("winnowFingerprints: the winnowing guarantee, normalization " +
+    "insensitivity, short-doc emptiness, single-window minimum") {
+    import graft.operators.TextOps
+    val passage = "The quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"opening words here first. $passage. and then a unique tail"),
+      // same CONTENT as doc 1, different case/spacing/punctuation —
+      // normalization must make the fingerprint sets identical
+      (2L, s"OPENING   words,herefirst!!! $passage?and THEN a unique-tail"),
+      (3L, s"completely different material with nothing in common zzz qqq xx"),
+      (4L, s"entirely other passage too $passage trailing bits differ here"),
+      (5L, "tiny"),                 // < k+w-1 normalized chars → no fps
+      (6L, "abcdefghijk"))          // exactly k+w-1 = 11 chars → ONE window
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // normalization insensitivity: identical normalized text → identical sets
+    assert(fps(1L) === fps(2L))
+    // winnowing guarantee: docs 1 and 4 share a run ≥ w+k-1 chars
+    assert(fps(1L).map(_._1).intersect(fps(4L).map(_._1)).nonEmpty)
+    // disjoint docs share nothing
+    assert(fps(1L).map(_._1).intersect(fps(3L).map(_._1)).isEmpty)
+    // short doc: no fingerprints at all
+    assert(!fps.contains(5L))
+    // exactly one window: one fingerprint, the min gram hash, with the
+    // rightmost position among the w candidate grams
+    assert(fps(6L).size === 1)
+    val expected = (1 to 4).map(i =>
+      ("abcdefghijk".substring(i - 1, i - 1 + 8)
+        .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007), i.toLong))
+    assert(fps(6L).head._1 === expected.map(_._1).min)
+    assert(fps(6L).head._2 ===
+      expected.filter(_._1 == expected.map(_._1).min).map(_._2).max)
+  }
+
+  test("winnowPairs: shared-passage detection, containment score, " +
+    "identical docs at 1.0, df cap silences corpus-wide boilerplate") {
+    import graft.operators.TextOps
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha opening $passage omega closing stanza"),
+      (2L, s"beta prelude instead $passage coda differs totally"),
+      (3L, "no overlap at all here just some other words entirely"),
+      (4L, s"alpha opening $passage omega closing stanza")) // == doc 1
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocsPerFp = 10, minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs((1L, 4L)) === 1.0) // identical docs: full containment
+    assert(pairs((1L, 2L)) > 0 && pairs((1L, 2L)) < 1.0)
+    // df cap: the passage appears in EVERY doc below → its fingerprints
+    // exceed the cap and no pair survives
+    val pre = Seq("quartz violin", "meadow sphinx", "glacier trumpet",
+      "harbor nebula", "cobalt lantern", "willow asteroid")
+    val boiler = pre.zipWithIndex.map { case (p, i) =>
+      (i.toLong, s"$p $passage") }.toDF("doc_id", "text")
+    val capped = TextOps.winnowPairs(boiler, "doc_id", "text",
+      k = 8, w = 4, maxDocsPerFp = 3, minShared = 1)
+    assert(capped.count() === 0L)
+  }
 }
