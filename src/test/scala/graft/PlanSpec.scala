@@ -393,4 +393,13 @@ class PlanSpec extends AnyFunSuite {
       s"stage fusion must not add shuffles beyond the 4 keyed ones, " +
         s"found $exchanges:\n$plan")
   }
+
+  test("winnowPairs: fp-keyed equi self-join, never a cartesian") {
+    val q = SparkEntry.queries("llm_winnow_pairs")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"winnow pair search must equi-join on fp, not cross:\n$plan")
+  }
 }
