@@ -394,6 +394,21 @@ class PlanSpec extends AnyFunSuite {
         s"found $exchanges:\n$plan")
   }
 
+  test("winnowFingerprints shuffles exactly once: the selection dedup " +
+    "reuses the window's doc-id partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = graft.operators.TextOps.winnowFingerprints(docs, "doc_id", "text")
+    fps.collect()
+    val plan = fps.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the final distinct() groups on (doc_id, fp, pos); hashpartitioning
+    // on doc_id alone already clusters those keys (subset rule), so the
+    // aggregate must NOT add a second exchange after the window's
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"expected the window's single doc-id shuffle, found $exchanges:\n$plan")
+  }
+
   test("winnowPairs: fp-keyed equi self-join, never a cartesian") {
     val q = SparkEntry.queries("llm_winnow_pairs")(spark, "/root/testdata/sf0.001")
     q.collect()
