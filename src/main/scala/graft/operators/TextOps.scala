@@ -625,7 +625,16 @@ object TextOps {
     * going quadratic on them — same law as sparseCosinePairs, measured
     * in `bench_r8_tfidf_band_probe.json`). Containment denominators use
     * the UNCAPPED fingerprint sets, so the cap only prunes candidate
-    * generation, never the score's meaning. */
+    * generation, never the score's meaning.
+    *
+    * Plan shape (measured, executed plans sf0.001→sf10): the
+    * fingerprint frame is referenced five times (df agg, both join
+    * sides, two size joins) but instantiates only twice —
+    * ReusedExchange collapses the rest — and at sf10 the whole pair
+    * search costs 1.36× the fingerprint pass alone
+    * (`bench_r8_winnow_scale_probe.json`), so the reuse mechanism, not
+    * an eager pin, bounds the recompute; a localCheckpoint of the fps
+    * frame is the escape hatch if a future corpus shows otherwise. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocsPerFp: Long = 50,
       minShared: Long = 2): DataFrame = {
