@@ -772,10 +772,20 @@ object LlmOps {
     * of fixed random cuts. Scale shape: the codebook is k tiny
     * broadcast rows, assignment is one pass over the vectors, and the
     * only data-sized shuffle keys on the cell id; the screen costs
-    * Σ|cell|², held flat by growing k ∝ N — the same grow-the-bucket-
-    * space law measured for `bits`/`planes` (SURVEY §6), with k the
-    * knob. Cross-cell near-dups (split by a cell boundary) are the
-    * recall cost of cell locality, exactly as in the paper's recipe. */
+    * Σ|cell|².
+    *
+    * MEASURED (r8, `bench_r8_semdedup_k_probe.json`, interleaved
+    * min-of-2): k is NOT the free bucket-space knob that
+    * `planes`/`bits` are — assignment costs N·k per pass, and at both
+    * 20k and 200k vectors the SMALLER k won wall-clock (53 vs 239 s at
+    * 200k for k 64→256 despite 4× less screen volume). Grow k ∝ √N
+    * (the balanced optimum), and to chase larger k cut the assignment
+    * unit cost first (sampled codebook training, int8 assignment — see
+    * [[annTopKIvfQuantized]]). Cross-cell near-dups (split by a cell
+    * boundary) are the recall cost of cell locality, exactly as in the
+    * paper's recipe — measured to concentrate on BORDERLINE pairs
+    * (−56% of 0.5-sims at sf1 vs −5% at sf10, where genuinely tight
+    * siblings stay co-celled at every measured k). */
   def semanticDedup(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int = 8, iters: Int = 2,
