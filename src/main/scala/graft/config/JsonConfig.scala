@@ -134,6 +134,19 @@ object JsonConfig {
         textField = str(nd.path("text_field")).getOrElse(sys.error("near_dedup missing text_field")),
         shingleSize = int(nd.path("shingle_size")).getOrElse(2)))
     } else None,
+    winnowDedup = if (n.path("winnow_dedup").isObject) {
+      val wd = n.path("winnow_dedup")
+      Some(WinnowDedupDef(
+        idField = str(wd.path("id_field")).getOrElse(sys.error("winnow_dedup missing id_field")),
+        textField = str(wd.path("text_field")).getOrElse(sys.error("winnow_dedup missing text_field")),
+        k = int(wd.path("k")).getOrElse(8),
+        w = int(wd.path("w")).getOrElse(4),
+        maxDocsPerFp = int(wd.path("max_docs_per_fp")).getOrElse(50).toLong,
+        minShared = int(wd.path("min_shared")).getOrElse(2).toLong,
+        minOverlap =
+          if (wd.path("min_overlap").isNumber) wd.path("min_overlap").asDouble()
+          else 0.5))
+    } else None,
     langFilter = if (n.path("lang_filter").isObject) {
       val lf = n.path("lang_filter")
       Some(LangFilterDef(

@@ -117,6 +117,8 @@ final case class TransformDef(
     mergeKey: String = "id",
     /** LLM-extension: MinHash near-dup removal (LD2 + CC keep-min). */
     nearDedup: Option[NearDedupDef] = None,
+    /** LLM-extension: winnowing local-overlap removal (LD14 + CC). */
+    winnowDedup: Option[WinnowDedupDef] = None,
     /** LLM-extension: keep only docs whose predicted language (LT1
       * stopword heuristic over `field`) is in the allowed set. */
     langFilter: Option[LangFilterDef] = None,
@@ -153,6 +155,21 @@ final case class NearDedupDef(
     idField: String,
     textField: String,
     shingleSize: Int = 2)
+
+/** LLM-extension: winnowing overlap dedup (LD14 pairs + CC keep-min) —
+  * catches LOCAL overlap (a shared passage inside otherwise-different
+  * documents) that MinHash's global Jaccard dilutes below any usable
+  * threshold. A doc joins a dedup cluster when it shares ≥ minShared
+  * selected fingerprints AND containment ≥ minOverlap with a
+  * cluster-mate; the minimum id per cluster is kept. */
+final case class WinnowDedupDef(
+    idField: String,
+    textField: String,
+    k: Int = 8,
+    w: Int = 4,
+    maxDocsPerFp: Long = 50,
+    minShared: Long = 2,
+    minOverlap: Double = 0.5)
 
 final case class LangFilterDef(field: String, allowed: Seq[String])
 

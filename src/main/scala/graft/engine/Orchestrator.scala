@@ -491,6 +491,18 @@ object Orchestrator {
         .select(nd.idField)
       df = df.join(keepers, Seq(nd.idField), "left_semi")
     }
+    t.winnowDedup.foreach { wd =>
+      val pairs = graft.operators.TextOps
+        .winnowPairs(df, wd.idField, wd.textField, wd.k, wd.w,
+          wd.maxDocsPerFp, wd.minShared)
+        .filter(col("overlap") >= wd.minOverlap)
+        .select(col("doc_a"), col("doc_b"))
+      val groups = graft.operators.LlmOps.dedupGroups(df, wd.idField, pairs)
+      val keepers = groups
+        .filter(col(wd.idField) === col("canonical_id"))
+        .select(wd.idField)
+      df = df.join(keepers, Seq(wd.idField), "left_semi")
+    }
     t.langFilter.foreach { lf =>
       df = df.filter(graft.operators.TextOps.langId(col(lf.field))
         .isin(lf.allowed: _*))

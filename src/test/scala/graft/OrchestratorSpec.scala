@@ -293,6 +293,27 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L)) // 2 and 3 collapse into cluster of 1
   }
 
+  test("winnow_dedup transform drops local-overlap docs (shared passage), " +
+    "keeping the min id per cluster") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog once more today"
+    val dir = java.nio.file.Files.createTempDirectory("graft_wd").toString
+    Seq(
+      (1L, s"alpha intro $passage closing alpha remark"),
+      (2L, s"beta preamble entirely other $passage beta outro words"), // shares the passage
+      (3L, "unrelated text with no borrowed passage at all in it here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("wd"), Seq(
+      PipelineDef("wd", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          winnowDedup = Some(WinnowDedupDef("doc_id", "text",
+            minShared = 1, minOverlap = 0.2))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("wd").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L)) // 2 collapses into 1 via the passage
+  }
+
   test("lang_filter and quality_filter transforms curate by predicted language and score") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
