@@ -210,6 +210,59 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ----- Winnowing dedup end-to-end (the winnow_dedup transform) -----
+    // LD14 pairs thresholded on containment, LD6 connected components,
+    // keep-min survivors — the exact composition the config-level
+    // `winnow_dedup` transform runs (Orchestrator), oracle-checked here
+    // so LD15 is hash-gated and not only test-covered. Threshold 0.2
+    // is calibrated to the sf corpus: it passes a multi-pair edge set
+    // (transitive chains included), so the CC step is genuinely
+    // exercised, not a single-edge collapse. The oracle filters on the
+    // same round(·,6) value the Spark pairs emit.
+    QDef.sql(
+      "llm_winnow_dedup",
+      s"""WITH RECURSIVE ${duckWinnow(8, 4, "WHERE doc_id < 150")},
+         |f AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+         |b AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS shared
+         |  FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |prs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE shared >= 2
+         |    AND round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.2
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs
+         |),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents WHERE doc_id < 150
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id
+         |)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, min(label) AS canonical_id FROM reach GROUP BY doc_id
+         |) WHERE doc_id = canonical_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+      val pairs = TextOps.winnowPairs(docs, "doc_id", "text",
+          k = 8, w = 4, maxDocsPerFp = 50, minShared = 2)
+        .filter(col("overlap") >= 0.2)
+        .select(col("doc_a"), col("doc_b"))
+      LlmOps.dedupGroups(docs, "doc_id", pairs)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ----- Stopword removal --------------------------------------------
     QDef.sql(
       "llm_stopword_strip",
