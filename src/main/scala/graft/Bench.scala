@@ -65,9 +65,12 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}"""
     println(json)
     // Also persist the full JSON to a file: log-tail capture truncates long
-    // lines (BENCH_r05.json lost the total and the first ~9 queries), so the
-    // committed artifact must not depend on capture length.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
+    // lines (BENCH_r05.json lost the total and the first ~9 queries;
+    // BENCH_r09.json kept only 60/111 timings), so the committed artifact
+    // must not depend on capture length. Default lands IN the repo so every
+    // driver bench run leaves a lossless committed-able twin.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LAST_FULL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -17,12 +17,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must land as a loud, machine-readable red marker —
+    // an _ERROR file in the query's outDir slot plus a row in errors.json
+    // — never just a stderr line. (In round 8 a swallowed exception made
+    // 23 broken queries "vanish" from CORRECTNESS instead of showing as
+    // red rows; the artifact is the contract, stderr is not.)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        val slot = Paths.get(outDir, name)
+        Files.createDirectories(slot)
+        Files.writeString(slot.resolve("_ERROR"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +51,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -422,8 +422,7 @@ class OpsSpec extends AnyFunSuite {
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
       val plan = Ops.funnel(df, "user_id", "ts", "event_id", "event_type",
         Seq("signup", "click", "purchase"))
         .queryExecution.executedPlan.toString

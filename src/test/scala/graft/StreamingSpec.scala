@@ -133,37 +133,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(timedOut.isRemoved, "timed-out state must be reclaimed")
   }
 
-  test("file stream over the real events table matches the batch plan's counts") {
-    import spark.implicits._
-    // events.parquet carries TIMESTAMP(NANOS) → read as long (legacy
-    // conf set in TestSpark), convert to µs timestamps like Tables.t
+  test("file stream over the real events table matches the batch plan's counts, " +
+    "for every physical ts encoding Tables.normalizeEventsTs dispatches on") {
+    import org.apache.spark.sql.DataFrame
+    import graft.queries.Tables
     val dir = "/root/testdata/sf0.001"
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val toTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = (df: org.apache.spark.sql.DataFrame) =>
-      Streams.windowedAgg(toTs(df), "ts", "1 hour", "1 day",
-        keys = Seq("event_type"))
-    val expected = agg(raw)
+    // Batch side goes through the hardened reader — the single source of
+    // truth for the events ts encoding (no inline conversion copies here).
+    val batch = Tables.t(spark, dir, "events")
+    val agg = (df: DataFrame) =>
+      Streams.windowedAgg(Tables.normalizeEventsTs(df), "ts", "1 hour",
+        "1 day", keys = Seq("event_type"))
+    val expected = agg(spark.read.parquet(s"$dir/events.parquet"))
       .select("window_start", "event_type", "n_events")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
 
-    // FileStreamSource wants a directory; stage the single file into one
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_evstream")
+    // Stage three encodings of the same rows: the shipped file as-is, a
+    // Long-nanos twin (what TIMESTAMP(NANOS) files look like under
+    // nanosAsLong=true), and a session-tz TIMESTAMP twin — proving the
+    // dispatch under Structured Streaming, not just batch.
+    val root = java.nio.file.Files.createTempDirectory("graft_evstream")
+    val shipped = root.resolve("shipped"); java.nio.file.Files.createDirectory(shipped)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
-    val q = agg(stream).writeStream.format("memory")
-      .queryName("ev_win").outputMode("complete").start()
-    try {
-      q.processAllAvailable()
-      val got = spark.table("ev_win")
-        .select("window_start", "event_type", "n_events")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
-      assert(got === expected, "stream and batch runs of the same plan must agree")
-      assert(got.nonEmpty)
-    } finally q.stop()
+      shipped.resolve("events.parquet"))
+    val nanosDir = root.resolve("nanos").toString
+    batch.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.parquet(nanosDir)
+    val microsDir = root.resolve("micros").toString
+    batch.write.parquet(microsDir)
+
+    for (encDir <- Seq(shipped.toString, nanosDir, microsDir)) {
+      val schema = spark.read.parquet(encDir).schema
+      val stream = spark.readStream.schema(schema).parquet(encDir)
+      val qn = "ev_win_" + encDir.split('/').last
+      val q = agg(stream).writeStream.format("memory")
+        .queryName(qn).outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .select("window_start", "event_type", "n_events")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        assert(got === expected,
+          s"stream twin at $encDir must agree with the batch plan")
+      } finally q.stop()
+    }
   }
 
   test("sessionize (flatMapGroupsWithState): gap closes a session on arrival, " +
