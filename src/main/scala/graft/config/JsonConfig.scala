@@ -147,6 +147,23 @@ object JsonConfig {
           if (wd.path("min_overlap").isNumber) wd.path("min_overlap").asDouble()
           else 0.5))
     } else None,
+    decontaminate = if (n.path("decontaminate").isObject) {
+      val dc = n.path("decontaminate")
+      Some(DecontaminateDef(
+        idField = str(dc.path("id_field")).getOrElse(sys.error("decontaminate missing id_field")),
+        textField = str(dc.path("text_field")).getOrElse(sys.error("decontaminate missing text_field")),
+        benchPath = str(dc.path("bench_path")).getOrElse(sys.error("decontaminate missing bench_path")),
+        benchFormat = str(dc.path("bench_format")).getOrElse("parquet"),
+        benchIdField = str(dc.path("bench_id_field")).getOrElse(sys.error("decontaminate missing bench_id_field")),
+        benchTextField = str(dc.path("bench_text_field")).getOrElse(sys.error("decontaminate missing bench_text_field")),
+        n = int(dc.path("n")).getOrElse(3),
+        minOverlapNgrams = int(dc.path("min_overlap_ngrams")).getOrElse(5).toLong,
+        k = int(dc.path("k")).getOrElse(8),
+        w = int(dc.path("w")).getOrElse(4),
+        minContainment =
+          if (dc.path("min_containment").isNumber) dc.path("min_containment").asDouble()
+          else 0.5))
+    } else None,
     langFilter = if (n.path("lang_filter").isObject) {
       val lf = n.path("lang_filter")
       Some(LangFilterDef(

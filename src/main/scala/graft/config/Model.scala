@@ -119,6 +119,9 @@ final case class TransformDef(
     nearDedup: Option[NearDedupDef] = None,
     /** LLM-extension: winnowing local-overlap removal (LD14 + CC). */
     winnowDedup: Option[WinnowDedupDef] = None,
+    /** LLM-extension: drop docs contaminated by an eval-set registry
+      * (n-gram overlap screen + winnowing containment verify). */
+    decontaminate: Option[DecontaminateDef] = None,
     /** LLM-extension: keep only docs whose predicted language (LT1
       * stopword heuristic over `field`) is in the allowed set. */
     langFilter: Option[LangFilterDef] = None,
@@ -170,6 +173,25 @@ final case class WinnowDedupDef(
     maxDocsPerFp: Long = 50,
     minShared: Long = 2,
     minOverlap: Double = 0.5)
+
+/** LLM-extension: eval-set decontamination inside a pipeline's
+  * transform — documents sharing ≥ minOverlapNgrams distinct word
+  * n-grams with ANY registry document AND winnow-containment ≥
+  * minContainment against the registry fingerprint set are dropped
+  * (see LlmOps.decontaminate). The registry at `benchPath` is a small
+  * table (eval suites), loaded like a lookup and broadcast. */
+final case class DecontaminateDef(
+    idField: String,
+    textField: String,
+    benchPath: String,
+    benchFormat: String = "parquet",
+    benchIdField: String,
+    benchTextField: String,
+    n: Int = 3,
+    minOverlapNgrams: Long = 5,
+    k: Int = 8,
+    w: Int = 4,
+    minContainment: Double = 0.5)
 
 final case class LangFilterDef(field: String, allowed: Seq[String])
 

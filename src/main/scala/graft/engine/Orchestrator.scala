@@ -503,6 +503,16 @@ object Orchestrator {
         .select(wd.idField)
       df = df.join(keepers, Seq(wd.idField), "left_semi")
     }
+    t.decontaminate.foreach { dc =>
+      val bench = spark.read.format(dc.benchFormat)
+        .options(if (dc.benchFormat == "csv") Map("header" -> "true")
+                 else Map.empty[String, String])
+        .load(dc.benchPath)
+      df = graft.operators.LlmOps.decontaminate(
+        df, dc.idField, dc.textField,
+        bench, dc.benchIdField, dc.benchTextField,
+        dc.n, dc.minOverlapNgrams, dc.k, dc.w, dc.minContainment)
+    }
     t.langFilter.foreach { lf =>
       df = df.filter(graft.operators.TextOps.langId(col(lf.field))
         .isin(lf.allowed: _*))

@@ -310,6 +310,78 @@ object LlmOps {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Eval-set decontamination report: two-stage screen of a training
+    * corpus against a (small) benchmark/eval registry.
+    *
+    * Stage 1 — RECALL: the n-gram overlap count of [[contamination]],
+    * generalized to a separate registry frame. The registry's distinct
+    * shingle hashes are broadcast (eval suites are tiny next to a
+    * 100 TB corpus), so the corpus side streams through a broadcast
+    * hash join; only docs sharing ≥ 1 shingle reach the per-doc count,
+    * and only those with `n_overlap >= minOverlapNgrams` go on.
+    *
+    * Stage 2 — PRECISION: raw n-gram counts over-fire on boilerplate
+    * (common phrases shared with an eval question's preamble), so the
+    * surviving candidate SLIVER is re-scored with the winnowing
+    * containment of [[TextOps.winnowPairs]]' scorer: shared selected
+    * fingerprints / the doc's own fingerprint count. Winnowing
+    * guarantees any shared run ≥ k+w-1 chars is caught, and
+    * containment (not Jaccard) keeps a verbatim eval question embedded
+    * in a long document scoring high. The registry fingerprint set is
+    * again broadcast; only candidates pay the fingerprinting cost.
+    *
+    * Output: one row per stage-1 candidate —
+    * (idCol, n_overlap, containment, is_contaminated) with
+    * `is_contaminated = containment >= minContainment`. A candidate too
+    * short to produce fingerprints scores containment 0.0 (nothing of
+    * winnow-detectable length can be contained in it). */
+  def decontaminationReport(
+      df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minOverlapNgrams: Long = 5,
+      k: Int = 8, w: Int = 4, minContainment: Double = 0.5): DataFrame = {
+    val benchH = shingleHashes(bench, benchIdCol, benchTextCol, n)
+      .select("h").distinct()
+    val cand = shingleHashes(df, idCol, textCol, n)
+      .join(broadcast(benchH), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlapNgrams)
+    val candDocs = df.join(cand.select(idCol), Seq(idCol), "left_semi")
+    val candFps = TextOps.winnowFingerprints(candDocs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val benchFps = TextOps
+      .winnowFingerprints(bench, benchIdCol, benchTextCol, k, w)
+      .select(col("fp")).distinct().withColumn("__hit", lit(1))
+    val stats = candFps.join(broadcast(benchFps), Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__total"), count(col("__hit")).as("__shared"))
+    val containment = round(
+      col("__shared").cast("double") / col("__total"), 6)
+    cand.join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("n_overlap"),
+        coalesce(containment, lit(0.0)).as("containment"),
+        coalesce(containment >= minContainment, lit(false))
+          .as("is_contaminated"))
+  }
+
+  /** Config-level decontamination: drop from `df` every document the
+    * [[decontaminationReport]] marks contaminated against the registry.
+    * The report only materializes the candidate sliver, so the common
+    * case (clean doc, zero shingle overlap) costs one broadcast-probe
+    * pass and no shuffle. */
+  def decontaminate(
+      df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minOverlapNgrams: Long = 5,
+      k: Int = 8, w: Int = 4, minContainment: Double = 0.5): DataFrame = {
+    val bad = decontaminationReport(df, idCol, textCol,
+      bench, benchIdCol, benchTextCol,
+      n, minOverlapNgrams, k, w, minContainment)
+      .filter(col("is_contaminated")).select(idCol)
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup of a new batch against an existing corpus: keep
     * the `newDf` rows whose `fpCol` (a 64-bit fingerprint) does NOT
     * already exist in `hist`. Semantically a plain left-anti join — but

@@ -263,6 +263,60 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Eval-set decontamination (n-gram screen + winnow verify) ----
+    // Docs with doc_id % 20 == 0 inside the fixed <300 slice stand in
+    // for the eval/benchmark registry; the rest is the training corpus.
+    // Stage 1 flags candidates sharing >= 5 distinct 3-gram shingles
+    // with ANY registry doc (broadcast screen); stage 2 re-scores the
+    // candidate sliver with winnowing containment (shared selected
+    // fingerprints / own fingerprints) and marks is_contaminated at
+    // >= 0.32 (calibrated to split the sf candidates, so BOTH decision
+    // branches are oracle-exercised) — the same compose the config-level
+    // `decontaminate`
+    // transform runs, oracle-replayed here end-to-end.
+    QDef.sql(
+      "llm_decontaminate",
+      s"""WITH ${duckWinnow(8, 4, "WHERE doc_id < 300")},
+         |words AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents WHERE doc_id < 300
+         |),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         |  FROM words
+         |),
+         |hashed AS (
+         |  SELECT DISTINCT doc_id, ${duckHash("s")} AS h FROM sh
+         |),
+         |benchh AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 20 = 0),
+         |cand AS (
+         |  SELECT hashed.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM hashed JOIN benchh USING (h)
+         |  WHERE hashed.doc_id % 20 <> 0
+         |  GROUP BY 1 HAVING count(*) >= 5
+         |),
+         |pf AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 <> 0),
+         |bf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 20 = 0),
+         |stats AS (
+         |  SELECT pf.doc_id,
+         |    round(CAST(count(bf.fp) AS DOUBLE) / count(*), 6) AS c
+         |  FROM pf LEFT JOIN bf ON pf.fp = bf.fp
+         |  GROUP BY 1
+         |)
+         |SELECT cand.doc_id, cand.n_overlap,
+         |  COALESCE(stats.c, 0.0) AS containment,
+         |  COALESCE(stats.c >= 0.32, FALSE) AS is_contaminated
+         |FROM cand LEFT JOIN stats USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      LlmOps.decontaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        n = 3, minOverlapNgrams = 5, k = 8, w = 4, minContainment = 0.32)
+        .orderBy("doc_id")
+    },
+
     // ----- Stopword removal --------------------------------------------
     QDef.sql(
       "llm_stopword_strip",

@@ -677,6 +677,44 @@ class LlmOpsSpec extends AnyFunSuite {
       TextOps.holdoutSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("decontaminationReport: verbatim-embedding doc is contaminated, " +
+    "incidental-overlap doc is a candidate but below containment, " +
+    "zero-overlap doc is no candidate at all") {
+    val evalQ = "what is the capital city of the republic of france and why " +
+      "does it matter for the history of europe in the modern era"
+    val bench = Seq((100L, evalQ)).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, s"intro words before $evalQ and some closing remarks after"),
+      // engineered stage-1 candidate with only a SHORT borrowed phrase
+      // (7 words → 5 shared 3-grams, enough for stage 1) diluted by a
+      // long unique tail → winnow containment stays below the threshold
+      (2L, "and why does it matter for the " +
+        Seq.tabulate(40)(i => s"filler$i word$i").mkString(" ")),
+      (3L, "completely unrelated document about cooking pasta properly"))
+      .toDF("doc_id", "text")
+    val rep = LlmOps.decontaminationReport(
+      corpus, "doc_id", "text", bench, "bid", "btext",
+      n = 3, minOverlapNgrams = 5, k = 8, w = 4, minContainment = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(!rep.contains(3L), "zero-overlap doc must not reach the report")
+    assert(rep.contains(1L) && rep(1L)._3,
+      s"verbatim embedding must be contaminated: $rep")
+    assert(rep(1L)._2 > 0.2)
+    assert(rep.contains(2L), s"5 shared 3-grams must reach stage 1: $rep")
+    locally { val (o, c, flag) = rep(2L)
+      assert(o === 5L, s"exactly the 5 borrowed-phrase shingles: $rep")
+      assert(!flag && c < 0.2,
+        s"diluted overlap must stay below containment threshold: $rep")
+    }
+    // the dropping wrapper keeps exactly the non-contaminated ids
+    val kept = LlmOps.decontaminate(
+      corpus, "doc_id", "text", bench, "bid", "btext",
+      n = 3, minOverlapNgrams = 5, k = 8, w = 4, minContainment = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 3L))
+  }
+
   test("bm25: higher tf scores higher, longer docs are penalized, " +
     "docs without query terms are absent") {
     val corpus = Seq(

@@ -314,6 +314,37 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 3L)) // 2 collapses into 1 via the passage
   }
 
+  test("decontaminate transform drops docs containing eval-registry text, " +
+    "keeps docs with only incidental word overlap") {
+    import spark.implicits._
+    val evalQ = "what is the capital city of the republic of france and why " +
+      "does it matter for the history of europe in the modern era"
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc").toString
+    // the eval-set registry: a separate small table
+    Seq((100L, evalQ)).toDF("bench_id", "bench_text")
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    Seq(
+      // verbatim eval question embedded in a training doc → contaminated
+      (1L, s"intro words before $evalQ and some closing remarks after"),
+      // shares a few common words, no verbatim run → kept
+      (2L, "the capital of portugal is lisbon which is a city in europe"),
+      // unrelated → kept (never even a stage-1 candidate)
+      (3L, "completely different training document about cooking pasta well")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("dc"), Seq(
+      PipelineDef("dc", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          decontaminate = Some(DecontaminateDef(
+            idField = "doc_id", textField = "text",
+            benchPath = s"$dir/bench",
+            benchIdField = "bench_id", benchTextField = "bench_text",
+            minOverlapNgrams = 5, minContainment = 0.2))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("dc").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 3L)) // 1 contained the eval question
+  }
+
   test("lang_filter and quality_filter transforms curate by predicted language and score") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString

@@ -417,4 +417,18 @@ class PlanSpec extends AnyFunSuite {
       && !plan.contains("BroadcastNestedLoopJoin"),
       s"winnow pair search must equi-join on fp, not cross:\n$plan")
   }
+
+  test("decontamination: both registry probes are broadcast joins — the " +
+    "corpus side never shuffles for the screen, and nothing goes cartesian") {
+    val q = SparkEntry.queries("llm_decontaminate")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay keyed/broadcast:\n$plan")
+    // stage 1 (shingle-hash screen) and stage 2 (fingerprint containment)
+    // each probe a broadcast registry set
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"registry sets must broadcast (eval suites are tiny):\n$plan")
+  }
 }
