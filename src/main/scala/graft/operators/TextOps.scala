@@ -659,6 +659,71 @@ object TextOps {
         round(col("shared").cast("double") / least(col("__na"), col("__nb")), 6)
           .as("overlap"))
   }
+
+  /** Duplicated-span report: for every document, the char spans of its
+    * NORMALIZED text (the `[^a-z0-9]`-stripped form winnowing hashes)
+    * that repeat a passage already present in an earlier (lower-id)
+    * document — the passage-level complement of document-level dedup:
+    * C4/RefinedWeb-style curation wants the borrowed span excised, not
+    * the whole (otherwise novel) document dropped.
+    *
+    * Mechanism: winnowing fingerprints carry their gram position, and
+    * the winnowing guarantee makes any shared normalized run
+    * ≥ k+w−1 chars yield ≥ 1 shared selected fingerprint, so a
+    * duplicated passage shows up as a positional CLUSTER of
+    * fingerprints whose minimum owner id is some earlier doc. Steps:
+    * df-cap the fingerprints exactly like [[winnowPairs]] (corpus-
+    * frequent grams are boilerplate noise, and the cap is what bounds
+    * the owner aggregation), attribute each surviving fp to its
+    * min-id owner, keep the (doc, pos) hits where the doc is NOT the
+    * owner, and merge per-doc hits closer than `gap` grams into spans
+    * (classic gaps-and-islands: one lag + one running sum + one group,
+    * all on the SAME doc-id partitioning — the whole report costs the
+    * fingerprint pass plus one fp-keyed aggregation, never a pair
+    * join, so it scales better than the pair search itself).
+    * Spans supported by < minFps fingerprints are dropped (a single
+    * shared fp is within hash-collision/boilerplate noise).
+    *
+    * Output: (idCol, span_start, span_end, n_fps) with span ends
+    * inclusive of the final gram's k chars, sorted ascending within a
+    * doc. Excising `[span_start, span_end]` from the normalized text
+    * removes the shared run; mapping back to raw-text offsets needs
+    * the caller to retain its own normalization index map (documented
+    * deliberately: the report is the operator, the edit policy is the
+    * pipeline's). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocsPerFp: Long = 50,
+      gap: Long = 32, minFps: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    // df-cap on DISTINCT docs per fp (a doc repeating its own phrase is
+    // not corpus frequency), lower bound 2 (a unique fp has no owner
+    // but itself and can never mark a duplicate)
+    val capped = fps.join(
+      fps.select(col(idCol), col("fp")).distinct()
+        .groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= maxDocsPerFp)
+        .select("fp"),
+      Seq("fp"))
+    val owners = capped.groupBy("fp").agg(min(col(idCol)).as("__owner"))
+    val hits = capped.join(owners, Seq("fp"))
+      .filter(col(idCol) > col("__owner"))
+      .select(col(idCol), col("pos")).distinct()
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val running = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > gap, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(running))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") >= minFps)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_fps"))
+  }
 }
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque

@@ -263,6 +263,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Duplicated-span report (passage-level dedup) ----------------
+    // For each doc in the fixed <150 slice: the normalized-text char
+    // spans repeating a passage already present in an earlier doc —
+    // winnow fps df-capped, attributed to their min-id owner, non-owner
+    // positional hits merged gaps-and-islands style (gap 32, >= 2 fps).
+    QDef.sql(
+      "llm_dup_spans",
+      s"""WITH ${duckWinnow(8, 4, "WHERE doc_id < 150")},
+         |f2 AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |d AS (SELECT fp FROM f2 GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+         |capped AS (SELECT f.doc_id, f.fp, f.pos FROM fps f JOIN d USING (fp)),
+         |own AS (SELECT fp, min(doc_id) AS o FROM capped GROUP BY 1),
+         |hits AS (
+         |  SELECT DISTINCT c.doc_id, c.pos
+         |  FROM capped c JOIN own ON c.fp = own.fp WHERE c.doc_id > own.o
+         |),
+         |seq AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 32
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM hits
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM seq
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_fps
+         |FROM isl GROUP BY doc_id, g HAVING count(*) >= 2
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      TextOps.dupSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 150),
+        "doc_id", "text", k = 8, w = 4, maxDocsPerFp = 50,
+        gap = 32, minFps = 2)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ----- Eval-set decontamination (n-gram screen + winnow verify) ----
     // Docs with doc_id % 20 == 0 inside the fixed <300 slice stand in
     // for the eval/benchmark registry; the rest is the training corpus.

@@ -557,4 +557,40 @@ class OpsSpec extends AnyFunSuite {
       k = 8, w = 4, maxDocsPerFp = 3, minShared = 1)
     assert(capped.count() === 0L)
   }
+
+  test("dupSpans: the borrowed passage localizes to ONE span on the later " +
+    "doc only; the owner and disjoint docs report nothing; far-apart " +
+    "borrowings split into separate islands") {
+    import graft.operators.TextOps
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val far = "x y z " * 40 // >> gap normalized chars between borrowings
+    val docs = Seq(
+      (1L, s"alpha opening $passage omega closing stanza"),       // owner
+      (2L, s"beta prelude instead $passage coda differs totally"), // borrows once
+      (3L, "no overlap at all here just some other words entirely"),
+      (4L, s"$passage $far $passage"))  // borrows TWICE, far apart
+      .toDF("doc_id", "text")
+    val spans = TextOps.dupSpans(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocsPerFp = 10, gap = 32, minFps = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    // the min-id owner of the passage fps reports no duplicated span
+    assert(!spans.contains(1L), s"owner must be span-free: $spans")
+    assert(!spans.contains(3L), s"disjoint doc must be span-free: $spans")
+    // doc 2: exactly one island, inside the normalized text bounds
+    assert(spans(2L).size === 1, s"one borrowing → one span: $spans")
+    val norm2 = s"beta prelude instead $passage coda differs totally"
+      .toLowerCase.replaceAll("[^a-z0-9]", "")
+    val (s2, e2, n2) = spans(2L).head
+    assert(s2 >= 1 && e2 <= norm2.length && n2 >= 2)
+    // the span must sit over the borrowed region (passage starts after
+    // the 18-char normalized prefix "betapreludeinstead")
+    val passStart = "betapreludeinstead".length + 1
+    val passEnd = passStart + passage.toLowerCase.replaceAll("[^a-z0-9]", "").length - 1
+    assert(s2 >= passStart - 32 && e2 <= passEnd + 32,
+      s"span [$s2,$e2] must localize the borrowed region [$passStart,$passEnd]")
+    // doc 4: two islands (the filler between them exceeds the gap)
+    assert(spans(4L).size === 2, s"two far-apart borrowings → two spans: $spans")
+    assert(spans(4L)(0)._2 < spans(4L)(1)._1, "spans must not overlap")
+  }
 }

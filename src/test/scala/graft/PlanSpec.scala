@@ -418,6 +418,23 @@ class PlanSpec extends AnyFunSuite {
       s"winnow pair search must equi-join on fp, not cross:\n$plan")
   }
 
+  test("dupSpans: fp-keyed attribution + doc-keyed islands, no pair join, " +
+    "no cartesian — the report costs strictly less than the pair search") {
+    val q = SparkEntry.queries("llm_dup_spans")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span report must stay keyed:\n$plan")
+    // fps window (doc) + df-cap/owner aggs (fp) + the hits dedup and
+    // island window (doc) — a handful of keyed exchanges, no join of
+    // the corpus against itself on doc pairs
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 6,
+      s"span report must stay in the keyed-agg family, found $exchanges:\n$plan")
+  }
+
   test("decontamination: both registry probes are broadcast joins — the " +
     "corpus side never shuffles for the screen, and nothing goes cartesian") {
     val q = SparkEntry.queries("llm_decontaminate")(spark, "/root/testdata/sf0.001")
