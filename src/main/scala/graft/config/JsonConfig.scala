@@ -164,6 +164,17 @@ object JsonConfig {
           if (dc.path("min_containment").isNumber) dc.path("min_containment").asDouble()
           else 0.5))
     } else None,
+    stripDupSpans = if (n.path("strip_dup_spans").isObject) {
+      val sd = n.path("strip_dup_spans")
+      Some(StripDupSpansDef(
+        idField = str(sd.path("id_field")).getOrElse(sys.error("strip_dup_spans missing id_field")),
+        textField = str(sd.path("text_field")).getOrElse(sys.error("strip_dup_spans missing text_field")),
+        k = int(sd.path("k")).getOrElse(8),
+        w = int(sd.path("w")).getOrElse(4),
+        maxDocsPerFp = int(sd.path("max_docs_per_fp")).getOrElse(50).toLong,
+        gap = int(sd.path("gap")).getOrElse(32).toLong,
+        minFps = int(sd.path("min_fps")).getOrElse(2).toLong))
+    } else None,
     langFilter = if (n.path("lang_filter").isObject) {
       val lf = n.path("lang_filter")
       Some(LangFilterDef(

@@ -122,6 +122,11 @@ final case class TransformDef(
     /** LLM-extension: drop docs contaminated by an eval-set registry
       * (n-gram overlap screen + winnowing containment verify). */
     decontaminate: Option[DecontaminateDef] = None,
+    /** LLM-extension: excise passages borrowed from earlier docs
+      * (winnow span report mapped back to raw text; see
+      * TextOps.stripDupSpans). Like near_dedup this is EAGER Spark
+      * work at transform build. */
+    stripDupSpans: Option[StripDupSpansDef] = None,
     /** LLM-extension: keep only docs whose predicted language (LT1
       * stopword heuristic over `field`) is in the allowed set. */
     langFilter: Option[LangFilterDef] = None,
@@ -192,6 +197,20 @@ final case class DecontaminateDef(
     k: Int = 8,
     w: Int = 4,
     minContainment: Double = 0.5)
+
+/** LLM-extension: passage-level dedup inside a pipeline's transform —
+  * duplicated spans (winnowing fingerprints attributed to their min-id
+  * owner, merged gaps-and-islands style) are cut from the raw text of
+  * every non-owner doc; the novel remainder survives where whole-doc
+  * dedup would have dropped it. */
+final case class StripDupSpansDef(
+    idField: String,
+    textField: String,
+    k: Int = 8,
+    w: Int = 4,
+    maxDocsPerFp: Long = 50,
+    gap: Long = 32,
+    minFps: Long = 2)
 
 final case class LangFilterDef(field: String, allowed: Seq[String])
 

@@ -513,6 +513,11 @@ object Orchestrator {
         bench, dc.benchIdField, dc.benchTextField,
         dc.n, dc.minOverlapNgrams, dc.k, dc.w, dc.minContainment)
     }
+    t.stripDupSpans.foreach { sd =>
+      df = graft.operators.TextOps.stripDupSpans(
+        df, sd.idField, sd.textField,
+        sd.k, sd.w, sd.maxDocsPerFp, sd.gap, sd.minFps)
+    }
     t.langFilter.foreach { lf =>
       df = df.filter(graft.operators.TextOps.langId(col(lf.field))
         .isin(lf.allowed: _*))

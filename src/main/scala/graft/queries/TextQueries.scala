@@ -303,6 +303,83 @@ object TextQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // ----- Duplicated-span EXCISION (the report's action side) ---------
+    // Same slice/params as llm_dup_spans; docs carrying spans have the
+    // borrowed region cut from the RAW text (normalized span coords
+    // mapped back through the per-char running kept-count; interior
+    // separators go with the span, boundary ones stay; cut docs are
+    // whitespace-renormalized), span-free docs pass through
+    // byte-identical. The oracle replays the whole chain: winnow →
+    // cap/owner/islands → char mapping → cut rule → reassembly.
+    QDef.sql(
+      "llm_strip_dup_spans",
+      s"""WITH ${duckWinnow(8, 4, "WHERE doc_id < 150")},
+         |f2 AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |d AS (SELECT fp FROM f2 GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+         |capped AS (SELECT f.doc_id, f.fp, f.pos FROM fps f JOIN d USING (fp)),
+         |own AS (SELECT fp, min(doc_id) AS o FROM capped GROUP BY 1),
+         |hits AS (
+         |  SELECT DISTINCT c.doc_id, c.pos
+         |  FROM capped c JOIN own ON c.fp = own.fp WHERE c.doc_id > own.o
+         |),
+         |seq AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 32
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM hits
+         |),
+         |isl AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM seq
+         |),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY doc_id, g HAVING count(*) >= 2
+         |),
+         |chars AS (
+         |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+         |  FROM documents
+         |  WHERE doc_id < 150 AND doc_id IN (SELECT DISTINCT doc_id FROM spans)
+         |),
+         |ch AS (
+         |  SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c,
+         |    regexp_full_match(lower(substr(text, CAST(i AS INT), 1)), '[a-z0-9]') AS kept,
+         |    sum(CASE WHEN regexp_full_match(lower(substr(text, CAST(i AS INT), 1)), '[a-z0-9]')
+         |             THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+         |  FROM chars
+         |),
+         |keepch AS (
+         |  SELECT ch.doc_id, ch.i, ch.c FROM ch
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM spans sp WHERE sp.doc_id = ch.doc_id
+         |      AND ch.n >= sp.s
+         |      AND ch.n <= sp.e - CASE WHEN ch.kept THEN 0 ELSE 1 END)
+         |),
+         |rebuilt AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(string_agg(c, '' ORDER BY i), '\\s+', ' ', 'g')) AS text
+         |  FROM keepch GROUP BY doc_id
+         |)
+         |SELECT doc.doc_id,
+         |  CASE WHEN sp.doc_id IS NOT NULL THEN COALESCE(r.text, '')
+         |       ELSE doc.text END AS text
+         |FROM documents doc
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp ON doc.doc_id = sp.doc_id
+         |LEFT JOIN rebuilt r ON doc.doc_id = r.doc_id
+         |WHERE doc.doc_id < 150
+         |ORDER BY doc.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.stripDupSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select("doc_id", "text"),
+        "doc_id", "text", k = 8, w = 4, maxDocsPerFp = 50,
+        gap = 32, minFps = 2)
+        .orderBy("doc_id")
+    },
+
     // ----- Eval-set decontamination (n-gram screen + winnow verify) ----
     // Docs with doc_id % 20 == 0 inside the fixed <300 slice stand in
     // for the eval/benchmark registry; the rest is the training corpus.

@@ -593,4 +593,31 @@ class OpsSpec extends AnyFunSuite {
     assert(spans(4L).size === 2, s"two far-apart borrowings → two spans: $spans")
     assert(spans(4L)(0)._2 < spans(4L)(1)._1, "spans must not overlap")
   }
+
+  test("stripDupSpans: the borrowed passage is excised from the RAW text " +
+    "of the later doc, the owner and span-free docs pass byte-identical, " +
+    "cut seams are whitespace-renormalized") {
+    import graft.operators.TextOps
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha opening $passage omega closing stanza"),
+      (2L, s"beta prelude instead $passage coda differs totally"),
+      (3L, "no overlap  at all here just some other words entirely")) // note double space
+      .toDF("doc_id", "text")
+    val out = TextOps.stripDupSpans(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocsPerFp = 10, gap = 32, minFps = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // owner and disjoint docs: BYTE-identical (doc 3's double space survives)
+    assert(out(1L) === s"alpha opening $passage omega closing stanza")
+    assert(out(3L) === "no overlap  at all here just some other words entirely")
+    // borrower: passage interior gone, own framing words intact
+    assert(!out(2L).contains("quick brown fox"), s"passage must be cut: ${out(2L)}")
+    assert(out(2L).startsWith("beta prelude instead"))
+    assert(out(2L).endsWith("coda differs totally"))
+    assert(!out(2L).contains("  "), s"no double spaces at cut seams: '${out(2L)}'")
+    // excision is span-approximate (fingerprint-sampled boundaries), but
+    // must remove most of the 60-char passage
+    assert(out(2L).length < docs.collect()(1).getString(1).length - 40,
+      s"most of the borrowed passage must be gone: '${out(2L)}'")
+  }
 }

@@ -345,6 +345,31 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(2L, 3L)) // 1 contained the eval question
   }
 
+  test("strip_dup_spans transform excises the borrowed passage, keeps the " +
+    "novel remainder and untouched docs") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sds").toString
+    Seq(
+      (1L, s"alpha opening $passage omega closing stanza"),
+      (2L, s"beta prelude instead $passage coda differs totally"),
+      (3L, "unrelated text with no borrowed passage at all in it here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("sds"), Seq(
+      PipelineDef("sds", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          stripDupSpans = Some(StripDupSpansDef("doc_id", "text",
+            maxDocsPerFp = 10))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("sds").df.get
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.size === 3, "no doc is dropped — spans are cut, docs kept")
+    assert(out(1L).contains("quick brown fox"), "owner keeps its text")
+    assert(!out(2L).contains("quick brown fox"), s"borrower loses the passage: ${out(2L)}")
+    assert(out(2L).startsWith("beta prelude instead"))
+    assert(out(3L) === "unrelated text with no borrowed passage at all in it here")
+  }
+
   test("lang_filter and quality_filter transforms curate by predicted language and score") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
