@@ -430,6 +430,61 @@ object LlmOps {
     fresh.unionByName(verified.select(newDf.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** NEAR-dup filter of a new batch against an existing corpus — the
+    * sketch-level sibling of [[incrementalDedup]] (which only catches
+    * EXACT fingerprint repeats): keep the `newDf` docs whose n-gram
+    * Jaccard against every historical doc stays below `minJaccard`.
+    *
+    * The production shape for "dedup the new crawl against the 100 TB
+    * corpus": never pair the new batch against history directly.
+    * Stage 1 joins the new batch's MinHash LSH bands against the
+    * historical BAND REGISTRY on (band, bh) — at scale that registry
+    * is a stored table bucketed by (band, bh), so the join is
+    * new-batch-sized, and a new doc colliding with history in zero
+    * bands short-circuits as definitely-clean with no further work
+    * (the common case, by LSH design). Stage 2 exact-verifies only the
+    * collision sliver: distinct (new, hist) candidate pairs get the
+    * true n-gram Jaccard (shingle sets restricted to the sliver's
+    * participants by left-semi joins), and a new doc is dropped iff
+    * some verified pair clears `minJaccard` — band collisions alone
+    * never drop (LSH false positives are verified away, same contract
+    * as the Bloom filter's exact anti-join).
+    *
+    * Exact by construction only DOWN to the LSH recall floor: a true
+    * near-dup pair that collides in no band (est. miss rate
+    * (1-j^rows)^bands) is missed — the standard LSH trade, tuned by
+    * the band/row knobs of [[minHashBands]]. */
+  def incrementalNearDedup(
+      newDf: DataFrame, hist: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val newBands = minHashBands(minHashSignature(newDf, idCol, textCol, n), idCol)
+      .select(col(idCol).as("__nid"), col("band"), col("bh"))
+    val histBands = minHashBands(minHashSignature(hist, idCol, textCol, n), idCol)
+      .select(col(idCol).as("__hid"), col("band"), col("bh"))
+    val pairs = newBands.join(histBands, Seq("band", "bh"))
+      .select("__nid", "__hid").distinct()
+    val newSh = shingleHashes(
+      newDf.join(pairs.select(col("__nid").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"), idCol, textCol, n)
+    val histSh = shingleHashes(
+      hist.join(pairs.select(col("__hid").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"), idCol, textCol, n)
+    val nsz = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("__na"))
+      .select(col(idCol).as("__nid"), col("__na"))
+    val hsz = histSh.groupBy(col(idCol)).agg(count(lit(1)).as("__nb"))
+      .select(col(idCol).as("__hid"), col("__nb"))
+    val inter = newSh.select(col(idCol).as("__nid"), col("h"))
+      .join(pairs, Seq("__nid"))
+      .join(histSh.select(col(idCol).as("__hid"), col("h")), Seq("__hid", "h"))
+      .groupBy("__nid", "__hid").agg(count(lit(1)).as("__i"))
+    val j = col("__i").cast("double") / (col("__na") + col("__nb") - col("__i"))
+    val dupNew = inter
+      .join(nsz, Seq("__nid")).join(hsz, Seq("__hid"))
+      .filter(round(j, 6) >= minJaccard)
+      .select(col("__nid").as(idCol)).distinct()
+    newDf.join(dupNew, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // Embedding similarity search
   // ---------------------------------------------------------------------

@@ -805,6 +805,65 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Incremental NEAR-dedup: new batch vs existing corpus --------
+    // Same split as llm_incremental_dedup, sketch-level: a new doc is
+    // dropped iff some historical doc band-collides with it (MinHash
+    // LSH registry probe) AND the exact 2-gram Jaccard of the collision
+    // pair clears 0.5. At this sf the corpus's near-dups sit >= 0.8 and
+    // the LSH false positives < 0.15, so the verify stage provably
+    // fires both ways.
+    QDef.sql(
+      "llm_incremental_neardedup",
+      s"""WITH ${duckShingleHashes()},
+         |mh AS (
+         |  SELECT doc_id,
+         |    min((1000003 * h + 12345) % 2147483647) AS m0,
+         |    min((1000033 * h + 54321) % 2147483647) AS m1,
+         |    min((1000037 * h + 11111) % 2147483647) AS m2,
+         |    min((1000039 * h + 22222) % 2147483647) AS m3,
+         |    min((1000081 * h + 33333) % 2147483647) AS m4,
+         |    min((1000099 * h + 44444) % 2147483647) AS m5,
+         |    min((1000117 * h + 55555) % 2147483647) AS m6,
+         |    min((1000121 * h + 66666) % 2147483647) AS m7
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+         |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS hid
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n2 FROM hashed GROUP BY 1),
+         |inter AS (
+         |  SELECT c.nid, c.hid, count(*) AS i
+         |  FROM cand c
+         |  JOIN hashed x ON x.doc_id = c.nid
+         |  JOIN hashed y ON y.doc_id = c.hid AND y.h = x.h
+         |  GROUP BY 1, 2
+         |),
+         |bad AS (
+         |  SELECT DISTINCT nid FROM inter
+         |  JOIN sizes sa ON sa.doc_id = nid
+         |  JOIN sizes sb ON sb.doc_id = hid
+         |  WHERE round(CAST(i AS DOUBLE) / (sa.n2 + sb.n2 - i), 6) >= 0.5
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT nid FROM bad)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      LlmOps.incrementalNearDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 2, minJaccard = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ----- Int8 embedding quantization ----------------------------------
     // Symmetric per-vector quantization (scale = 127/max|x|): the q
     // values and their stats are integer-exact once the two IEEE steps

@@ -677,6 +677,30 @@ class LlmOpsSpec extends AnyFunSuite {
       TextOps.holdoutSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("incrementalNearDedup: a verbatim repeat of history is dropped, " +
+    "low-Jaccard overlap survives even when it band-collides, " +
+    "unrelated docs survive untouched") {
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hist = Seq(
+      (1L, histText),
+      (2L, "totally separate historical content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, histText),                                  // exact repeat → drop
+      (11L, "alpha beta unrelated tail words only here"), // j << 0.5 → keep
+      (12L, "completely novel new-batch document"))       // no overlap → keep
+      .toDF("doc_id", "text")
+    val kept = LlmOps.incrementalNearDedup(
+      fresh, hist, "doc_id", "text", n = 2, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(11L, 12L), s"only the verbatim repeat drops")
+    // empty history: everything survives
+    val keptAll = LlmOps.incrementalNearDedup(
+      fresh, hist.limit(0), "doc_id", "text", n = 2, minJaccard = 0.5)
+      .count()
+    assert(keptAll === 3L)
+  }
+
   test("decontaminationReport: verbatim-embedding doc is contaminated, " +
     "incidental-overlap doc is a candidate but below containment, " +
     "zero-overlap doc is no candidate at all") {

@@ -418,6 +418,17 @@ class PlanSpec extends AnyFunSuite {
       s"winnow pair search must equi-join on fp, not cross:\n$plan")
   }
 
+  test("incrementalNearDedup: registry probe and verify stay keyed — " +
+    "no cartesian, no nested loop against history") {
+    val q = SparkEntry.queries("llm_incremental_neardedup")(
+      spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"new batch must never pair against history unkeyed:\n$plan")
+  }
+
   test("dupSpans: fp-keyed attribution + doc-keyed islands, no pair join, " +
     "no cartesian — the report costs strictly less than the pair search") {
     val q = SparkEntry.queries("llm_dup_spans")(spark, "/root/testdata/sf0.001")
