@@ -175,6 +175,22 @@ object JsonConfig {
         gap = int(sd.path("gap")).getOrElse(32).toLong,
         minFps = int(sd.path("min_fps")).getOrElse(2).toLong))
     } else None,
+    nearDedupRegistry = if (n.path("near_dedup_registry").isObject) {
+      val nr = n.path("near_dedup_registry")
+      Some(NearDedupRegistryDef(
+        idField = str(nr.path("id_field")).getOrElse(sys.error("near_dedup_registry missing id_field")),
+        textField = str(nr.path("text_field")).getOrElse(sys.error("near_dedup_registry missing text_field")),
+        historyPath = str(nr.path("history_path")).getOrElse(sys.error("near_dedup_registry missing history_path")),
+        historyFormat = str(nr.path("history_format")).getOrElse("parquet"),
+        historyIdField = str(nr.path("history_id_field"))
+          .orElse(str(nr.path("id_field"))).getOrElse(sys.error("near_dedup_registry missing id fields")),
+        historyTextField = str(nr.path("history_text_field"))
+          .orElse(str(nr.path("text_field"))).getOrElse(sys.error("near_dedup_registry missing text fields")),
+        shingleSize = int(nr.path("shingle_size")).getOrElse(2),
+        minJaccard =
+          if (nr.path("min_jaccard").isNumber) nr.path("min_jaccard").asDouble()
+          else 0.5))
+    } else None,
     langFilter = if (n.path("lang_filter").isObject) {
       val lf = n.path("lang_filter")
       Some(LangFilterDef(

@@ -127,6 +127,10 @@ final case class TransformDef(
       * TextOps.stripDupSpans). Like near_dedup this is EAGER Spark
       * work at transform build. */
     stripDupSpans: Option[StripDupSpansDef] = None,
+    /** LLM-extension: drop docs near-duplicating a historical corpus
+      * loaded from a path (MinHash band-registry probe + exact
+      * Jaccard verify; see LlmOps.incrementalNearDedup). */
+    nearDedupRegistry: Option[NearDedupRegistryDef] = None,
     /** LLM-extension: keep only docs whose predicted language (LT1
       * stopword heuristic over `field`) is in the allowed set. */
     langFilter: Option[LangFilterDef] = None,
@@ -211,6 +215,20 @@ final case class StripDupSpansDef(
     maxDocsPerFp: Long = 50,
     gap: Long = 32,
     minFps: Long = 2)
+
+/** LLM-extension: incremental near-dedup against a historical corpus
+  * (the "new crawl vs existing 100 TB" shape) — the frame's MinHash
+  * bands probe the registry corpus at `historyPath`; collision pairs
+  * are exact-verified (n-gram Jaccard ≥ minJaccard drops the doc). */
+final case class NearDedupRegistryDef(
+    idField: String,
+    textField: String,
+    historyPath: String,
+    historyFormat: String = "parquet",
+    historyIdField: String,
+    historyTextField: String,
+    shingleSize: Int = 2,
+    minJaccard: Double = 0.5)
 
 final case class LangFilterDef(field: String, allowed: Seq[String])
 

@@ -518,6 +518,16 @@ object Orchestrator {
         df, sd.idField, sd.textField,
         sd.k, sd.w, sd.maxDocsPerFp, sd.gap, sd.minFps)
     }
+    t.nearDedupRegistry.foreach { nr =>
+      val hist = spark.read.format(nr.historyFormat)
+        .options(if (nr.historyFormat == "csv") Map("header" -> "true")
+                 else Map.empty[String, String])
+        .load(nr.historyPath)
+        .withColumnRenamed(nr.historyIdField, nr.idField)
+        .withColumnRenamed(nr.historyTextField, nr.textField)
+      df = graft.operators.LlmOps.incrementalNearDedup(
+        df, hist, nr.idField, nr.textField, nr.shingleSize, nr.minJaccard)
+    }
     t.langFilter.foreach { lf =>
       df = df.filter(graft.operators.TextOps.langId(col(lf.field))
         .isin(lf.allowed: _*))

@@ -336,6 +336,57 @@ object TextOps {
       .select(col(idCol), col("stratum"), col("n_tokens"), col("rate_e4"))
   }
 
+  /** Temperature-based mixture sampling (the mT5/XLM-R recipe): sample
+    * stratum i so the RESULT's token distribution follows
+    * p_i ∝ (tokens_i)^(1/τ) — τ=1 keeps natural proportions, τ→∞
+    * approaches uniform across strata (upweights low-resource strata),
+    * and the keep rate is min(1, B·p_i / tokens_i) against a total
+    * token budget B. No RNG: membership is the same deterministic
+    * [[mixBucket]] hash as every sampler here, so a doc's fate is
+    * stable under reruns.
+    *
+    * Scale shape identical to [[sampleToBudget]]: one tiny per-stratum
+    * agg joined back (broadcast under AQE); the corpus side never
+    * shuffles. Engine-portability of the math is deliberate:
+    * α = 0.5 (τ = 2, the common choice) routes through `sqrt` — which
+    * IEEE 754 requires correctly rounded, so any engine reproduces the
+    * rates bit-exactly — and the cross-stratum weight sum is a sorted
+    * left fold (not a SUM aggregate, whose accumulation order — and
+    * thus last-ulp result — is engine- and partition-dependent).
+    * Other α go through `pow`, which libm does NOT guarantee
+    * correctly rounded: fine operationally, excluded from the
+    * hash-compared oracle. */
+  def temperatureMix(
+      df: DataFrame, idCol: String, textCol: String,
+      stratumCol: Column, budgetTokens: Long, temperature: Double): DataFrame = {
+    require(budgetTokens >= 1, s"token budget must be >= 1: $budgetTokens")
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    val alpha = 1.0 / temperature
+    val tok = df.select(col(idCol), stratumCol.as("stratum"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val totals = tok.groupBy("stratum")
+      .agg(sum("n_tokens").as("total_tokens"))
+    val weight =
+      if (alpha == 0.5) sqrt(col("total_tokens").cast("double"))
+      else pow(col("total_tokens").cast("double"), alpha)
+    val weighted = totals.withColumn("__w", weight)
+    // deterministic cross-stratum sum: sorted left fold over the (tiny)
+    // strata list — bit-reproducible in any engine, unlike sum(double)
+    val sumW = weighted
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("stratum"), col("__w")))),
+        lit(0.0), (acc, x) => acc + x("__w")).as("__sum_w"))
+    val rates = weighted.crossJoin(broadcast(sumW))
+      .select(col("stratum"), col("total_tokens"),
+        floor(least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("__w") / col("__sum_w")
+            / col("total_tokens").cast("double")) * 10000)
+          .cast("long").as("rate_e4"))
+    tok.join(rates.select("stratum", "rate_e4"), Seq("stratum"))
+      .filter(mixBucket(col("stratum"), col(idCol)) < col("rate_e4"))
+      .select(col(idCol), col("stratum"), col("n_tokens"), col("rate_e4"))
+  }
+
   /** Adaptive per-stratum filter: keep rows whose `scoreCol` is at or
     * above their OWN stratum's interpolated `q`-quantile — "drop the
     * shortest quartile per language" instead of one global constant,

@@ -620,6 +620,50 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Temperature-based mixture sampling (tau = 2) -----------------
+    // The mT5/XLM-R recipe at its common tau=2: result token shares
+    // follow sqrt(tokens_i), low-resource langs upweighted. tau=2 is
+    // the ONLY hash-compared parameterization by design: alpha=0.5
+    // routes through sqrt (IEEE-correctly-rounded everywhere) and the
+    // weight sum is a sorted left fold, so every float in the rate is
+    // bit-reproducible across engines; other alphas go through libm
+    // pow and are operational-only.
+    QDef.sql(
+      "llm_temperature_mix",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |tot AS (
+         |  SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS total,
+         |         sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS w
+         |  FROM tok GROUP BY 1
+         |),
+         |sw AS (
+         |  SELECT ${DuckSql.duckFold(
+               "list_transform(list_sort(list(struct_pack(lang := lang, w := w))), x -> x.w)")}
+         |    AS sum_w
+         |  FROM tot
+         |),
+         |r AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0, 3000.0 * w / sw.sum_w / total) * 10000)
+         |         AS BIGINT) AS rate_e4
+         |  FROM tot, sw
+         |)
+         |SELECT tok.doc_id, tok.lang, tok.n_tokens, r.rate_e4
+         |FROM tok JOIN r USING (lang)
+         |WHERE ${duckMixBucket("tok.lang || ':' || CAST(tok.doc_id AS VARCHAR)")}
+         |      < r.rate_e4
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.temperatureMix(t(s, dir, "documents"), "doc_id", "text",
+        col("lang"), budgetTokens = 3000L, temperature = 2.0)
+        .select(col("doc_id"), col("stratum").as("lang"),
+          col("n_tokens"), col("rate_e4"))
+        .orderBy("doc_id")
+    },
+
     // ----- Deterministic holdout split ----------------------------------
     // 90/5/5 train/val/test as a pure function of (salt, doc_id): the
     // oracle replays the scrambled bucket and the SAME integer cutoffs

@@ -677,6 +677,36 @@ class LlmOpsSpec extends AnyFunSuite {
       TextOps.holdoutSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("temperatureMix: tau=2 upweights the low-resource stratum vs " +
+    "proportional tau=1, over-budget strata keep everything, " +
+    "membership is deterministic") {
+    val big = Seq.tabulate(20)(i =>
+      (i.toLong, "big", Seq.fill(100)("w").mkString(" ")))
+    val small = Seq((100L, "small", Seq.fill(10)("t").mkString(" ")))
+    val df = (big ++ small).toDF("doc_id", "lang", "text")
+    def rates(tau: Double) = TextOps.temperatureMix(
+      df, "doc_id", "text", col("lang"), budgetTokens = 600L, temperature = tau)
+      .select("stratum", "rate_e4").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = rates(1.0)  // proportional: both strata at B/N = 600/2010
+    val t2 = rates(2.0)  // sqrt-weighted: small stratum upweighted
+    // tau=1 is proportional: one uniform rate (the small stratum's lone
+    // doc may hash out of the sample entirely — only compare if present)
+    t1.get("small").foreach(s => assert(s === t1("big"),
+      s"tau=1 is proportional: $t1"))
+    assert(t2("small") > t1.getOrElse("small", t2("big")),
+      s"tau=2 must upweight the low-resource stratum: t1=$t1 t2=$t2")
+    assert(t2("small") === 10000L,
+      s"small stratum's sqrt share exceeds its own tokens -> keep all: $t2")
+    assert(t2("big") < t1("big"), s"budget shifts away from the big stratum: $t2")
+    // determinism: the kept id set is identical across runs
+    val k1 = TextOps.temperatureMix(df, "doc_id", "text", col("lang"), 600L, 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val k2 = TextOps.temperatureMix(df, "doc_id", "text", col("lang"), 600L, 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 === k2 && k1.nonEmpty)
+  }
+
   test("incrementalNearDedup: a verbatim repeat of history is dropped, " +
     "low-Jaccard overlap survives even when it band-collides, " +
     "unrelated docs survive untouched") {

@@ -370,6 +370,30 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(out(3L) === "unrelated text with no borrowed passage at all in it here")
   }
 
+  test("near_dedup_registry transform drops docs near-duplicating the " +
+    "historical corpus at history_path, keeps novel docs") {
+    import spark.implicits._
+    val histText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft_nr").toString
+    Seq((100L, histText))
+      .toDF("hid", "htext").write.mode("overwrite").parquet(s"$dir/hist")
+    Seq(
+      (1L, histText), // verbatim repeat of history → dropped
+      (2L, "a wholly novel document with entirely fresh content here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("nr"), Seq(
+      PipelineDef("nr", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          nearDedupRegistry = Some(NearDedupRegistryDef(
+            idField = "doc_id", textField = "text",
+            historyPath = s"$dir/hist",
+            historyIdField = "hid", historyTextField = "htext"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("nr").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L))
+  }
+
   test("lang_filter and quality_filter transforms curate by predicted language and score") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cur").toString
