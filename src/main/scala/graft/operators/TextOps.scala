@@ -729,9 +729,13 @@ object TextOps {
     * min-id owner, keep the (doc, pos) hits where the doc is NOT the
     * owner, and merge per-doc hits closer than `gap` grams into spans
     * (classic gaps-and-islands: one lag + one running sum + one group,
-    * all on the SAME doc-id partitioning — the whole report costs the
-    * fingerprint pass plus one fp-keyed aggregation, never a pair
-    * join, so it scales better than the pair search itself).
+    * all on the SAME doc-id partitioning). Measured
+    * (`bench_r10_newops_scale_probe.json`, warmup-deconfounded): the
+    * report costs ~1.08× the pair search at sf0.1 AND sf1 — the
+    * doc-keyed window passes buy back what skipping the pair join
+    * saves — but, having NO pair join, it cannot go quadratic on a
+    * degenerate fingerprint distribution, where the pair search
+    * leans on its df cap for that bound.
     * Spans supported by < minFps fingerprints are dropped (a single
     * shared fp is within hash-collision/boilerplate noise).
     *

@@ -430,7 +430,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dupSpans: fp-keyed attribution + doc-keyed islands, no pair join, " +
-    "no cartesian — the report costs strictly less than the pair search") {
+    "no cartesian") {
     val q = SparkEntry.queries("llm_dup_spans")(spark, "/root/testdata/sf0.001")
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
