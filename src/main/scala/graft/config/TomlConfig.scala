@@ -209,11 +209,101 @@ object TomlConfig {
       sampleData = arr(n.get("sample_data")).map(String.valueOf))
   }
 
+  /** Curation-extension tables (graft-specific, same keys as the JSON
+    * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
+    * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
+    * `lang_filter`, `quality_filter`, `sample` — reference-style TOML
+    * configs get the full LLM-curation transform surface too. */
+  private def parseCuration(n: Map[String, Any]): TransformDef => TransformDef = { base =>
+    val nd = tbl(n.get("near_dedup"))
+    val wd = tbl(n.get("winnow_dedup"))
+    val dc = tbl(n.get("decontaminate"))
+    val sd = tbl(n.get("strip_dup_spans"))
+    val nr = tbl(n.get("near_dedup_registry"))
+    val lf = tbl(n.get("lang_filter"))
+    val qf = tbl(n.get("quality_filter"))
+    val sa = tbl(n.get("sample"))
+    base.copy(
+      nearDedup =
+        if (nd.isEmpty) None
+        else Some(NearDedupDef(
+          idField = str(nd.get("id_field")).getOrElse(sys.error("near_dedup missing id_field")),
+          textField = str(nd.get("text_field")).getOrElse(sys.error("near_dedup missing text_field")),
+          shingleSize = long(nd.get("shingle_size")).getOrElse(2L).toInt)),
+      winnowDedup =
+        if (wd.isEmpty) None
+        else Some(WinnowDedupDef(
+          idField = str(wd.get("id_field")).getOrElse(sys.error("winnow_dedup missing id_field")),
+          textField = str(wd.get("text_field")).getOrElse(sys.error("winnow_dedup missing text_field")),
+          k = long(wd.get("k")).getOrElse(8L).toInt,
+          w = long(wd.get("w")).getOrElse(4L).toInt,
+          maxDocsPerFp = long(wd.get("max_docs_per_fp")).getOrElse(50L),
+          minShared = long(wd.get("min_shared")).getOrElse(2L),
+          minOverlap = dbl(wd.get("min_overlap")).getOrElse(0.5))),
+      decontaminate =
+        if (dc.isEmpty) None
+        else Some(DecontaminateDef(
+          idField = str(dc.get("id_field")).getOrElse(sys.error("decontaminate missing id_field")),
+          textField = str(dc.get("text_field")).getOrElse(sys.error("decontaminate missing text_field")),
+          benchPath = str(dc.get("bench_path")).getOrElse(sys.error("decontaminate missing bench_path")),
+          benchFormat = str(dc.get("bench_format")).getOrElse("parquet"),
+          benchIdField = str(dc.get("bench_id_field")).getOrElse(sys.error("decontaminate missing bench_id_field")),
+          benchTextField = str(dc.get("bench_text_field")).getOrElse(sys.error("decontaminate missing bench_text_field")),
+          n = long(dc.get("n")).getOrElse(3L).toInt,
+          minOverlapNgrams = long(dc.get("min_overlap_ngrams")).getOrElse(5L),
+          k = long(dc.get("k")).getOrElse(8L).toInt,
+          w = long(dc.get("w")).getOrElse(4L).toInt,
+          minContainment = dbl(dc.get("min_containment")).getOrElse(0.5))),
+      stripDupSpans =
+        if (sd.isEmpty) None
+        else Some(StripDupSpansDef(
+          idField = str(sd.get("id_field")).getOrElse(sys.error("strip_dup_spans missing id_field")),
+          textField = str(sd.get("text_field")).getOrElse(sys.error("strip_dup_spans missing text_field")),
+          k = long(sd.get("k")).getOrElse(8L).toInt,
+          w = long(sd.get("w")).getOrElse(4L).toInt,
+          maxDocsPerFp = long(sd.get("max_docs_per_fp")).getOrElse(50L),
+          gap = long(sd.get("gap")).getOrElse(32L),
+          minFps = long(sd.get("min_fps")).getOrElse(2L))),
+      nearDedupRegistry =
+        if (nr.isEmpty) None
+        else Some(NearDedupRegistryDef(
+          idField = str(nr.get("id_field")).getOrElse(sys.error("near_dedup_registry missing id_field")),
+          textField = str(nr.get("text_field")).getOrElse(sys.error("near_dedup_registry missing text_field")),
+          historyPath = str(nr.get("history_path")).getOrElse(sys.error("near_dedup_registry missing history_path")),
+          historyFormat = str(nr.get("history_format")).getOrElse("parquet"),
+          historyIdField = str(nr.get("history_id_field"))
+            .orElse(str(nr.get("id_field"))).getOrElse(sys.error("near_dedup_registry missing id fields")),
+          historyTextField = str(nr.get("history_text_field"))
+            .orElse(str(nr.get("text_field"))).getOrElse(sys.error("near_dedup_registry missing text fields")),
+          shingleSize = long(nr.get("shingle_size")).getOrElse(2L).toInt,
+          minJaccard = dbl(nr.get("min_jaccard")).getOrElse(0.5))),
+      langFilter =
+        if (lf.isEmpty) None
+        else Some(LangFilterDef(
+          field = str(lf.get("field")).getOrElse(sys.error("lang_filter missing field")),
+          allowed = strSeq(lf.get("allowed")))),
+      qualityFilter =
+        if (qf.isEmpty) None
+        else Some(QualityFilterDef(
+          field = str(qf.get("field")).getOrElse(sys.error("quality_filter missing field")),
+          min = dbl(qf.get("min")).getOrElse(0.0))),
+      sample =
+        if (sa.isEmpty) None
+        else Some(SampleDef(
+          idField = str(sa.get("id_field")).getOrElse(sys.error("sample missing id_field")),
+          strataField = str(sa.get("strata_field")).getOrElse(sys.error("sample missing strata_field")),
+          rates = tbl(sa.get("rates")).collect {
+            case (k, v: Long) => k -> v.toDouble
+            case (k, v: Double) => k -> v
+          },
+          defaultRate = dbl(sa.get("default_rate")).getOrElse(0.0))))
+  }
+
   private def parseTransform(n: Map[String, Any]): TransformDef = {
     val ops = tbl(n.get("operations"))
     val enrich = tbl(n.get("data_enrichment"))
     val interT = tbl(n.get("intermediate"))
-    TransformDef(
+    parseCuration(n)(TransformDef(
       fieldMapping = strMap(n.get("field_mapping")),
       keepOnlyFields = strSeq(ops.get("keep_only_fields")),
       excludeFields = strSeq(ops.get("exclude_fields")),
@@ -245,7 +335,7 @@ object TomlConfig {
           minRecords = long(v.get("min_records")),
           maxRecords = long(v.get("max_records"))))
         else None
-      })
+      }))
   }
 
   private def parseLoad(n: Map[String, Any]): LoadDef = {
@@ -306,6 +396,8 @@ object TomlConfig {
     v.collect { case s: String => s }
   private def long(v: Option[Any]): Option[Long] =
     v.collect { case l: Long => l; case d: Double => d.toLong }
+  private def dbl(v: Option[Any]): Option[Double] =
+    v.collect { case d: Double => d; case l: Long => l.toDouble }
   private def bool(v: Option[Any]): Option[Boolean] =
     v.collect { case b: Boolean => b }
   private def strSeq(v: Option[Any]): Seq[String] =

@@ -616,4 +616,61 @@ class TomlSpec extends AnyFunSuite {
       assert(metrics.contains(""""execution_id":"exec-toml""""))
     }
   }
+
+  test("curation-extension tables parse from TOML with the same keys as " +
+    "JSON: winnow_dedup, decontaminate, strip_dup_spans, " +
+    "near_dedup_registry, lang_filter, quality_filter, sample") {
+    val seq = TomlConfig.loadSequence(
+      """[[pipelines]]
+        |name = "curate"
+        |[pipelines.source]
+        |type = "file"
+        |path = "/tmp/docs"
+        |[pipelines.transform.winnow_dedup]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |k = 5
+        |min_overlap = 0.3
+        |[pipelines.transform.decontaminate]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |bench_path = "/tmp/bench"
+        |bench_id_field = "bid"
+        |bench_text_field = "btext"
+        |min_containment = 0.25
+        |[pipelines.transform.strip_dup_spans]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |gap = 16
+        |[pipelines.transform.near_dedup_registry]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |history_path = "/tmp/hist"
+        |min_jaccard = 0.7
+        |[pipelines.transform.lang_filter]
+        |field = "text"
+        |allowed = ["en", "de"]
+        |[pipelines.transform.quality_filter]
+        |field = "text"
+        |min = 0.4
+        |[pipelines.transform.sample]
+        |id_field = "doc_id"
+        |strata_field = "lang"
+        |default_rate = 0.1
+        |[pipelines.transform.sample.rates]
+        |en = 0.5
+        |""".stripMargin)
+    val t = seq.pipelines.head.transform
+    assert(t.winnowDedup.exists(w => w.k == 5 && w.minOverlap == 0.3
+      && w.w == 4 && w.maxDocsPerFp == 50L))
+    assert(t.decontaminate.exists(d => d.benchPath == "/tmp/bench"
+      && d.benchIdField == "bid" && d.minContainment == 0.25 && d.n == 3))
+    assert(t.stripDupSpans.exists(s => s.gap == 16L && s.k == 8 && s.minFps == 2L))
+    assert(t.nearDedupRegistry.exists(r => r.historyPath == "/tmp/hist"
+      && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
+    assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
+    assert(t.qualityFilter.exists(_.min == 0.4))
+    assert(t.sample.exists(s => s.rates == Map("en" -> 0.5)
+      && s.defaultRate == 0.1))
+  }
 }
