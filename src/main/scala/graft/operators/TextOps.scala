@@ -499,6 +499,39 @@ object TextOps {
           " ").as("chunk_text"))
   }
 
+  /** In-document segment dedup — the C4 "remove repeated lines within a
+    * document" rule for corpora whose unit is the word window rather
+    * than the line: split the doc into consecutive NON-overlapping
+    * `window`-word segments, drop every segment whose exact content
+    * already appeared earlier in the SAME doc, and reassemble the
+    * survivors in order. (Cross-doc repetition is [[stripBoilerplate]]'s
+    * job; this catches the crawler artifact of a page repeating its own
+    * content.) Output adds `n_dropped` = segments removed.
+    *
+    * Entirely per-row: higher-order array functions (sequence /
+    * transform / filter-with-index / array_contains on a prior slice) —
+    * NO shuffle, fuses with the scan like [[chunkDocs]]; the per-doc
+    * cost is O(segments²) string compares, bounded by the doc itself. */
+  def dedupDocSegments(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window > 0, s"segment window must be positive: $window")
+    val ws = split(col(textCol), " ")
+    val nseg = ceil(size(ws) / lit(window.toDouble)).cast("long")
+    val segs = transform(
+      sequence(lit(0L), nseg - 1L),
+      i => array_join(
+        slice(ws, (i * window + 1L).cast("int"), lit(window)), " "))
+    df
+      .withColumn("__segs", segs)
+      .withColumn("__kept", filter(col("__segs"),
+        (s, i) => !array_contains(slice(col("__segs"), lit(1), i), s)))
+      .withColumn("n_dropped",
+        (size(col("__segs")) - size(col("__kept"))).cast("long"))
+      .withColumn(textCol, array_join(col("__kept"), " "))
+      .drop("__segs", "__kept")
+  }
+
   /** Per-domain document cap — the web-corpus balance step: keep at
     * most `n` documents per domain, best-first by `scoreCol`
     * (deterministic id tiebreak). One keyed window = one shuffle on the

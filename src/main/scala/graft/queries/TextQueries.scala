@@ -620,6 +620,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- In-document segment dedup (C4 repeated-lines rule) ----------
+    // Non-overlapping 3-word segments; a segment repeating an EARLIER
+    // segment of the same doc is dropped, survivors reassemble in
+    // order. Pure per-row array ops on both engines — the oracle
+    // replays the segmentation, the first-occurrence filter, and the
+    // reassembly string-for-string.
+    QDef.sql(
+      "llm_dedup_segments",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |),
+         |segd AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0,
+         |        CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1),
+         |      i -> array_to_string(list_slice(ws, i*3 + 1, i*3 + 3), ' ')) AS segs
+         |  FROM w
+         |),
+         |kept AS (
+         |  SELECT doc_id, segs,
+         |    list_transform(
+         |      list_filter(generate_series(1, len(segs)),
+         |        i -> NOT list_contains(list_slice(segs, 1, i - 1), segs[i])),
+         |      i -> segs[i]) AS ks
+         |  FROM segd
+         |)
+         |SELECT doc_id, array_to_string(ks, ' ') AS text,
+         |       CAST(len(segs) - len(ks) AS BIGINT) AS n_dropped
+         |FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.dedupDocSegments(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", window = 3)
+        .orderBy("doc_id")
+    },
+
     // ----- Temperature-based mixture sampling (tau = 2) -----------------
     // The mT5/XLM-R recipe at its common tau=2: result token shares
     // follow sqrt(tokens_i), low-resource langs upweighted. tau=2 is

@@ -594,6 +594,26 @@ class OpsSpec extends AnyFunSuite {
     assert(spans(4L)(0)._2 < spans(4L)(1)._1, "spans must not overlap")
   }
 
+  test("dedupDocSegments: a repeated in-doc segment is dropped at its " +
+    "second occurrence, order and partial tails survive, clean docs pass " +
+    "unchanged, and the plan is shuffle-free") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      // segments (w=3): [a b c][d e f][a b c][g h] → 2nd "a b c" drops
+      (1L, "a b c d e f a b c g h"),
+      (2L, "one two three four five six seven"), // no repeats → unchanged
+      (3L, "x y z x y z x y z"))                 // 2 of 3 copies drop
+      .toDF("doc_id", "text")
+    val q = TextOps.dedupDocSegments(docs, "doc_id", "text", window = 3)
+    val m = q.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(m(1L) === (("a b c d e f g h", 1L)))
+    assert(m(2L) === (("one two three four five six seven", 0L)))
+    assert(m(3L) === (("x y z", 2L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"in-doc dedup must be per-row, no shuffle:\n$plan")
+  }
+
   test("stripDupSpans: the borrowed passage is excised from the RAW text " +
     "of the later doc, the owner and span-free docs pass byte-identical, " +
     "cut seams are whitespace-renormalized") {
