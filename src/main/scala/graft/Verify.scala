@@ -16,6 +16,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    spark.stop()
+  }
+
+  /** The dump body, session-agnostic (main owns the session lifecycle;
+    * tests drive this directly against the shared test session). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     // A failed query must land as a loud, machine-readable red marker —
     // an _ERROR file in the query's outDir slot plus a row in errors.json
@@ -57,6 +64,5 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: " +
         errors.keys.mkString(", "))
-    spark.stop()
   }
 }
