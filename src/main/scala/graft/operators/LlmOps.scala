@@ -511,9 +511,11 @@ object LlmOps {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Brute-force cosine top-k: every probe row scored against every
-    * candidate. The probe side is bounded (broadcast) so the plan is a
-    * single pass over the candidates — the correctness baseline the LSH
-    * path is judged against. Ties break on candidate id.
+    * candidate. The bounded PROBE side broadcasts and the candidate
+    * corpus STREAMS through in a single pass (same shape as
+    * [[quantizedTopK]]) — broadcasting the corpus instead would be an
+    * OOM at scale. This is the correctness baseline the LSH path is
+    * judged against. Ties break on candidate id.
     *
     * Zero-norm vectors are excluded from scoring (here and in every
     * similarity scorer below): cosine is undefined for them, and the
@@ -530,7 +532,7 @@ object LlmOps {
       .withColumn("pnrm", dot(col("pe"), col("pe")))
       .filter(col("pnrm") > 0)
     val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
-    val scored = probes.join(broadcast(v), col("probe_id") =!= col("cand_id"))
+    val scored = v.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), cosine.as("c"))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
@@ -570,11 +572,11 @@ object LlmOps {
     * float work is one sqrt+divide per surviving pair. Ranking is by
     * quantized cosine; ties break on candidate id.
     *
-    * Scale shape: the bounded PROBE side broadcasts (the reverse of
-    * [[cosineTopK]], which broadcasts candidates) so the candidate
-    * corpus streams through in one pass with no shuffle before the
-    * per-probe top-k window. Compose with [[lshBucket]] the same way
-    * annTopKLsh does when even one pass is too much. */
+    * Scale shape: the bounded PROBE side broadcasts (same shape as
+    * [[cosineTopK]]) so the candidate corpus streams through in one
+    * pass with no shuffle before the per-probe top-k window. Compose
+    * with [[lshBucket]] the same way annTopKLsh does when even one
+    * pass is too much. */
   def quantizedTopK(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column, k: Int): DataFrame = {

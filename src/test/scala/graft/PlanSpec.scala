@@ -459,4 +459,29 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
       s"registry sets must broadcast (eval suites are tiny):\n$plan")
   }
+
+  test("cosineTopK (LS1) broadcasts the bounded PROBE side, never the " +
+    "candidate corpus — the corpus streams through in one pass") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    val q = SparkEntry.queries("llm_cosine_topk")(spark, "/root/testdata/sf0.001")
+    q.collect() // finalize under AQE
+    // walk through the AQE/query-stage wrappers that plain collect() treats
+    // as leaves, gathering the output columns of every broadcast exchange
+    def broadcasts(p: SparkPlan): Seq[Set[String]] = p match {
+      case a: AdaptiveSparkPlanExec => broadcasts(a.executedPlan)
+      case s: QueryStageExec => broadcasts(s.plan)
+      case r: ReusedExchangeExec => broadcasts(r.child)
+      case b: BroadcastExchangeLike =>
+        b.output.map(_.name).toSet +: b.children.flatMap(broadcasts)
+      case other => other.children.flatMap(broadcasts)
+    }
+    val exchanges = broadcasts(q.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected a broadcast exchange in LS1's plan")
+    exchanges.foreach { cols =>
+      assert(cols.contains("probe_id") && !cols.contains("cand_id"),
+        s"broadcast side must be the probe relation, got columns $cols")
+    }
+  }
 }
