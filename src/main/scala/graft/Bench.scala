@@ -69,12 +69,23 @@ object Bench {
     // BENCH_r09.json kept only 60/111 timings), so the committed artifact
     // must not depend on capture length. Default lands IN the repo so every
     // driver bench run leaves a lossless committed-able twin.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LAST_FULL.json")
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      // resolve against the working directory, not a hardcoded checkout
+      // path, so the lossless twin lands in whatever repo root ran us
+      java.nio.file.Paths.get("BENCH_LAST_FULL.json").toAbsolutePath.toString)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
+    // Tail-proof headline: log-tail capture keeps the END of stdout, so
+    // the LAST line is a compact (<200 byte) summary that survives any
+    // truncation; the full per-query data lives in the line above and in
+    // the BENCH_LAST_FULL.json twin.
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+    println(s"""{"total_s":${r2(total)},"n_queries":${results.size},""" +
+      s""""n_failed":${results.count(_._2 < 0)},"slowest_5":$slowest5}""")
   }
 }
