@@ -39,6 +39,15 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: $msg")
         errors(name) = msg
         val slot = Paths.get(outDir, name)
+        // A failure before the overwrite-write truncated the slot would
+        // leave a PREVIOUS run's green parquet next to the new _ERROR;
+        // clear the slot first so a failed slot contains only the marker.
+        if (Files.isDirectory(slot)) {
+          val walk = Files.walk(slot)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .filter(p => p != slot).forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
         Files.createDirectories(slot)
         Files.writeString(slot.resolve("_ERROR"), msg + "\n")
       }

@@ -223,15 +223,21 @@ object TomlConfig {
     val lf = tbl(n.get("lang_filter"))
     val qf = tbl(n.get("quality_filter"))
     val sa = tbl(n.get("sample"))
+    // A DECLARED curation table with no keys (e.g. an empty
+    // `[pipelines.transform.decontaminate]`) is a config mistake, not an
+    // absent stage: parse it anyway so the missing-required-field errors
+    // fire instead of silently skipping the stage the user asked for.
+    def declared(key: String, t: Map[String, Any]): Boolean =
+      n.contains(key) || t.nonEmpty
     base.copy(
       nearDedup =
-        if (nd.isEmpty) None
+        if (!declared("near_dedup", nd)) None
         else Some(NearDedupDef(
           idField = str(nd.get("id_field")).getOrElse(sys.error("near_dedup missing id_field")),
           textField = str(nd.get("text_field")).getOrElse(sys.error("near_dedup missing text_field")),
           shingleSize = long(nd.get("shingle_size")).getOrElse(2L).toInt)),
       winnowDedup =
-        if (wd.isEmpty) None
+        if (!declared("winnow_dedup", wd)) None
         else Some(WinnowDedupDef(
           idField = str(wd.get("id_field")).getOrElse(sys.error("winnow_dedup missing id_field")),
           textField = str(wd.get("text_field")).getOrElse(sys.error("winnow_dedup missing text_field")),
@@ -241,7 +247,7 @@ object TomlConfig {
           minShared = long(wd.get("min_shared")).getOrElse(2L),
           minOverlap = dbl(wd.get("min_overlap")).getOrElse(0.5))),
       decontaminate =
-        if (dc.isEmpty) None
+        if (!declared("decontaminate", dc)) None
         else Some(DecontaminateDef(
           idField = str(dc.get("id_field")).getOrElse(sys.error("decontaminate missing id_field")),
           textField = str(dc.get("text_field")).getOrElse(sys.error("decontaminate missing text_field")),
@@ -255,7 +261,7 @@ object TomlConfig {
           w = long(dc.get("w")).getOrElse(4L).toInt,
           minContainment = dbl(dc.get("min_containment")).getOrElse(0.5))),
       stripDupSpans =
-        if (sd.isEmpty) None
+        if (!declared("strip_dup_spans", sd)) None
         else Some(StripDupSpansDef(
           idField = str(sd.get("id_field")).getOrElse(sys.error("strip_dup_spans missing id_field")),
           textField = str(sd.get("text_field")).getOrElse(sys.error("strip_dup_spans missing text_field")),
@@ -265,7 +271,7 @@ object TomlConfig {
           gap = long(sd.get("gap")).getOrElse(32L),
           minFps = long(sd.get("min_fps")).getOrElse(2L))),
       nearDedupRegistry =
-        if (nr.isEmpty) None
+        if (!declared("near_dedup_registry", nr)) None
         else Some(NearDedupRegistryDef(
           idField = str(nr.get("id_field")).getOrElse(sys.error("near_dedup_registry missing id_field")),
           textField = str(nr.get("text_field")).getOrElse(sys.error("near_dedup_registry missing text_field")),
@@ -278,17 +284,17 @@ object TomlConfig {
           shingleSize = long(nr.get("shingle_size")).getOrElse(2L).toInt,
           minJaccard = dbl(nr.get("min_jaccard")).getOrElse(0.5))),
       langFilter =
-        if (lf.isEmpty) None
+        if (!declared("lang_filter", lf)) None
         else Some(LangFilterDef(
           field = str(lf.get("field")).getOrElse(sys.error("lang_filter missing field")),
           allowed = strSeq(lf.get("allowed")))),
       qualityFilter =
-        if (qf.isEmpty) None
+        if (!declared("quality_filter", qf)) None
         else Some(QualityFilterDef(
           field = str(qf.get("field")).getOrElse(sys.error("quality_filter missing field")),
           min = dbl(qf.get("min")).getOrElse(0.0))),
       sample =
-        if (sa.isEmpty) None
+        if (!declared("sample", sa)) None
         else Some(SampleDef(
           idField = str(sa.get("id_field")).getOrElse(sys.error("sample missing id_field")),
           strataField = str(sa.get("strata_field")).getOrElse(sys.error("sample missing strata_field")),
@@ -395,7 +401,13 @@ object TomlConfig {
   private def str(v: Option[Any]): Option[String] =
     v.collect { case s: String => s }
   private def long(v: Option[Any]): Option[Long] =
-    v.collect { case l: Long => l; case d: Double => d.toLong }
+    v.collect {
+      case l: Long => l
+      // TOML floats only coerce when integral — k = 8.9 must fail loud,
+      // not silently truncate to 8
+      case d: Double if d.isWhole => d.toLong
+      case d: Double => sys.error(s"expected an integer value, got $d")
+    }
   private def dbl(v: Option[Any]): Option[Double] =
     v.collect { case d: Double => d; case l: Long => l.toDouble }
   private def bool(v: Option[Any]): Option[Boolean] =

@@ -522,13 +522,19 @@ object TextOps {
       sequence(lit(0L), nseg - 1L),
       i => array_join(
         slice(ws, (i * window + 1L).cast("int"), lit(window)), " "))
+    // NULL text propagates as NULL (matching SQL semantics): Spark's
+    // size(split(null)) = -1 path would otherwise fabricate text="" with
+    // a nonsense n_dropped where the oracle returns NULL.
     df
       .withColumn("__segs", segs)
       .withColumn("__kept", filter(col("__segs"),
         (s, i) => !array_contains(slice(col("__segs"), lit(1), i), s)))
       .withColumn("n_dropped",
-        (size(col("__segs")) - size(col("__kept"))).cast("long"))
-      .withColumn(textCol, array_join(col("__kept"), " "))
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise((size(col("__segs")) - size(col("__kept"))).cast("long")))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(col("__kept"), " ")))
       .drop("__segs", "__kept")
   }
 
@@ -820,53 +826,41 @@ object TextOps {
     *
     * The spans live in NORMALIZED coordinates (position among the
     * `[a-z0-9]` chars), so excision maps them back through the raw
-    * text: a raw char's normalized index n(i) is the count of kept
-    * chars in the prefix up to i (a per-doc running sum — one keyed
-    * window over exploded chars, the same cost family as the
-    * fingerprint pass itself). Raw char i is cut when it IS a kept
-    * char inside a span (n(i) ∈ [start, end]) or a separator strictly
+    * text inside [[graft.functions.ExciseSpans]] — one codegen'd
+    * imperative pass per document that maintains the running
+    * kept-char count n(i) and cuts a raw char when it IS a kept char
+    * inside a span (n(i) ∈ [start, end]) or a separator strictly
     * interior to one (n(i) ∈ [start, end-1] for non-kept chars —
     * punctuation/space between two excised chars goes with them; the
     * separators at the span's outer boundary stay). Docs that carry at
     * least one cut are then whitespace-renormalized (`\s+`→single
     * space, trimmed) so the cut seams don't leave double spaces;
-    * span-free docs pass through BYTE-IDENTICAL (no explode, no
-    * rewrite — the common case costs the anti-join probe only).
+    * span-free docs pass through BYTE-IDENTICAL (no rewrite — the
+    * common case costs the anti-join probe only). The per-row pass
+    * replaced a per-char posexplode + unbounded-preceding window
+    * keyed only on the doc id: that shape serialized every dirty doc
+    * through ONE partition at one-row-per-char, a spill/OOM skew for
+    * a single tens-of-MB document; the expression costs O(len) on the
+    * partition the doc already occupies.
     *
     * Output: the input frame with `textCol` replaced by the cleaned
     * text. Deterministic given the corpus (owner choice is min-id). */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocsPerFp: Long = 50,
       gap: Long = 32, minFps: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = dupSpans(df, idCol, textCol, k, w, maxDocsPerFp, gap, minFps)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
     val dirty = df.join(spans, Seq(idCol))
     val clean = df.join(spans.select(idCol), Seq(idCol), "left_anti")
-    // explode raw chars; n(i) = running count of normalization-kept chars
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__i"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = lower(col("__c")).rlike("[a-z0-9]")
-    val inSpan = exists(col("__spans"), sp =>
-      col("__n") >= sp("span_start") && col("__n") <= sp("span_end"))
-    val interior = exists(col("__spans"), sp =>
-      col("__n") >= sp("span_start") && col("__n") <= sp("span_end") - 1)
-    val rebuilt = dirty
-      .select(col(idCol), col("__spans"),
-        posexplode(split(col(textCol), "")).as(Seq("__i", "__c")))
-      .withColumn("__n", sum(when(kept, 1L).otherwise(0L)).over(byPos))
-      .filter(!when(kept, inSpan).otherwise(interior))
-      .groupBy(col(idCol))
-      .agg(trim(regexp_replace(
-        array_join(transform(
-          array_sort(collect_list(struct(col("__i"), col("__c")))),
-          x => x("__c")), ""),
-        "\\s+", " ")).as("__clean"))
-    val cleaned = dirty.join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__clean"), lit("")))
-      .drop("__spans", "__clean")
+    val excised = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ExciseSpans(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__spans"))))
+    val cleaned = dirty
+      .withColumn(textCol, trim(regexp_replace(excised, "\\s+", " ")))
+      .drop("__spans")
     clean.unionByName(
       cleaned.select(clean.columns.map(col).toIndexedSeq: _*))
   }

@@ -639,5 +639,56 @@ class OpsSpec extends AnyFunSuite {
     // must remove most of the 60-char passage
     assert(out(2L).length < docs.collect()(1).getString(1).length - 40,
       s"most of the borrowed passage must be gone: '${out(2L)}'")
+    // the rewrite is a per-row expression: the only Generate (explode)
+    // nodes are the fingerprint pass's own gram-index explodes — the
+    // per-char posexplode this replaced would add extra ones
+    def nGen(p: String) = "Generate".r.findAllIn(p).length
+    val stripPlan = TextOps.stripDupSpans(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocsPerFp = 10, gap = 32, minFps = 2)
+      .queryExecution.executedPlan.toString
+    val spansPlan = TextOps.dupSpans(docs, "doc_id", "text",
+      k = 8, w = 4, maxDocsPerFp = 10, gap = 32, minFps = 2)
+      .queryExecution.executedPlan.toString
+    assert(nGen(stripPlan) <= 2 * nGen(spansPlan),
+      s"span excision must not explode chars (clean + dirty branches " +
+        s"each embed one fingerprint pass):\n$stripPlan")
+    assert(!stripPlan.contains("split(text"),
+      s"no per-char split of the raw text in the excision plan:\n$stripPlan")
+  }
+
+  test("dedupDocSegments: NULL text propagates as NULL (no fabricated " +
+    "empty string), non-null rows are unaffected") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b c a b c"), (2L, null))
+      .toDF("doc_id", "text")
+    val m = TextOps.dedupDocSegments(docs, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(m(1L) === (("a b c", 1L)))
+    assert(m(2L) === ((null, null)))
+  }
+
+  test("ExciseSpans kernel: kept chars cut inside [start,end], separators " +
+    "cut only strictly interior, boundary separators and outside text stay") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(text: String, spans: (Long, Long)*): String =
+      graft.functions.ExciseSpans.excise(
+        UTF8String.fromString(text),
+        new GenericArrayData(spans.map { case (s, e) =>
+          InternalRow(s, e) }.toArray[Any])).toString
+    // normalized coords over "abcdefgh": cut kept chars 3..5 (c,d,e);
+    // the space between c and d is interior → cut; the spaces at the
+    // span boundary (after b, after e) stay
+    assert(run("ab c d e fgh", (3L, 5L)) === "ab  fgh")
+    // no spans → byte-identical
+    assert(run("ab c d e fgh") === "ab c d e fgh")
+    // span covering everything → only non-interior seps could survive
+    assert(run("abc", (1L, 3L)) === "")
+    // case-insensitive kept chars, digits count
+    assert(run("A1 B2 C3", (2L, 4L)) === "A C3")
+    // two disjoint spans
+    assert(run("a b c d e f", (2L, 2L), (5L, 5L)) === "a  c d  f")
   }
 }

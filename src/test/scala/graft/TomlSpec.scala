@@ -673,4 +673,33 @@ class TomlSpec extends AnyFunSuite {
     assert(t.sample.exists(s => s.rates == Map("en" -> 0.5)
       && s.defaultRate == 0.1))
   }
+
+  test("a non-integral TOML float in an integer slot fails loud instead " +
+    "of silently truncating") {
+    val e = intercept[RuntimeException](TomlConfig.loadSequence(
+      """[[pipelines]]
+        |name = "p"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/x"
+        |[pipelines.transform.winnow_dedup]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |k = 8.9
+        |""".stripMargin, env = Map.empty))
+    assert(e.getMessage.contains("expected an integer"), e.getMessage)
+  }
+
+  test("a DECLARED but empty curation table errors on its missing " +
+    "required fields instead of silently skipping the stage") {
+    val e = intercept[RuntimeException](TomlConfig.loadSequence(
+      """[[pipelines]]
+        |name = "p"
+        |[pipelines.source]
+        |type = "api"
+        |endpoint = "http://h/x"
+        |[pipelines.transform.decontaminate]
+        |""".stripMargin, env = Map.empty))
+    assert(e.getMessage.contains("decontaminate missing"), e.getMessage)
+  }
 }

@@ -15,7 +15,20 @@ class VerifyErrorPathSpec extends AnyFunSuite {
     "errors.json entry, with oracle_sql.json still written") {
     val bogusSf = java.nio.file.Files.createTempDirectory("graft_vesf").toString
     val out = java.nio.file.Files.createTempDirectory("graft_veout").toString
+    // Pre-populate one slot with a previous "green" run's files: a failed
+    // slot must be CLEARED down to the _ERROR marker, or a compare loop
+    // keyed on parquet presence would read the stale result as a pass.
+    val staleName = SparkEntry.queries.keys.head
+    val staleSlot = java.nio.file.Paths.get(out, staleName)
+    java.nio.file.Files.createDirectories(staleSlot.resolve("nested"))
+    java.nio.file.Files.writeString(
+      staleSlot.resolve("part-00000.parquet"), "stale")
+    java.nio.file.Files.writeString(
+      staleSlot.resolve("nested").resolve("_SUCCESS"), "")
     Verify.run(spark, bogusSf, out)
+    assert(java.nio.file.Files.list(staleSlot).toArray.toSeq
+      .map(_.toString.split('/').last) == Seq("_ERROR"),
+      "a failed slot must contain ONLY the _ERROR marker")
     val errJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$out/errors.json"))
     SparkEntry.queries.keys.foreach { name =>
