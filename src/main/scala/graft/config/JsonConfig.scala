@@ -203,6 +203,20 @@ object JsonConfig {
         field = str(qf.path("field")).getOrElse(sys.error("quality_filter missing field")),
         min = if (qf.path("min").isNumber) qf.path("min").asDouble() else 0.0))
     } else None,
+    classifierFilter = if (n.path("classifier_filter").isObject) {
+      val cf = n.path("classifier_filter")
+      def num(key: String, dflt: Double): Double =
+        if (cf.path(key).isNumber) cf.path(key).asDouble() else dflt
+      Some(ClassifierFilterDef(
+        idField = str(cf.path("id_field")).getOrElse(sys.error("classifier_filter missing id_field")),
+        textField = str(cf.path("text_field")).getOrElse(sys.error("classifier_filter missing text_field")),
+        weightsPath = str(cf.path("weights_path")).getOrElse(sys.error("classifier_filter missing weights_path")),
+        weightsFormat = str(cf.path("weights_format")).getOrElse("parquet"),
+        nBuckets = int(cf.path("n_buckets")).getOrElse(1024),
+        scale = num("scale", 1000.0),
+        bias = num("bias", 0.0),
+        min = num("min", 0.5)))
+    } else None,
     sample = if (n.path("sample").isObject) {
       val sd = n.path("sample")
       Some(SampleDef(

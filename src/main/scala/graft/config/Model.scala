@@ -137,6 +137,10 @@ final case class TransformDef(
     /** LLM-extension: keep only docs whose LT2 quality score over
       * `field` clears `min`. */
     qualityFilter: Option[QualityFilterDef] = None,
+    /** LLM-extension: keep only docs whose hashed-linear classifier
+      * score (fastText-style model at `weightsPath`) clears `min`;
+      * the score lands as a `classifier_score` column. */
+    classifierFilter: Option[ClassifierFilterDef] = None,
     /** LLM-extension: deterministic per-stratum hash sampling (LT8). */
     sample: Option[SampleDef] = None,
     addProcessedFlags: Boolean = true,
@@ -233,6 +237,22 @@ final case class NearDedupRegistryDef(
 final case class LangFilterDef(field: String, allowed: Seq[String])
 
 final case class QualityFilterDef(field: String, min: Double)
+
+/** LLM-extension: hashed-linear classifier filter inside a pipeline's
+  * transform — fastText-style quality gating: score each row's
+  * `textField` with a logistic regression over a hashed bag-of-words
+  * (fixed-point integer weight table loaded from `weightsPath`,
+  * broadcast; see TextOps.classifierScore) and keep rows with
+  * score >= min. The score is attached as `classifier_score`. */
+final case class ClassifierFilterDef(
+    idField: String,
+    textField: String,
+    weightsPath: String,
+    weightsFormat: String = "parquet",
+    nBuckets: Int = 1024,
+    scale: Double = 1000.0,
+    bias: Double = 0.0,
+    min: Double = 0.5)
 
 /** LLM-extension: deterministic stratified sampling inside a pipeline's
   * transform — the data-mixing step ("keep 50% of en, 10% of the

@@ -212,7 +212,8 @@ object TomlConfig {
   /** Curation-extension tables (graft-specific, same keys as the JSON
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
-    * `lang_filter`, `quality_filter`, `sample` — reference-style TOML
+    * `lang_filter`, `quality_filter`, `classifier_filter`, `sample` —
+    * reference-style TOML
     * configs get the full LLM-curation transform surface too. */
   private def parseCuration(n: Map[String, Any]): TransformDef => TransformDef = { base =>
     val nd = tbl(n.get("near_dedup"))
@@ -222,6 +223,7 @@ object TomlConfig {
     val nr = tbl(n.get("near_dedup_registry"))
     val lf = tbl(n.get("lang_filter"))
     val qf = tbl(n.get("quality_filter"))
+    val cf = tbl(n.get("classifier_filter"))
     val sa = tbl(n.get("sample"))
     // A DECLARED curation table with no keys (e.g. an empty
     // `[pipelines.transform.decontaminate]`) is a config mistake, not an
@@ -293,6 +295,17 @@ object TomlConfig {
         else Some(QualityFilterDef(
           field = str(qf.get("field")).getOrElse(sys.error("quality_filter missing field")),
           min = dbl(qf.get("min")).getOrElse(0.0))),
+      classifierFilter =
+        if (!declared("classifier_filter", cf)) None
+        else Some(ClassifierFilterDef(
+          idField = str(cf.get("id_field")).getOrElse(sys.error("classifier_filter missing id_field")),
+          textField = str(cf.get("text_field")).getOrElse(sys.error("classifier_filter missing text_field")),
+          weightsPath = str(cf.get("weights_path")).getOrElse(sys.error("classifier_filter missing weights_path")),
+          weightsFormat = str(cf.get("weights_format")).getOrElse("parquet"),
+          nBuckets = long(cf.get("n_buckets")).getOrElse(1024L).toInt,
+          scale = dbl(cf.get("scale")).getOrElse(1000.0),
+          bias = dbl(cf.get("bias")).getOrElse(0.0),
+          min = dbl(cf.get("min")).getOrElse(0.5))),
       sample =
         if (!declared("sample", sa)) None
         else Some(SampleDef(

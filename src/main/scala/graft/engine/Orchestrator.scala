@@ -536,6 +536,18 @@ object Orchestrator {
       df = df.filter(
         graft.operators.TextOps.qualityScore(col(qf.field)) >= qf.min)
     }
+    t.classifierFilter.foreach { cf =>
+      val weights = spark.read.format(cf.weightsFormat)
+        .options(if (cf.weightsFormat == "csv") Map("header" -> "true")
+                 else Map.empty[String, String])
+        .load(cf.weightsPath)
+      val scores = graft.operators.TextOps.classifierScore(
+        df, cf.idField, cf.textField, weights,
+        cf.nBuckets, cf.scale, cf.bias)
+        .select(col(cf.idField), col("score").as("classifier_score"))
+      df = df.join(scores, Seq(cf.idField))
+        .filter(col("classifier_score") >= cf.min)
+    }
     t.sample.foreach { sd =>
       df = graft.operators.TextOps.stratifiedSample(
         df, sd.idField, col(sd.strataField), sd.rates, sd.defaultRate)

@@ -864,6 +864,49 @@ object TextOps {
     clean.unionByName(
       cleaned.select(clean.columns.map(col).toIndexedSeq: _*))
   }
+
+  /** Hashed-linear text-classifier inference — the fastText-style
+    * quality-filter slot of a curation pipeline: per document,
+    * score = sigmoid(bias + (Σ_tokens w[h(token)]) / scale / n_tokens),
+    * i.e. a logistic regression over a hashed bag-of-words with mean
+    * pooling. Feature hashing is the engine's deterministic
+    * [[LlmOps.strHash]] (PolyHash) mod `nBuckets`; the weight table is
+    * FIXED-POINT INTEGERS (micro-units, divided by `scale` exactly once
+    * at the end), so the per-doc accumulation is an integer sum —
+    * order-independent by construction, bit-reproducible across
+    * partitionings and engines without any sorted-fold machinery. The
+    * only float ops are one divide and one sigmoid per document.
+    *
+    * Scale shape: the model broadcasts (a quantized fastText-class
+    * table is MBs even at 2M buckets); the corpus explodes to tokens,
+    * map-side-joins the weights, and partial-aggregates into ONE keyed
+    * shuffle on the doc id with bounded per-doc state. Tokens hashing
+    * to a bucket absent from the table contribute weight 0.
+    *
+    * Output: (idCol, n_tokens, w_sum, score) — w_sum is the
+    * integer-exact accumulator (strong oracle signal), score is rounded
+    * to 6 decimals. */
+  def classifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, nBuckets: Int,
+      scale: Double = 1000.0, bias: Double = 0.0): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(scale > 0, s"scale must be positive: $scale")
+    val toks = df
+      .select(col(idCol), explode(LlmOps.words(col(textCol))).as("__w"))
+      .select(col(idCol),
+        pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong)).as("bucket"))
+    val logit = lit(bias) +
+      col("w_sum").cast("double") / lit(scale) / col("n_tokens")
+    toks
+      .join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w"), lit(0L))).as("w_sum"))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
+      .select(col(idCol), col("n_tokens"), col("w_sum"), col("score"))
+  }
 }
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque

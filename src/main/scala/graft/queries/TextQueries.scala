@@ -1044,6 +1044,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Hashed-linear classifier inference (fastText-style filter) --
+    // Logistic regression over a hashed bag-of-words with mean pooling:
+    // score = sigmoid((Σ w[polyhash(tok) % 1024]) / 1000 / n_tokens).
+    // Weights are fixed-point INTEGERS (micro-units), so the per-doc
+    // accumulation is an order-independent integer sum — both engines
+    // agree exactly; the only float ops are the final divide + sigmoid,
+    // rounded to 6. The deterministic LCG weight table stands in for a
+    // trained model (same plan shape: broadcast table, one keyed agg).
+    QDef.sql(
+      "llm_classifier",
+      s"""WITH wt AS (
+         |  SELECT CAST(i AS BIGINT) AS bucket,
+         |         CAST((i * 1103515245 + 12345) % 2001 - 1000 AS BIGINT) AS w
+         |  FROM generate_series(0, 1023) t(i)
+         |),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents
+         |),
+         |hb AS (
+         |  SELECT doc_id, ${duckHash("tok")} % 1024 AS bucket FROM toks
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS w_sum
+         |  FROM hb LEFT JOIN wt USING (bucket) GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, w_sum,
+         |  round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / 1000.0
+         |                           / n_tokens))), 6) AS score
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val weights = s.range(1024).select(col("id").as("bucket"),
+        ((col("id") * 1103515245L + 12345L) % 2001L - 1000L).as("w"))
+      TextOps.classifierScore(t(s, dir, "documents"), "doc_id", "text",
+        weights, nBuckets = 1024, scale = 1000.0, bias = 0.0)
+        .orderBy("doc_id")
+    },
+
     // ----- End-to-end curation pipeline (the production composition) ---
     // boilerplate-strip → langid+quality filter → exact dedup →
     // MinHash-CC near-dedup → stratified mix → holdout split, composed

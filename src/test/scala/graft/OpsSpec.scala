@@ -691,4 +691,31 @@ class OpsSpec extends AnyFunSuite {
     // two disjoint spans
     assert(run("a b c d e f", (2L, 2L), (5L, 5L)) === "a  c d  f")
   }
+
+  test("classifierScore: integer w_sum is exact, unseen buckets weigh 0, " +
+    "mean-pooled sigmoid matches the closed form, weight table broadcasts") {
+    import graft.operators.TextOps
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(w: String): Long =
+      graft.functions.PolyHash.hashUtf8(UTF8String.fromString(w)) % 1024L
+    val docs = Seq(
+      (1L, "Alpha beta"),       // words() lowercases: both weighted
+      (2L, "alpha unseen"),     // one weighted, one miss (0)
+      (3L, "unseen unknown"))   // all misses → logit = bias
+      .toDF("doc_id", "text")
+    val weights = Seq((bucket("alpha"), 2000L), (bucket("beta"), -500L))
+      .toDF("bucket", "w")
+    val q = TextOps.classifierScore(docs, "doc_id", "text", weights,
+      nBuckets = 1024, scale = 1000.0, bias = 0.0)
+    val m = q.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def sig(x: Double) = math.rint(1.0 / (1.0 + math.exp(-x)) * 1e6) / 1e6
+    assert(m(1L) === ((2L, 1500L, sig(1500.0 / 1000 / 2))))
+    assert(m(2L) === ((2L, 2000L, sig(2000.0 / 1000 / 2))))
+    assert(m(3L) === ((2L, 0L, 0.5)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast:\n$plan")
+  }
 }

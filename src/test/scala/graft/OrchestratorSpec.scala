@@ -413,6 +413,35 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L))
   }
 
+  test("classifier_filter transform scores rows with the hashed-linear " +
+    "model at weights_path and keeps only those clearing min, attaching " +
+    "classifier_score") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    def bucket(w: String): Long =
+      graft.functions.PolyHash.hashUtf8(UTF8String.fromString(w)) % 1024L
+    val good = Seq("alpha", "beta", "gamma")
+    val bad = Seq("noise", "junk", "spam")
+    assert((good ++ bad).map(bucket).distinct.size === 6,
+      "test words must hash to distinct buckets")
+    (good.map(w => (bucket(w), 5000L)) ++ bad.map(w => (bucket(w), -5000L)))
+      .toDF("bucket", "w").write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((1L, "alpha beta gamma"), (2L, "noise junk spam"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("clf"), Seq(
+      PipelineDef("clf", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          classifierFilter = Some(ClassifierFilterDef(
+            idField = "doc_id", textField = "text",
+            weightsPath = s"$dir/weights", min = 0.5))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("clf").df.get.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    // logit = 3*5000/1000/3 = 5 → sigmoid(5) ≈ 0.993307
+    assert(out.head.getAs[Double]("classifier_score") === 0.993307)
+  }
+
   test("transform.sample: config-level stratified sampling keeps the " +
     "deterministic per-stratum subset") {
     import spark.implicits._
