@@ -467,6 +467,51 @@ object TextOps {
         floor(col("offset") / lit(budget.toDouble)).cast("long").as("seq_no"))
   }
 
+  /** Deterministic epoch shuffle — the training-data ordering step:
+    * give every document a pseudo-random but exactly reproducible
+    * global position for one training epoch. The shuffle key is the
+    * engine's polynomial hash of `salt ":" id` passed through the
+    * mixBucket multiplicative scramble (`h * 2654435761 mod 2^32`) —
+    * the raw polynomial hash is nearly ORDER-PRESERVING for
+    * same-length numeric suffixes (consecutive ids differ only in the
+    * last digits' small contribution), so without the avalanche step
+    * the "shuffle" would largely reproduce id order. No RNG, no seed
+    * plumbing. Documents order globally by (key, id) and the key
+    * space [0, 2^32) is cut into `nShards` contiguous ranges
+    * (`shard = key * nShards div 2^32` — exact integer arithmetic,
+    * replayable anywhere), so the global order IS (shard asc, pos asc)
+    * and each shard is an independent unit of work. `pos` is the
+    * 1-based rank within the shard.
+    *
+    * Distinct salts give independent permutations (epoch 1, 2, …);
+    * reruns — and engine/partitioning changes — reproduce the epoch
+    * bit-identically, the property a resumable training job needs to
+    * skip to mid-epoch without storing the order.
+    *
+    * Scale shape: per-row key hashing fused with the scan, ONE keyed
+    * shuffle on the shard id, per-shard sort of ~N/nShards rows (grow
+    * nShards with the corpus; shards are the physical shard files).
+    * Composes with [[packSequences]]: pass `shard` as the shard column
+    * and `pos` as the order column and sequences land in shuffled,
+    * reproducible order. */
+  def epochShuffle(
+      df: DataFrame, idCol: String, salt: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // nShards * key must stay in long range: key < 2^32, so cap shards
+    require(nShards > 0 && nShards < (1 << 30),
+      s"nShards out of range: $nShards")
+    val key = LlmOps.strHash(
+      concat_ws(":", lit(salt), col(idCol).cast("string"))) *
+      lit(2654435761L) % lit(4294967296L)
+    val w = Window.partitionBy("shard")
+      .orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        expr(s"shuffle_key * ${nShards}L div 4294967296L"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Overlapping word-window chunking — the RAG/indexing prep step:
     * split each document into `window`-word chunks advancing by
     * `stride` words (overlap = window - stride keeps context at chunk

@@ -775,6 +775,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Deterministic epoch shuffle (training-data ordering) --------
+    // Global pseudo-random order by the avalanched hash of
+    // "epoch1:" || id (polyhash then the mixBucket multiplicative
+    // scramble — the raw polynomial hash is nearly order-preserving on
+    // numeric ids), key space cut into 16 contiguous shard ranges by
+    // exact integer arithmetic, 1-based rank within shard. Both engines
+    // replay the hash-sort exactly — the reproducibility a resumable
+    // training job relies on.
+    QDef.sql(
+      "llm_epoch_shuffle",
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |         ${duckHash("'epoch1:' || CAST(doc_id AS VARCHAR)")}
+         |           * 2654435761 % 4294967296 AS shuffle_key
+         |  FROM documents
+         |),
+         |s AS (
+         |  SELECT doc_id, shuffle_key,
+         |         CAST(shuffle_key * 16 // 4294967296 AS BIGINT) AS shard
+         |  FROM k
+         |)
+         |SELECT doc_id, shuffle_key, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      TextOps.epochShuffle(
+        t(s, dir, "documents").select("doc_id"),
+        "doc_id", salt = "epoch1", nShards = 16)
+        .orderBy("shard", "pos")
+    },
+
     // ----- Multimodal frame sampling (no decode) -----------------------
     // Uniformly-strided sample of 4 frame indices out of each payload's
     // stub-derived frame count — pure column arithmetic on both engines,

@@ -677,6 +677,58 @@ class LlmOpsSpec extends AnyFunSuite {
       TextOps.holdoutSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("epochShuffle: reruns and repartitioned inputs reproduce the epoch " +
+    "bit-identically, shards are contiguous key ranges, salts give " +
+    "independent permutations, and packing composes in shuffled order") {
+    val docs = (0L until 300L).toDF("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      TextOps.epochShuffle(df, "doc_id", salt, nShards = 8)
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._3, t._4))
+    val e1 = run(docs, "epoch1")
+    // rerun identity + partitioning independence
+    assert(run(docs, "epoch1").toSeq === e1.toSeq)
+    assert(run(docs.repartition(7), "epoch1").toSeq === e1.toSeq,
+      "input partitioning must not change the epoch order")
+    // every doc appears exactly once; pos is a dense 1-based rank per shard
+    assert(e1.map(_._1).sorted.toSeq === (0L until 300L).toSeq)
+    e1.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard pos must be dense 1..n")
+      // within a shard, pos order IS (key, id) order
+      assert(rows.sortBy(_._4).map(t => (t._2, t._1)).toSeq ===
+        rows.map(t => (t._2, t._1)).sortBy(identity).toSeq)
+    }
+    // shards are contiguous key ranges: max key of shard s < min of s+1
+    val byShard = e1.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    byShard.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byShard(a).max < byShard(b).min,
+        s"shard $a key range must precede shard $b")
+      case _ => ()
+    }
+    // a different salt permutes: the global order differs
+    val e2 = run(docs, "epoch2")
+    assert(e2.map(_._1).sorted.toSeq === (0L until 300L).toSeq)
+    assert(e1.map(_._1).toSeq !== e2.map(_._1).toSeq,
+      "distinct salts must give distinct epoch orders")
+    // composition with packSequences: pack in shuffled (shard, pos) order
+    val shuffled = TextOps.epochShuffle(
+      docs.withColumn("text", concat_ws(" ",
+        lit("tok"), lit("tok"), lit("tok"))), "doc_id", "epoch1", nShards = 8)
+    val packed = TextOps.packSequences(
+      shuffled, "pos", "text", budget = 9L, shardCol = col("shard"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(3)))
+    // 3 tokens/doc, budget 9 → 3 docs per sequence, in pos order per shard
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._2).zipWithIndex.foreach { case ((_, pos, seqNo), i) =>
+        assert(pos === i + 1L)
+        assert(seqNo === i / 3,
+          s"doc at pos $pos must land in sequence ${i / 3}, got $seqNo")
+      }
+    }
+  }
+
   test("temperatureMix: tau=2 upweights the low-resource stratum vs " +
     "proportional tau=1, over-budget strata keep everything, " +
     "membership is deterministic") {
