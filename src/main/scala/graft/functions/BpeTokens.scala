@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for byte-pair-encoding a single word
+  * against a FIXED merge table — the real-tokenizer upgrade of the
+  * LT3 whitespace/regex token-count estimate.
+  *
+  * Algorithm (priority-queue BPE, the sentencepiece encode order):
+  * start from the word's code points as symbols; repeatedly merge the
+  * single adjacent pair with the minimum (rank, position) — leftmost
+  * occurrence of the best-ranked pair — until no adjacent pair is in
+  * the table. Each step removes one symbol, so the loop is bounded by
+  * the word length; the scan per step is O(len) hash lookups. This
+  * exact step order is what the DuckDB oracle replays as a recursive
+  * CTE, so the two engines agree token-for-token.
+  *
+  * The merge table is a constructor field (driver-side vocabulary,
+  * NOT a per-row input): it ships to executors once inside the
+  * serialized expression and the generated code reaches it through a
+  * codegen reference object — per row there is zero table traffic,
+  * exactly like a broadcast model table. Returns the symbol array
+  * (token count = size). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe requires STRING input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe"
+
+  /** pair "a b" → 1-based rank in merge-list order (first = best). */
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i + 1))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeTokens.encode(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeTokens.encode($c, $ranksRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  /** The per-word merge loop (static forwarder for generated code). */
+  def encode(word: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    val syms = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    var merging = true
+    while (merging && syms.size > 1) {
+      var bestJ = -1
+      var bestR = Integer.MAX_VALUE
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        // strict < keeps the LEFTMOST occurrence of the best rank
+        if (r != null && r < bestR) { bestR = r; bestJ = j }
+        j += 1
+      }
+      if (bestJ < 0) merging = false
+      else {
+        syms.set(bestJ, syms.get(bestJ) + syms.get(bestJ + 1))
+        syms.remove(bestJ + 1)
+      }
+    }
+    val out = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      out(k) = UTF8String.fromString(syms.get(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}

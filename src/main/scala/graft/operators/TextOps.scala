@@ -83,6 +83,49 @@ object TextOps {
       ceil(length(text) / lit(4.0)).cast("long").as("bpe_est"))
   }
 
+  /** A small, realistic English merge list for [[bpeTokenCount]]'s
+    * default vocabulary — common digraphs first (rank = list order),
+    * then the compound merges built from them, the shape a learned BPE
+    * vocabulary actually has. */
+  val BpeMergesEn: Seq[(String, String)] = Seq(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("e", "n"), ("a", "t"), ("o", "u"), ("e", "s"),
+    ("o", "r"), ("a", "l"), ("i", "t"), ("i", "s"), ("e", "d"),
+    ("th", "e"), ("in", "g"), ("an", "d"), ("t", "o"), ("o", "f"),
+    ("s", "t"), ("a", "r"), ("l", "l"), ("o", "o"), ("c", "h"))
+
+  /** REAL byte-pair-encoding token counts — the upgrade of
+    * [[tokenCounts]]' chars/4 estimate: each lowercased whitespace word
+    * is encoded against a fixed ranked merge table by the native
+    * [[graft.functions.BpeTokens]] kernel (repeatedly merge the
+    * min-(rank, position) adjacent pair; bounded by word length), and
+    * the doc's count is the sum of its words' symbol counts.
+    *
+    * Scale shape: entirely per-row — the vocabulary rides inside the
+    * expression to every executor ONCE (a codegen reference object,
+    * exactly a broadcast model table) and the encode loop fuses with
+    * the scan: no explode, no shuffle, no driver involvement. At
+    * 100 TB this is the same plan as any per-row scalar projection.
+    *
+    * Output: (idCol, n_words, n_chars, bpe_tokens) — n_chars kept for
+    * the chars-per-token compression ratio callers chart. */
+  def bpeTokenCount(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = BpeMergesEn): DataFrame = {
+    val ws = LlmOps.words(col(textCol))
+    def bpe(w: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BpeTokens(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(w), merges))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+      ws.as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        col("n_chars"),
+        aggregate(transform(col("__ws"), w => size(bpe(w)).cast("long")),
+          lit(0L), (a, x) => a + x).as("bpe_tokens"))
+  }
+
   /** Stopword removal: drop listed tokens from the text, preserving the
     * order and single-space joining of the survivors. Per-row lambda,
     * shuffle-free; the words array is projected before the filter

@@ -157,6 +157,68 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- REAL BPE token counting (LT3 upgrade) -----------------------
+    // Priority-queue BPE per lowercased word: repeatedly merge the
+    // min-(rank, position) adjacent pair against the shared
+    // TextOps.BpeMergesEn table until no pair matches. Spark runs the
+    // native per-row kernel (graft.functions.BpeTokens); the oracle
+    // replays the identical step order as a recursive CTE over symbol
+    // lists — one row per (word, merge step), bounded by word length.
+    QDef.sql(
+      "llm_bpe_tokens", {
+        val keys = TextOps.BpeMergesEn
+          .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+        val vals = TextOps.BpeMergesEn.indices
+          .map(_ + 1).mkString("[", ",", "]")
+        val bestJ = "(list_sort(list_filter(list_transform(" +
+          "generate_series(1, len(syms)-1), " +
+          "i -> {'r': m[syms[i] || ' ' || syms[i+1]][1], 'i': i}), " +
+          "x -> x.r IS NOT NULL)))[1].i"
+        s"""WITH RECURSIVE mm AS (
+           |  SELECT map($keys, $vals) AS m
+           |),
+           |w0 AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |         string_split(lower(text), ' ') AS ws
+           |  FROM documents
+           |),
+           |wds AS (
+           |  SELECT doc_id, n_chars,
+           |         unnest(generate_series(1, len(ws))) AS wi, ws
+           |  FROM w0
+           |),
+           |init AS (
+           |  SELECT doc_id, n_chars, wi,
+           |    CASE WHEN ws[wi] = '' THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split(ws[wi], '') END AS syms
+           |  FROM wds
+           |),
+           |st AS (
+           |  SELECT doc_id, n_chars, wi, syms FROM init
+           |  UNION ALL
+           |  SELECT doc_id, n_chars, wi,
+           |         syms[1:bj-1] || [syms[bj] || syms[bj+1]] || syms[bj+2:]
+           |  FROM (
+           |    SELECT doc_id, n_chars, wi, syms, $bestJ AS bj
+           |    FROM st, mm
+           |  ) WHERE bj IS NOT NULL
+           |),
+           |fin AS (
+           |  SELECT doc_id, n_chars, wi, len(syms) AS n_syms
+           |  FROM (
+           |    SELECT doc_id, n_chars, wi, syms, $bestJ AS bj
+           |    FROM st, mm
+           |  ) WHERE bj IS NULL
+           |)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, n_chars,
+           |       CAST(sum(n_syms) AS BIGINT) AS bpe_tokens
+           |FROM fin GROUP BY doc_id, n_chars
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.bpeTokenCount(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ----- Document fingerprint (exact-dedup key) ----------------------
     QDef.sql(
       "llm_fingerprint",

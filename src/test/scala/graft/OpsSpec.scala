@@ -692,6 +692,39 @@ class OpsSpec extends AnyFunSuite {
     assert(run("a b c d e f", (2L, 2L), (5L, 5L)) === "a  c d  f")
   }
 
+  test("BpeTokens: min-(rank,position) merges, leftmost ties, unmergeable " +
+    "chars survive, and bpeTokenCount is per-row shuffle-free") {
+    import graft.operators.TextOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val merges = Seq(("t", "h"), ("i", "n"), ("a", "n"), ("th", "e"), ("an", "d"))
+    val ranks = new java.util.HashMap[String, Integer]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      ranks.put(a + " " + b, i + 1) }
+    def enc(w: String): Seq[String] =
+      graft.functions.BpeTokens.encode(UTF8String.fromString(w), ranks)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    assert(enc("the") === Seq("the"))          // t h → th; th e → the
+    assert(enc("thing") === Seq("th", "in", "g"))
+    assert(enc("and") === Seq("and"))          // a n → an; an d → and
+    assert(enc("another") === Seq("an", "o", "the", "r"))
+    assert(enc("thth") === Seq("th", "th"))    // leftmost (t,h) first
+    assert(enc("xyz") === Seq("x", "y", "z"))  // nothing mergeable
+    assert(enc("") === Seq())
+    // doc-level counts: "the thing and another" → 1 + 3 + 1 + 4 = 9
+    val q = TextOps.bpeTokenCount(
+      Seq((1L, "The thing and another"), (2L, "is  it"))
+        .toDF("doc_id", "text"), "doc_id", "text", merges)
+    val m = q.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(1L) === ((4L, 21L, 9L)))
+    assert(m(2L) === ((3L, 6L, 4L)))   // "is"→2, ""→0, "it"→2
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"BPE counting must be per-row, no shuffle:\n$plan")
+  }
+
   test("classifierScore: integer w_sum is exact, unseen buckets weigh 0, " +
     "mean-pooled sigmoid matches the closed form, weight table broadcasts") {
     import graft.operators.TextOps
