@@ -313,6 +313,80 @@ object TextOps {
           .as("top_word_ratio"))
   }
 
+  /** The Gopher rule-set stopwords (Rae et al. 2021 §A1.1): a document
+    * must contain at least `minStopwords` DISTINCT members to pass the
+    * stopword rule. */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1):
+    * per-document signals and one boolean flag per rule, plus `keep` =
+    * the conjunction. Rules: word count in [minWords, maxWords]; mean
+    * word length in [minMeanWordLen, maxMeanWordLen]; symbol-to-word
+    * ratio ('#' chars + '...' runs, over words) ≤ maxSymbolRatio;
+    * fraction of lines starting with a bullet ("- ", "* ", "• ")
+    * ≤ maxBulletFrac; fraction of lines ending in "..." ≤
+    * maxEllipsisFrac; fraction of words containing an alphabetic char
+    * ≥ minAlphaFrac; ≥ minStopwords distinct [[GopherStops]] present.
+    * Unlike [[qualityScore]]'s soft composite this is the hard
+    * rule-by-rule gate, and the per-rule flags say WHICH rule fired —
+    * the report a curation run audits before committing to a drop set.
+    *
+    * Entirely per-row column arithmetic (the word-length fold is an
+    * integer `aggregate`, so every signal is order-exact and
+    * engine-portable; the only floats are final ratios) — no shuffle,
+    * fuses with the scan at any scale. NULL text yields NULL signals
+    * and keep = false. */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val ws = split(text, " ")
+    val wsl = split(lower(text), " ")
+    val lines = split(text, "\n")
+    val nWords = size(ws).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    val meanLen = sumLen.cast("double") / nWords
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEll).cast("double") / nWords
+    val bulletFrac = size(filter(lines, l =>
+      startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
+        startswith(l, lit("• ")))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => endswith(l, lit("..."))))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val nStop = size(filter(
+      array(GopherStops.map(lit): _*), s => array_contains(wsl, s)))
+      .cast("long")
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rMeanLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rBullet = bulletFrac <= maxBulletFrac
+    val rEllipsis = ellipsisFrac <= maxEllipsisFrac
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStop = nStop >= minStopwords
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      rWords.as("r_words"), rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      coalesce(rWords && rMeanLen && rSymbol && rBullet &&
+        rEllipsis && rAlpha && rStop, lit(false)).as("keep"))
+  }
+
   /** Deterministic stratified sampling with per-stratum rates — the
     * data-mixing primitive of a pretraining corpus ("keep 50% of en,
     * 25% of de, 10% of the rest"). A document is kept iff
@@ -995,6 +1069,143 @@ object TextOps {
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
       .select(col(idCol), col("n_tokens"), col("w_sum"), col("score"))
   }
+
+  /** C4-style line/segment cleaning (Raffel et al. 2020 §2.2), on the
+    * word-window segment unit (see [[dedupDocSegments]] for why):
+    * split the doc into consecutive non-overlapping `window`-word
+    * segments, KEEP a segment iff it has ≥ `minSegWords` words and
+    * contains no blacklisted token (C4 drops lines with "lorem ipsum",
+    * "javascript", curly braces, ...), reassemble survivors in order,
+    * and DROP the whole document when fewer than `minSegs` segments
+    * survive (C4's "pages with fewer than 5 sentences" rule).
+    *
+    * Entirely per-row: index-based higher-order array functions — the
+    * keep decision and the reassembly both run over `sequence(0,n-1)`
+    * with slices, NO explode, NO shuffle; fuses with the scan at any
+    * scale, and the doc-level drop is an ordinary filter. */
+  def c4Clean(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, minSegWords: Int = 5, minSegs: Int = 3,
+      blacklist: Seq[String] =
+        Seq("lorem", "ipsum", "javascript", "{", "}")): DataFrame = {
+    require(window > 0, s"segment window must be positive: $window")
+    require(minSegWords >= 1 && minSegWords <= window,
+      s"minSegWords must be in [1, window]: $minSegWords")
+    val ws = split(col(textCol), " ")
+    val wsl = split(lower(col(textCol)), " ")
+    val blk = array(blacklist.map(lit): _*)
+    val n = size(ws).cast("long")
+    val nseg = ceil(n / lit(window.toDouble)).cast("long")
+    val keptIdx = filter(sequence(lit(0L), nseg - 1L), i =>
+      least(lit(window.toLong), n - i * window) >= minSegWords &&
+        !exists(slice(wsl, (i * window + 1L).cast("int"), lit(window)),
+          w => array_contains(blk, w)))
+    df.select(col(idCol), ws.as("__ws"), nseg.as("n_total"),
+        keptIdx.as("__keep"))
+      .select(col(idCol), col("n_total"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        array_join(transform(col("__keep"), i =>
+          array_join(slice(col("__ws"), (i * window + 1L).cast("int"),
+            lit(window)), " ")), " ").as("text_clean"))
+      .filter(col("n_kept") >= minSegs)
+  }
+
+  /** Engine-portable fixed-point binary logarithm: ≈ ⌊log2(n)·2^bits⌋
+    * for a positive integer column, computed WITHOUT libm — normalize
+    * to y ∈ [1,2) (exact: a division by a power of two), then extract
+    * `bits` fractional digits by repeated squaring (squaring doubles
+    * the log; y ≥ 2 after a square means the next digit is 1). Every
+    * step is an IEEE-exactly-specified double op (multiply, divide by
+    * 2, compare), so Spark and DuckDB — and any IEEE-754 engine —
+    * produce the IDENTICAL integer: the determinism of bit-length
+    * ([[unigramLogFreq]]) at 2^-bits resolution. (The squares round at
+    * 53 mantissa bits, so the lowest digits can differ from the true
+    * ⌊log2·2^bits⌋ — deterministically, identically on every engine.) */
+  private[graft] def log2Fixed(c: Column, bits: Int = 20): Column = {
+    val b = (length(bin(c)) - 1).cast("long")
+    val y0 = c.cast("double") / pow(lit(2.0), b)
+    val folded = aggregate(
+      sequence(lit(1), lit(bits)),
+      struct(y0.as("y"), lit(0L).as("v")),
+      (acc, _) => {
+        val y2 = acc.getField("y") * acc.getField("y")
+        when(y2 >= 2.0,
+          struct((y2 / 2.0).as("y"), (acc.getField("v") * 2 + 1).as("v")))
+          .otherwise(struct(y2.as("y"), (acc.getField("v") * 2).as("v")))
+      },
+      acc => acc.getField("v"))
+    b * lit(1L << bits) + folded
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed bag-of-words
+    * unigram models of a small TARGET corpus (the distribution you
+    * want) and the RAW corpus (what you have); the per-bucket weight is
+    * the add-one-smoothed log-likelihood ratio
+    * `log2 p_target(b) − log2 p_raw(b)` in [[log2Fixed]] fixed point —
+    * INTEGER weights, so downstream accumulation is order-exact.
+    * Output: one row per bucket in [0, nBuckets) — complete domain, so
+    * the score join never misses — with the raw counts kept for audit.
+    *
+    * Scale shape: two token-hash aggregations to nBuckets-bounded
+    * frames (the target corpus is small by construction; the raw count
+    * is one map-side-combined pass), totals via one-row broadcast
+    * cross joins; the weight table is nBuckets rows — broadcast it. */
+  def dsirWeights(
+      target: DataFrame, raw: DataFrame, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame = df
+      .select(explode(LlmOps.words(col(textCol))).as("__w"))
+      .select(pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cnt))
+    val spark = target.sparkSession
+    val tc = bucketCounts(target, "ct")
+    val rc = bucketCounts(raw, "cr")
+    spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(tc.agg(sum("ct").as("__t"))))
+      .crossJoin(broadcast(rc.agg(sum("cr").as("__r"))))
+      .select(col("bucket"), col("ct"), col("cr"),
+        (log2Fixed(col("ct") + 1L) - log2Fixed(col("__t") + nBuckets) -
+          log2Fixed(col("cr") + 1L) + log2Fixed(col("__r") + nBuckets))
+          .as("w"))
+  }
+
+  /** DSIR document scores: score = Σ over tokens of the bucket's
+    * [[dsirWeights]] weight — an order-independent BIGINT sum (the
+    * doc's estimated log-likelihood ratio, fixed point), plus the
+    * float rendering `lr` for human audit. Selection is the
+    * deterministic top-k by (score, id) — `TakeOrderedAndProject`, no
+    * global sort materialization; a Gumbel-noise key (hash-seeded)
+    * plugs into the same sort for sampled-not-ranked selection.
+    *
+    * Scale shape: one token explode + broadcast weight join (nBuckets
+    * rows) + one doc-keyed agg — the same plan as [[classifierScore]]. */
+  def dsirScores(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    df.select(col(idCol), explode(LlmOps.words(col(textCol))).as("__w"))
+      .select(col(idCol),
+        pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong)).as("bucket"))
+      .join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w"), lit(0L))).as("score"))
+      .withColumn("lr",
+        round(col("score").cast("double") / lit((1L << 20).toDouble), 6))
+  }
+
+  /** Top-k DSIR selection (ties broken by id for engine parity). */
+  def dsirTopK(scores: DataFrame, idCol: String, k: Int): DataFrame =
+    scores.orderBy(col("score").desc, col(idCol)).limit(k)
 }
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque

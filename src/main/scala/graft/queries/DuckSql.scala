@@ -18,4 +18,29 @@ object DuckSql {
   /** Sequential left-fold double sum (mirrors LlmOps' aggregate order). */
   def duckFold(terms: String): String =
     s"list_reduce(list_prepend(0.0, $terms), (a, x) -> a + x)"
+
+  /** DuckDB rendering of TextOps.log2Fixed (20 fractional bits):
+    * normalize to [1,2) then 20 digit-extracting squarings — every step
+    * an IEEE-exact double op, so the integer matches Spark's bit for
+    * bit. Rendered as a 20-step chained-CTE unroll over a caller-
+    * provided `argsCte(n)` of DISTINCT positive integers, producing a
+    * CTE `lg(n, f)` to join against. NOT a `list_reduce` lambda: DuckDB
+    * 1.0.0's list_reduce corrupts struct accumulators across rows with
+    * divergent iteration paths (verified: identical rows fold
+    * correctly, mixed rows cross-talk), while plain chained CASE
+    * columns vectorize exactly. */
+  def duckLog2FixedCtes(argsCte: String = "args"): String = {
+    val steps = (1 to 20).map { k =>
+      s"""__lg$k AS (SELECT n, CASE WHEN y*y >= 2 THEN y*y/2 ELSE y*y END AS y,
+         |  v*2 + CAST(y*y >= 2 AS BIGINT) AS v FROM __lg${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""__lg0 AS (
+       |  SELECT n, CAST(n AS DOUBLE) / power(2.0, length(bin(n)) - 1) AS y,
+       |         CAST(0 AS BIGINT) AS v
+       |  FROM $argsCte
+       |),
+       |$steps,
+       |lg AS (SELECT n, (length(bin(n)) - 1) * 1048576 + v AS f FROM __lg20)"""
+      .stripMargin
+  }
 }

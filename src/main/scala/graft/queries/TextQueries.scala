@@ -1175,6 +1175,174 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Gopher rule-based quality filter ----------------------------
+    // Per-rule flags + the conjunction, on unrounded signals (the
+    // rounded columns are the human-audit rendering). Thresholds tuned
+    // to the synthetic corpus so both flag polarities occur: minWords
+    // 40 (169/500 docs fall short at sf0.01), minStopwords 1.
+    QDef.sql(
+      "llm_gopher",
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |         string_split(text, ' ') AS ws,
+         |         string_split(lower(text), ' ') AS wsl,
+         |         string_split(text, chr(10)) AS lines
+         |  FROM documents
+         |),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+         |      (a, x) -> a + x) AS sum_len,
+         |    length(text) - length(replace(text, '#', '')) AS n_hash,
+         |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    len(list_filter(lines, l -> starts_with(l, '- ')
+         |      OR starts_with(l, '* ') OR starts_with(l, '• '))) AS n_bul,
+         |    len(list_filter(lines, l -> ends_with(l, '...'))) AS n_end,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_al,
+         |    CAST(len(list_filter(
+         |      ['the','be','to','of','and','that','have','with'],
+         |      t -> list_contains(wsl, t))) AS BIGINT) AS n_stop
+         |  FROM d
+         |),
+         |f AS (
+         |  SELECT doc_id, n_words, sum_len, n_hash, n_ell, n_lines, n_bul,
+         |    n_end, n_al, n_stop,
+         |    (n_words >= 40 AND n_words <= 100000) AS r_words,
+         |    (CAST(sum_len AS DOUBLE) / n_words >= 3.0
+         |      AND CAST(sum_len AS DOUBLE) / n_words <= 10.0) AS r_mean_len,
+         |    (CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1) AS r_symbol,
+         |    (CAST(n_bul AS DOUBLE) / n_lines <= 0.9) AS r_bullet,
+         |    (CAST(n_end AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis,
+         |    (CAST(n_al AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+         |    (n_stop >= 1) AS r_stop
+         |  FROM s
+         |)
+         |SELECT doc_id, n_words,
+         |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+         |  round(CAST(n_hash + n_ell AS DOUBLE) / n_words, 6) AS symbol_ratio,
+         |  round(CAST(n_bul AS DOUBLE) / n_lines, 6) AS bullet_frac,
+         |  round(CAST(n_end AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+         |  round(CAST(n_al AS DOUBLE) / n_words, 6) AS alpha_frac,
+         |  n_stop, r_words, r_mean_len, r_symbol, r_bullet, r_ellipsis,
+         |  r_alpha, r_stop,
+         |  coalesce(r_words AND r_mean_len AND r_symbol AND r_bullet
+         |    AND r_ellipsis AND r_alpha AND r_stop, false) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 40, minStopwords = 1)
+        .orderBy("doc_id")
+    },
+
+    // ----- C4-style segment cleaning (keep-rules + doc minimum) --------
+    // Word-window segment unit (the corpus has no line structure);
+    // segments shorter than minSegWords or carrying a blacklisted token
+    // are cut, documents keeping fewer than minSegs segments drop.
+    QDef.sql(
+      "llm_c4_clean",
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |         string_split(lower(text), ' ') AS wsl
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, ws, wsl, CAST(len(ws) AS BIGINT) AS n,
+         |         CAST(ceil(len(ws) / 10.0) AS BIGINT) AS nseg
+         |  FROM d
+         |),
+         |k AS (
+         |  SELECT doc_id, ws, nseg AS n_total,
+         |    list_filter(generate_series(0, nseg - 1), i ->
+         |      least(10, n - i * 10) >= 5 AND
+         |      len(list_filter(wsl[i * 10 + 1 : i * 10 + 10], w ->
+         |        list_contains(['lorem','ipsum','javascript','{','}'], w)
+         |      )) = 0) AS keep_idx
+         |  FROM c
+         |)
+         |SELECT doc_id, n_total, CAST(len(keep_idx) AS BIGINT) AS n_kept,
+         |  array_to_string(list_transform(keep_idx, i ->
+         |    array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')), ' ')
+         |    AS text_clean
+         |FROM k WHERE len(keep_idx) >= 3 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        TextOps.c4Clean(t(s, dir, "documents"), "doc_id", "text",
+          window = 10, minSegWords = 5, minSegs = 3)
+          .orderBy("doc_id")
+    },
+
+    // ----- DSIR importance resampling (target-matched data selection) --
+    // Target = src0 documents; raw = the rest. Hashed unigram LMs,
+    // add-one smoothing, per-bucket weight = fixed-point log2-ratio
+    // (engine-portable: the log2 is the IEEE-exact digit-extraction
+    // fold, NOT libm), per-doc score = order-independent BIGINT sum,
+    // selection = deterministic top-100 by (score, doc_id).
+    QDef.sql(
+      "llm_dsir",
+      s"""WITH bt AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM (
+         |    SELECT ${duckHash("tok")} % 512 AS bucket FROM (
+         |      SELECT unnest(string_split(lower(text), ' ')) AS tok
+         |      FROM documents WHERE source = 'src0')
+         |  ) GROUP BY 1
+         |),
+         |rt AS (
+         |  SELECT doc_id, ${duckHash("tok")} % 512 AS bucket FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |    FROM documents WHERE source <> 'src0')
+         |),
+         |br AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+         |  FROM rt GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM bt) AS t,
+         |         (SELECT CAST(sum(cr) AS BIGINT) FROM br) AS r
+         |),
+         |cnts AS (
+         |  SELECT g.i AS bucket, coalesce(ct, 0) + 1 AS a_t,
+         |         coalesce(cr, 0) + 1 AS a_r
+         |  FROM generate_series(0, 511) g(i)
+         |  LEFT JOIN bt ON bt.bucket = g.i
+         |  LEFT JOIN br ON br.bucket = g.i
+         |),
+         |args AS (
+         |  SELECT DISTINCT n FROM (
+         |    SELECT a_t AS n FROM cnts
+         |    UNION SELECT a_r FROM cnts
+         |    UNION SELECT t + 512 FROM tot
+         |    UNION SELECT r + 512 FROM tot)
+         |),
+         |${DuckSql.duckLog2FixedCtes("args")},
+         |wt AS (
+         |  SELECT cnts.bucket,
+         |    f1.f - ft.f - f2.f + fr.f AS w
+         |  FROM cnts CROSS JOIN tot
+         |  JOIN lg f1 ON f1.n = cnts.a_t
+         |  JOIN lg ft ON ft.n = tot.t + 512
+         |  JOIN lg f2 ON f2.n = cnts.a_r
+         |  JOIN lg fr ON fr.n = tot.r + 512
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(wt.w) AS BIGINT) AS score
+         |  FROM rt LEFT JOIN wt USING (bucket) GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, score,
+         |  round(CAST(score AS DOUBLE) / 1048576.0, 6) AS lr
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val target = docs.filter(col("source") === "src0")
+        val raw = docs.filter(col("source") =!= "src0")
+        val wts = TextOps.dsirWeights(target, raw, "text", nBuckets = 512)
+        TextOps.dsirTopK(
+          TextOps.dsirScores(raw, "doc_id", "text", wts, nBuckets = 512),
+          "doc_id", k = 100)
+    },
+
     // ----- End-to-end curation pipeline (the production composition) ---
     // boilerplate-strip → langid+quality filter → exact dedup →
     // MinHash-CC near-dedup → stratified mix → holdout split, composed

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Round-11 curation operators: the Gopher rule set, C4 segment
+  * cleaning, and DSIR importance resampling (with its engine-portable
+  * fixed-point log2). */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // A doc that passes every Gopher rule at the defaults: 60 words,
+  // mean length in [3,10], stopwords present, all-alpha, no symbols.
+  private val goodText =
+    (Seq("the", "report", "that", "councils", "have", "shared", "with") ++
+      (1 to 53).map(i => s"word${i % 7}x")).mkString(" ")
+
+  private def gopher(rows: Seq[(Long, String)]) =
+    TextOps.gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("gopherRules: a well-formed doc passes every rule") {
+    val r = gopher(Seq((1L, goodText)))(1L)
+    for (f <- Seq("r_words", "r_mean_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "keep"))
+      assert(r.getAs[Boolean](f), s"$f should hold:\n$r")
+    assert(r.getAs[Long]("n_words") === 60L)
+  }
+
+  test("gopherRules: each rule fires on its own violation") {
+    val tooShort = "the quick brown fox that we have with"
+    val longWords = (Seq("the", "that", "have", "with") ++
+      (1 to 56).map(_ => "extraordinarily")).mkString(" ")
+    val symbols = (Seq("the", "that", "have", "with") ++
+      (1 to 28).map(_ => "ok#now") ++ (1 to 28).map(_ => "so...on"))
+      .mkString(" ")
+    val bullets = (1 to 10).map(i => s"- the bullet item $i number six")
+      .mkString("\n")
+    // 4 ellipsis-terminated lines of 15 words: ellipsis_frac = 1.0 (> 0.3)
+    // while the symbol ratio stays at 4/60 ≤ 0.1, isolating the rule
+    val ellipses = (1 to 4).map(i =>
+      s"the line $i that have with " +
+        (1 to 8).map(j => s"fill${j}er").mkString(" ") + " trails...")
+      .mkString("\n")
+    val numeric = (Seq("the", "that", "have", "with") ++
+      (1 to 56).map(i => s"${i}000")).mkString(" ")
+    val noStops = (1 to 60).map(i => s"token${i % 9}").mkString(" ")
+    val m = gopher(Seq(1L -> tooShort, 2L -> longWords, 3L -> symbols,
+      4L -> bullets, 5L -> ellipses, 6L -> numeric, 7L -> noStops))
+    def only(id: Long, failed: String): Unit = {
+      val r = m(id)
+      assert(!r.getAs[Boolean](failed), s"doc $id should fail $failed:\n$r")
+      assert(!r.getAs[Boolean]("keep"))
+      val others = Seq("r_words", "r_mean_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop").filterNot(_ == failed)
+      others.foreach(f => assert(r.getAs[Boolean](f),
+        s"doc $id should still pass $f:\n$r"))
+    }
+    only(1L, "r_words")
+    only(2L, "r_mean_len")
+    only(3L, "r_symbol")
+    only(5L, "r_ellipsis")
+    only(6L, "r_alpha")
+    only(7L, "r_stop")
+    // the all-bullet doc fails the bullet rule (others may also trip)
+    assert(!m(4L).getAs[Boolean]("r_bullet"))
+    assert(!m(4L).getAs[Boolean]("keep"))
+  }
+
+  test("gopherRules: NULL text keeps nothing and poisons no signal") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(9L, null: String), Row(1L, goodText)),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    val out = TextOps.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(9L).getAs[Boolean]("keep"))
+    assert(out(9L).isNullAt(out(9L).fieldIndex("n_words")))
+    assert(out(1L).getAs[Boolean]("keep"))
+  }
+
+  test("gopherRules plan: per-row, no Exchange") {
+    val df = Seq((1L, goodText)).toDF("doc_id", "text")
+    val plan = TextOps.gopherRules(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ----- C4 segment cleaning ------------------------------------------
+
+  test("c4Clean: a clean doc reassembles byte-identically") {
+    val text = (1 to 35).map(i => s"w$i").mkString(" ") // 3 full + 5-word tail
+    val out = TextOps.c4Clean(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("text_clean") === text)
+    assert(out(0).getAs[Long]("n_total") === 4L)
+    assert(out(0).getAs[Long]("n_kept") === 4L)
+  }
+
+  test("c4Clean: short tail segment is cut, text renders without it") {
+    val text = (1 to 33).map(i => s"w$i").mkString(" ") // tail has 3 < 5 words
+    val out = TextOps.c4Clean(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out(0).getAs[Long]("n_total") === 4L)
+    assert(out(0).getAs[Long]("n_kept") === 3L)
+    assert(out(0).getAs[String]("text_clean") ===
+      (1 to 30).map(i => s"w$i").mkString(" "))
+  }
+
+  test("c4Clean: a blacklisted token kills exactly its segment") {
+    val words = (1 to 40).map(i => if (i == 15) "JavaScript" else s"w$i")
+    val out = TextOps.c4Clean(Seq((1L, words.mkString(" ")))
+      .toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(out(0).getAs[Long]("n_kept") === 3L)
+    val expect = ((1 to 10) ++ (21 to 40)).map(i => s"w$i").mkString(" ")
+    assert(out(0).getAs[String]("text_clean") === expect)
+  }
+
+  test("c4Clean: docs keeping fewer than minSegs segments drop entirely") {
+    val short = (1 to 24).map(i => s"w$i").mkString(" ") // 2 full + 4-word tail
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")  // 3 full
+    val out = TextOps.c4Clean(
+      Seq((1L, short), (2L, long)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("c4Clean plan: per-row, no Exchange") {
+    val df = Seq((1L, goodText)).toDF("doc_id", "text")
+    val plan = TextOps.c4Clean(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ----- fixed-point log2 ---------------------------------------------
+
+  /** Scala reference of the digit-extraction fold — the same IEEE ops
+    * the Spark expression and the DuckDB CTE chain perform. */
+  private def refLog2Fixed(n: Long): Long = {
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var y = n.toDouble / math.pow(2.0, b)
+    var v = 0L
+    var i = 0
+    while (i < 20) {
+      y = y * y
+      if (y >= 2.0) { y /= 2.0; v = v * 2 + 1 } else v = v * 2
+      i += 1
+    }
+    b * 1048576L + v
+  }
+
+  test("log2Fixed matches the IEEE digit-extraction reference exactly") {
+    val ns = (1L to 2000L) ++ Seq(54L, 802L, 1947L, 26242L,
+      999999937L, 1L << 40, (1L << 52) + 12345L)
+    val got = spark.createDataset(ns).toDF("n")
+      .select(col("n"), TextOps.log2Fixed(col("n")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach(n => assert(got(n) === refLog2Fixed(n), s"n=$n"))
+  }
+
+  test("log2Fixed is within 1 fixed-point ulp of true log2") {
+    for (n <- Seq(3L, 54L, 1000L, 999999937L)) {
+      val t = math.floor(math.log(n.toDouble) / math.log(2.0) * 1048576).toLong
+      assert(math.abs(refLog2Fixed(n) - t) <= 1, s"n=$n")
+    }
+  }
+
+  // ----- DSIR ----------------------------------------------------------
+
+  private val targetDocs = Seq(
+    (101L, "physics physics neutron quark the of"),
+    (102L, "physics quark boson lattice the of")).toDF("doc_id", "text")
+  private val rawDocs = Seq(
+    (1L, "physics quark paper the of"),
+    (2L, "recipe butter sugar flour the of"),
+    (3L, "recipe recipe butter oven the of")).toDF("doc_id", "text")
+
+  test("dsirWeights: complete bucket domain, LR signs follow the corpora") {
+    val B = 64
+    val wts = TextOps.dsirWeights(targetDocs, rawDocs, "text", B)
+    val rows = wts.collect()
+    assert(rows.length === B)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until B.toLong))
+    val byBucket = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def bucketOf(w: String): Long = {
+      // strHash is the polynomial char fold mod 1e9+7
+      var h = 0L
+      w.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+      h % B
+    }
+    val (ctP, crP, wPhysics) = byBucket(bucketOf("physics"))
+    val (ctR, crR, wRecipe) = byBucket(bucketOf("recipe"))
+    assert(ctP === 3L && crP === 1L)
+    assert(ctR === 0L && crR === 3L)
+    assert(wPhysics > 0, s"target-skewed token must score positive: $wPhysics")
+    assert(wRecipe < 0, s"raw-only token must score negative: $wRecipe")
+  }
+
+  test("dsirScores: the doc score is the exact integer weight sum") {
+    val B = 64
+    val wts = TextOps.dsirWeights(targetDocs, rawDocs, "text", B)
+    val wMap = wts.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def bucketOf(w: String): Long = {
+      var h = 0L
+      w.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+      h % B
+    }
+    val scores = TextOps.dsirScores(rawDocs, "doc_id", "text", wts, B)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    // recompute doc 1 by hand
+    val expected1 = "physics quark paper the of".split(" ")
+      .map(w => wMap(bucketOf(w))).sum
+    val (n1, s1) = scores.collect {
+      case (n, (id, s)) if id == 1L => (n, s)
+    }.head
+    assert(n1 === 5L)
+    assert(s1 === expected1)
+    // the physics doc must outrank the recipe docs under the physics target
+    val ranked = TextOps.dsirTopK(
+      TextOps.dsirScores(rawDocs, "doc_id", "text", wts, B), "doc_id", 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked.head === 1L, s"physics doc should rank first: $ranked")
+  }
+
+  test("dsirScores plan: weight join is broadcast, one keyed agg") {
+    val B = 64
+    val wts = TextOps.dsirWeights(targetDocs, rawDocs, "text", B)
+    val plan = TextOps.dsirScores(rawDocs, "doc_id", "text", wts, B)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+}
