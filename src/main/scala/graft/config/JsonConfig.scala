@@ -217,6 +217,48 @@ object JsonConfig {
         bias = num("bias", 0.0),
         min = num("min", 0.5)))
     } else None,
+    gopherFilter = if (n.path("gopher_filter").isObject) {
+      val gf = n.path("gopher_filter")
+      def num(key: String, dflt: Double): Double =
+        if (gf.path(key).isNumber) gf.path(key).asDouble() else dflt
+      def lng(key: String, dflt: Long): Long =
+        if (gf.path(key).isNumber) gf.path(key).asLong() else dflt
+      Some(GopherFilterDef(
+        idField = str(gf.path("id_field")).getOrElse(sys.error("gopher_filter missing id_field")),
+        textField = str(gf.path("text_field")).getOrElse(sys.error("gopher_filter missing text_field")),
+        minWords = lng("min_words", 50),
+        maxWords = lng("max_words", 100000),
+        minMeanWordLen = num("min_mean_word_len", 3.0),
+        maxMeanWordLen = num("max_mean_word_len", 10.0),
+        maxSymbolRatio = num("max_symbol_ratio", 0.1),
+        maxBulletFrac = num("max_bullet_frac", 0.9),
+        maxEllipsisFrac = num("max_ellipsis_frac", 0.3),
+        minAlphaFrac = num("min_alpha_frac", 0.8),
+        minStopwords = int(gf.path("min_stopwords")).getOrElse(2)))
+    } else None,
+    c4Clean = if (n.path("c4_clean").isObject) {
+      val cc = n.path("c4_clean")
+      Some(C4CleanDef(
+        idField = str(cc.path("id_field")).getOrElse(sys.error("c4_clean missing id_field")),
+        textField = str(cc.path("text_field")).getOrElse(sys.error("c4_clean missing text_field")),
+        window = int(cc.path("window")).getOrElse(10),
+        minSegWords = int(cc.path("min_seg_words")).getOrElse(5),
+        minSegs = int(cc.path("min_segs")).getOrElse(3),
+        blacklist =
+          if (cc.path("blacklist").isArray) strSeq(cc.path("blacklist"))
+          else Seq("lorem", "ipsum", "javascript", "{", "}")))
+    } else None,
+    dsirSelect = if (n.path("dsir_select").isObject) {
+      val ds = n.path("dsir_select")
+      Some(DsirSelectDef(
+        idField = str(ds.path("id_field")).getOrElse(sys.error("dsir_select missing id_field")),
+        textField = str(ds.path("text_field")).getOrElse(sys.error("dsir_select missing text_field")),
+        targetPath = str(ds.path("target_path")).getOrElse(sys.error("dsir_select missing target_path")),
+        targetFormat = str(ds.path("target_format")).getOrElse("parquet"),
+        targetTextField = str(ds.path("target_text_field")),
+        nBuckets = int(ds.path("n_buckets")).getOrElse(4096),
+        k = int(ds.path("k")).getOrElse(1000)))
+    } else None,
     sample = if (n.path("sample").isObject) {
       val sd = n.path("sample")
       Some(SampleDef(

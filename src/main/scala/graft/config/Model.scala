@@ -141,6 +141,17 @@ final case class TransformDef(
       * score (fastText-style model at `weightsPath`) clears `min`;
       * the score lands as a `classifier_score` column. */
     classifierFilter: Option[ClassifierFilterDef] = None,
+    /** LLM-extension: keep only docs passing the Gopher rule set
+      * (LT21; see TextOps.gopherRules). */
+    gopherFilter: Option[GopherFilterDef] = None,
+    /** LLM-extension: C4-style segment cleaning (LT22) — rewrite
+      * `textField` to the surviving segments, drop docs keeping fewer
+      * than `minSegs`. */
+    c4Clean: Option[C4CleanDef] = None,
+    /** LLM-extension: DSIR importance selection (LD19) — keep the
+      * top-k docs by hashed-unigram log-likelihood ratio against the
+      * target corpus at `targetPath`. */
+    dsirSelect: Option[DsirSelectDef] = None,
     /** LLM-extension: deterministic per-stratum hash sampling (LT8). */
     sample: Option[SampleDef] = None,
     addProcessedFlags: Boolean = true,
@@ -253,6 +264,49 @@ final case class ClassifierFilterDef(
     scale: Double = 1000.0,
     bias: Double = 0.0,
     min: Double = 0.5)
+
+/** LLM-extension: Gopher rule-set quality gate inside a pipeline's
+  * transform — keep rows whose `textField` passes every rule (see
+  * TextOps.gopherRules for the rule semantics and defaults). */
+final case class GopherFilterDef(
+    idField: String,
+    textField: String,
+    minWords: Long = 50,
+    maxWords: Long = 100000,
+    minMeanWordLen: Double = 3.0,
+    maxMeanWordLen: Double = 10.0,
+    maxSymbolRatio: Double = 0.1,
+    maxBulletFrac: Double = 0.9,
+    maxEllipsisFrac: Double = 0.3,
+    minAlphaFrac: Double = 0.8,
+    minStopwords: Int = 2)
+
+/** LLM-extension: C4-style segment cleaning inside a pipeline's
+  * transform — `textField` is rewritten to the segments that pass the
+  * keep-rules (≥ minSegWords words, no blacklisted token) and rows
+  * keeping fewer than `minSegs` segments drop (see TextOps.c4Clean). */
+final case class C4CleanDef(
+    idField: String,
+    textField: String,
+    window: Int = 10,
+    minSegWords: Int = 5,
+    minSegs: Int = 3,
+    blacklist: Seq[String] =
+      Seq("lorem", "ipsum", "javascript", "{", "}"))
+
+/** LLM-extension: DSIR importance selection inside a pipeline's
+  * transform — score each row's `textField` by the hashed-unigram
+  * log-likelihood ratio against the target corpus at `targetPath`
+  * and keep the top `k` (see TextOps.dsirWeights/dsirScores). The
+  * fixed-point score lands as `dsir_score`. */
+final case class DsirSelectDef(
+    idField: String,
+    textField: String,
+    targetPath: String,
+    targetFormat: String = "parquet",
+    targetTextField: Option[String] = None,
+    nBuckets: Int = 4096,
+    k: Int = 1000)
 
 /** LLM-extension: deterministic stratified sampling inside a pipeline's
   * transform — the data-mixing step ("keep 50% of en, 10% of the

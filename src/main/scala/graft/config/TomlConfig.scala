@@ -212,7 +212,8 @@ object TomlConfig {
   /** Curation-extension tables (graft-specific, same keys as the JSON
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
-    * `lang_filter`, `quality_filter`, `classifier_filter`, `sample` —
+    * `lang_filter`, `quality_filter`, `classifier_filter`,
+    * `gopher_filter`, `c4_clean`, `dsir_select`, `sample` —
     * reference-style TOML
     * configs get the full LLM-curation transform surface too. */
   private def parseCuration(n: Map[String, Any]): TransformDef => TransformDef = { base =>
@@ -224,6 +225,9 @@ object TomlConfig {
     val lf = tbl(n.get("lang_filter"))
     val qf = tbl(n.get("quality_filter"))
     val cf = tbl(n.get("classifier_filter"))
+    val gf = tbl(n.get("gopher_filter"))
+    val cc = tbl(n.get("c4_clean"))
+    val ds = tbl(n.get("dsir_select"))
     val sa = tbl(n.get("sample"))
     // A DECLARED curation table with no keys (e.g. an empty
     // `[pipelines.transform.decontaminate]`) is a config mistake, not an
@@ -306,6 +310,41 @@ object TomlConfig {
           scale = dbl(cf.get("scale")).getOrElse(1000.0),
           bias = dbl(cf.get("bias")).getOrElse(0.0),
           min = dbl(cf.get("min")).getOrElse(0.5))),
+      gopherFilter =
+        if (!declared("gopher_filter", gf)) None
+        else Some(GopherFilterDef(
+          idField = str(gf.get("id_field")).getOrElse(sys.error("gopher_filter missing id_field")),
+          textField = str(gf.get("text_field")).getOrElse(sys.error("gopher_filter missing text_field")),
+          minWords = long(gf.get("min_words")).getOrElse(50L),
+          maxWords = long(gf.get("max_words")).getOrElse(100000L),
+          minMeanWordLen = dbl(gf.get("min_mean_word_len")).getOrElse(3.0),
+          maxMeanWordLen = dbl(gf.get("max_mean_word_len")).getOrElse(10.0),
+          maxSymbolRatio = dbl(gf.get("max_symbol_ratio")).getOrElse(0.1),
+          maxBulletFrac = dbl(gf.get("max_bullet_frac")).getOrElse(0.9),
+          maxEllipsisFrac = dbl(gf.get("max_ellipsis_frac")).getOrElse(0.3),
+          minAlphaFrac = dbl(gf.get("min_alpha_frac")).getOrElse(0.8),
+          minStopwords = long(gf.get("min_stopwords")).getOrElse(2L).toInt)),
+      c4Clean =
+        if (!declared("c4_clean", cc)) None
+        else Some(C4CleanDef(
+          idField = str(cc.get("id_field")).getOrElse(sys.error("c4_clean missing id_field")),
+          textField = str(cc.get("text_field")).getOrElse(sys.error("c4_clean missing text_field")),
+          window = long(cc.get("window")).getOrElse(10L).toInt,
+          minSegWords = long(cc.get("min_seg_words")).getOrElse(5L).toInt,
+          minSegs = long(cc.get("min_segs")).getOrElse(3L).toInt,
+          blacklist =
+            if (cc.contains("blacklist")) strSeq(cc.get("blacklist"))
+            else Seq("lorem", "ipsum", "javascript", "{", "}"))),
+      dsirSelect =
+        if (!declared("dsir_select", ds)) None
+        else Some(DsirSelectDef(
+          idField = str(ds.get("id_field")).getOrElse(sys.error("dsir_select missing id_field")),
+          textField = str(ds.get("text_field")).getOrElse(sys.error("dsir_select missing text_field")),
+          targetPath = str(ds.get("target_path")).getOrElse(sys.error("dsir_select missing target_path")),
+          targetFormat = str(ds.get("target_format")).getOrElse("parquet"),
+          targetTextField = str(ds.get("target_text_field")),
+          nBuckets = long(ds.get("n_buckets")).getOrElse(4096L).toInt,
+          k = long(ds.get("k")).getOrElse(1000L).toInt)),
       sample =
         if (!declared("sample", sa)) None
         else Some(SampleDef(

@@ -548,6 +548,36 @@ object Orchestrator {
       df = df.join(scores, Seq(cf.idField))
         .filter(col("classifier_score") >= cf.min)
     }
+    t.gopherFilter.foreach { gf =>
+      val keep = graft.operators.TextOps.gopherRules(
+        df, gf.idField, gf.textField,
+        gf.minWords, gf.maxWords, gf.minMeanWordLen, gf.maxMeanWordLen,
+        gf.maxSymbolRatio, gf.maxBulletFrac, gf.maxEllipsisFrac,
+        gf.minAlphaFrac, gf.minStopwords)
+        .filter(col("keep")).select(col(gf.idField))
+      df = df.join(keep, Seq(gf.idField), "left_semi")
+    }
+    t.c4Clean.foreach { cc =>
+      val cleaned = graft.operators.TextOps.c4Clean(
+        df, cc.idField, cc.textField,
+        cc.window, cc.minSegWords, cc.minSegs, cc.blacklist)
+        .select(col(cc.idField), col("text_clean"))
+      df = df.join(cleaned, Seq(cc.idField))
+        .withColumn(cc.textField, col("text_clean"))
+        .drop("text_clean")
+    }
+    t.dsirSelect.foreach { ds =>
+      val target = spark.read.format(ds.targetFormat).load(ds.targetPath)
+        .select(col(ds.targetTextField.getOrElse(ds.textField))
+          .as(ds.textField))
+      val wts = graft.operators.TextOps.dsirWeights(
+        target, df, ds.textField, ds.nBuckets)
+      val scores = graft.operators.TextOps.dsirScores(
+        df, ds.idField, ds.textField, wts, ds.nBuckets)
+      val top = graft.operators.TextOps.dsirTopK(scores, ds.idField, ds.k)
+        .select(col(ds.idField), col("score").as("dsir_score"))
+      df = df.join(top, Seq(ds.idField))
+    }
     t.sample.foreach { sd =>
       df = graft.operators.TextOps.stratifiedSample(
         df, sd.idField, col(sd.strataField), sd.rates, sd.defaultRate)

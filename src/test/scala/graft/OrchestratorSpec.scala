@@ -442,6 +442,70 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("classifier_score") === 0.993307)
   }
 
+  test("gopher_filter transform keeps only rows passing every rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gph").toString
+    val good = (Seq("the", "report", "that", "we", "have", "shared",
+      "with") ++ (1 to 53).map(i => s"word${i % 7}x")).mkString(" ")
+    val tooShort = "the short one that we have with"
+    Seq((1L, good), (2L, tooShort)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("g"), Seq(
+      PipelineDef("g", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          gopherFilter = Some(GopherFilterDef(
+            idField = "doc_id", textField = "text"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("g").df.get.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    // the filter is a semi-join: no report columns leak into the row
+    assert(!out.head.schema.fieldNames.contains("keep"))
+  }
+
+  test("c4_clean transform rewrites the text field to surviving " +
+    "segments and drops docs below min_segs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_c4c").toString
+    val dirty = ((1 to 30).map(i => s"w$i") ++ Seq("lorem") ++
+      (31 to 39).map(i => s"w$i")).mkString(" ") // 4 segs, one poisoned
+    val tiny = (1 to 14).map(i => s"w$i").mkString(" ") // 1 full seg only
+    Seq((1L, dirty), (2L, tiny)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("c"), Seq(
+      PipelineDef("c", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          c4Clean = Some(C4CleanDef(idField = "doc_id",
+            textField = "text"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("c").df.get.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(out.head.getAs[String]("text") ===
+      (1 to 30).map(i => s"w$i").mkString(" "))
+  }
+
+  test("dsir_select transform keeps the top-k docs by importance " +
+    "against the target corpus, attaching dsir_score") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsr").toString
+    Seq("physics quark neutron the of", "physics boson lattice the of")
+      .toDF("text").write.mode("overwrite").parquet(s"$dir/target")
+    Seq((1L, "physics quark paper the of"),
+      (2L, "recipe butter sugar the of"),
+      (3L, "recipe oven flour the of"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("d"), Seq(
+      PipelineDef("d", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          dsirSelect = Some(DsirSelectDef(
+            idField = "doc_id", textField = "text",
+            targetPath = s"$dir/target", nBuckets = 64, k = 1))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("d").df.get.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L),
+      "the physics doc must win under the physics target")
+    assert(out.head.schema.fieldNames.contains("dsir_score"))
+  }
+
   test("transform.sample: config-level stratified sampling keeps the " +
     "deterministic per-stratum subset") {
     import spark.implicits._

@@ -653,6 +653,21 @@ class TomlSpec extends AnyFunSuite {
         |[pipelines.transform.quality_filter]
         |field = "text"
         |min = 0.4
+        |[pipelines.transform.gopher_filter]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |min_words = 40
+        |min_stopwords = 1
+        |[pipelines.transform.c4_clean]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |window = 8
+        |blacklist = ["lorem", "ipsum"]
+        |[pipelines.transform.dsir_select]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |target_path = "/tmp/target"
+        |k = 250
         |[pipelines.transform.sample]
         |id_field = "doc_id"
         |strata_field = "lang"
@@ -670,6 +685,13 @@ class TomlSpec extends AnyFunSuite {
       && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
     assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
     assert(t.qualityFilter.exists(_.min == 0.4))
+    assert(t.gopherFilter.exists(g => g.minWords == 40L
+      && g.minStopwords == 1 && g.maxWords == 100000L
+      && g.maxSymbolRatio == 0.1))
+    assert(t.c4Clean.exists(c => c.window == 8 && c.minSegWords == 5
+      && c.blacklist == Seq("lorem", "ipsum")))
+    assert(t.dsirSelect.exists(d => d.targetPath == "/tmp/target"
+      && d.k == 250 && d.nBuckets == 4096))
     assert(t.sample.exists(s => s.rates == Map("en" -> 0.5)
       && s.defaultRate == 0.1))
   }
