@@ -1206,6 +1206,110 @@ object TextOps {
   /** Top-k DSIR selection (ties broken by id for engine parity). */
   def dsirTopK(scores: DataFrame, idCol: String, k: Int): DataFrame =
     scores.orderBy(col("score").desc, col(idCol)).limit(k)
+
+  /** The Gopher repetition battery (Rae et al. 2021 §A1.1, Table A1):
+    * per-document character-coverage fractions for word n-grams —
+    * `top_{n}gram_frac` (n = 2,3,4) = the dominant n-gram's coverage
+    * `max_g(count_g · chars_g) / chars`, and `dup_{n}gram_frac`
+    * (n = 5..10) = the coverage of all repeated n-grams
+    * `Σ_{count ≥ 2}(count_g · chars_g) / chars` — plus `keep` = every
+    * fraction at or under its Gopher threshold (0.20/0.18/0.16 top,
+    * 0.15..0.10 dup). Complements [[repetitionSignals]]' two coarse
+    * signals with the full published rule set; the line-level twins
+    * are [[dedupDocSegments]]/[[stripBoilerplate]]. Coverage counts
+    * every occurrence (the standard reimplementation: overlaps are
+    * not deduplicated), and the dominant n-gram is selected by
+    * coverage, not raw count — a pure max, so no cross-engine
+    * tie-break ambiguity.
+    *
+    * Scale shape: ONE explode producing the 2..10-gram stream off a
+    * single materialized words array (~9 rows per word), one keyed agg
+    * to (doc, n, gram) counts, one re-agg to (doc, n), one conditional
+    * fold to a row per doc — the tfDf shuffle family; nothing pairs,
+    * nothing broadcasts, cost is linear in corpus tokens. */
+  def gopherRepetition(
+      df: DataFrame, idCol: String, textCol: String,
+      topThresholds: Map[Int, Double] =
+        Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupThresholds: Map[Int, Double] =
+        Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+            9 -> 0.11, 10 -> 0.10)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = (topThresholds.keySet ++ dupThresholds.keySet).toSeq.sorted
+    require(ns.nonEmpty && ns.min >= 2,
+      s"n-gram sizes must be >= 2: $ns")
+    val maxN = ns.max
+    val base = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__chars"))
+    // String-free gram stream: ONE posexplode to word rows carrying only
+    // (wordhash, wordlen) ints, then every n-gram's count key is a
+    // polynomial fold of word hashes assembled from window `lead`s —
+    // no gram string is ever built (a first cut that array_join'd every
+    // 2..10-gram measured 5.5 s at sf0.1: the 9-per-word string
+    // construction WAS the cost, not shuffle bytes). The key is
+    // deterministic and oracle-replayed; a within-doc hash collision
+    // would merge two gram counts — vanishingly unlikely and harmless
+    // to a threshold signal. Gram char length = Σ word lens + (n−1).
+    val wordsF = df
+      .select(col(idCol), length(col(textCol)).cast("long").as("__chars"),
+        posexplode(LlmOps.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__chars"), col("__pos"),
+        LlmOps.strHash(col("__w")).as("__wh"),
+        length(col("__w")).cast("long").as("__wl"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leadCols = (1 until maxN).flatMap(k => Seq(
+      lead(col("__wh"), k).over(win).as(s"__h$k"),
+      lead(col("__wl"), k).over(win).as(s"__l$k")))
+    val led = wordsF.select(
+      Seq(col(idCol), col("__chars"), col("__wh"), col("__wl")) ++
+        leadCols: _*)
+    def ghash(n: Int): Column = (1 until n).foldLeft(col("__wh"))(
+      (acc, k) => (acc * 31L + col(s"__h$k")) % LlmOps.HashP)
+    def glen(n: Int): Column = (1 until n).foldLeft(col("__wl"))(
+      (acc, k) => acc + col(s"__l$k")) + lit((n - 1).toLong)
+    val gramArr = array(ns.map { n =>
+      when(col(s"__h${n - 1}").isNotNull,
+        struct(lit(n).as("n"), ghash(n).as("h"), glen(n).as("l")))
+    }: _*)
+    val counts = led
+      .select(col(idCol), col("__chars"),
+        explode(filter(gramArr, x => x.isNotNull)).as("__g"))
+      .select(col(idCol), col("__chars"), col("__g.n").as("__n"),
+        col("__g.h").as("__h"), col("__g.l").as("__l0"))
+      .groupBy(col(idCol), col("__chars"), col("__n"), col("__h"))
+      .agg(count(lit(1)).as("__c"), max(col("__l0")).as("__l"))
+    val cov = col("__c") * col("__l")
+    val perN = counts
+      .groupBy(col(idCol), col("__chars"), col("__n"))
+      .agg(max(cov).as("__top"),
+        sum(when(col("__c") >= 2, cov)).as("__dup"))
+    val aggs: Seq[Column] =
+      topThresholds.keys.toSeq.sorted.map(n =>
+        coalesce(max(when(col("__n") === n, col("__top"))), lit(0L))
+          .as(s"__top_$n")) ++
+        dupThresholds.keys.toSeq.sorted.map(n =>
+          coalesce(max(when(col("__n") === n, col("__dup"))), lit(0L))
+            .as(s"__dup_$n"))
+    val perDoc = perN.groupBy(col(idCol), col("__chars"))
+      .agg(aggs.head, aggs.tail: _*)
+    // fractions + flags on unrounded values
+    val chars = col("__chars").cast("double")
+    val fracs =
+      topThresholds.keys.toSeq.sorted.map(n =>
+        (s"top_${n}gram_frac", col(s"__top_$n") / chars,
+          topThresholds(n))) ++
+        dupThresholds.keys.toSeq.sorted.map(n =>
+          (s"dup_${n}gram_frac", col(s"__dup_$n") / chars,
+            dupThresholds(n)))
+    val keep = fracs.map { case (_, f, th) => f <= th }
+      .reduce(_ && _)
+    base.select(col(idCol), col("__chars"))
+      .join(perDoc.drop("__chars"), Seq(idCol), "left")
+      .na.fill(0L)
+      .select(col(idCol) +:
+        fracs.map { case (name, f, _) => round(f, 6).as(name) } :+
+        coalesce(keep, lit(false)).as("keep"): _*)
+  }
 }
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque

@@ -1273,6 +1273,96 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // ----- Gopher repetition battery (top/dup n-gram char coverage) ----
+    // top_{2,3,4}gram_frac = dominant n-gram coverage max(c·len)/chars;
+    // dup_{5..10}gram_frac = repeated-n-gram coverage Σ_{c≥2}(c·len)/
+    // chars; keep = all at/under the Gopher thresholds. Flags computed
+    // on unrounded fractions in BOTH engines.
+    QDef.sql(
+      "llm_gopher_rep",
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+         |         CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents
+         |),
+         |hw AS (
+         |  SELECT doc_id, chars,
+         |    list_transform(ws, w -> ${duckHash("w")}) AS whl,
+         |    list_transform(ws, w -> CAST(length(w) AS BIGINT)) AS wll,
+         |    len(ws) AS nw
+         |  FROM d
+         |),
+         |e AS (
+         |  SELECT doc_id, chars, whl, wll, nw,
+         |         unnest(generate_series(2, 10)) AS n
+         |  FROM hw
+         |),
+         |e2 AS (
+         |  SELECT doc_id, chars, whl, wll, n,
+         |         unnest(generate_series(0, nw - n)) AS i
+         |  FROM e WHERE nw >= n
+         |),
+         |g AS (
+         |  SELECT doc_id, chars, n,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), whl[i + 1 : i + n]),
+         |      (a, x) -> (a * 31 + x) % 1000000007) AS h,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), wll[i + 1 : i + n]),
+         |      (a, x) -> a + x) + (n - 1) AS l
+         |  FROM e2
+         |),
+         |c AS (
+         |  SELECT doc_id, chars, n, h,
+         |    CAST(count(*) AS BIGINT) AS c,
+         |    CAST(max(l) AS BIGINT) AS l
+         |  FROM g GROUP BY 1, 2, 3, 4
+         |),
+         |p AS (
+         |  SELECT doc_id, chars, n,
+         |    CAST(max(c * l) AS BIGINT) AS top_cov,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * l END),
+         |                  0) AS BIGINT) AS dup_cov
+         |  FROM c GROUP BY 1, 2, 3
+         |),
+         |f AS (
+         |  SELECT doc_id, chars,
+         |    coalesce(max(CASE WHEN n = 2 THEN top_cov END), 0) AS t2,
+         |    coalesce(max(CASE WHEN n = 3 THEN top_cov END), 0) AS t3,
+         |    coalesce(max(CASE WHEN n = 4 THEN top_cov END), 0) AS t4,
+         |    coalesce(max(CASE WHEN n = 5 THEN dup_cov END), 0) AS d5,
+         |    coalesce(max(CASE WHEN n = 6 THEN dup_cov END), 0) AS d6,
+         |    coalesce(max(CASE WHEN n = 7 THEN dup_cov END), 0) AS d7,
+         |    coalesce(max(CASE WHEN n = 8 THEN dup_cov END), 0) AS d8,
+         |    coalesce(max(CASE WHEN n = 9 THEN dup_cov END), 0) AS d9,
+         |    coalesce(max(CASE WHEN n = 10 THEN dup_cov END), 0) AS d10
+         |  FROM p GROUP BY 1, 2
+         |)
+         |SELECT d.doc_id,
+         |  round(coalesce(t2, 0) / CAST(d.chars AS DOUBLE), 6) AS top_2gram_frac,
+         |  round(coalesce(t3, 0) / CAST(d.chars AS DOUBLE), 6) AS top_3gram_frac,
+         |  round(coalesce(t4, 0) / CAST(d.chars AS DOUBLE), 6) AS top_4gram_frac,
+         |  round(coalesce(d5, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_5gram_frac,
+         |  round(coalesce(d6, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_6gram_frac,
+         |  round(coalesce(d7, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_7gram_frac,
+         |  round(coalesce(d8, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_8gram_frac,
+         |  round(coalesce(d9, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_9gram_frac,
+         |  round(coalesce(d10, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_10gram_frac,
+         |  coalesce(
+         |    coalesce(t2, 0) / CAST(d.chars AS DOUBLE) <= 0.20
+         |    AND coalesce(t3, 0) / CAST(d.chars AS DOUBLE) <= 0.18
+         |    AND coalesce(t4, 0) / CAST(d.chars AS DOUBLE) <= 0.16
+         |    AND coalesce(d5, 0) / CAST(d.chars AS DOUBLE) <= 0.15
+         |    AND coalesce(d6, 0) / CAST(d.chars AS DOUBLE) <= 0.14
+         |    AND coalesce(d7, 0) / CAST(d.chars AS DOUBLE) <= 0.13
+         |    AND coalesce(d8, 0) / CAST(d.chars AS DOUBLE) <= 0.12
+         |    AND coalesce(d9, 0) / CAST(d.chars AS DOUBLE) <= 0.11
+         |    AND coalesce(d10, 0) / CAST(d.chars AS DOUBLE) <= 0.10,
+         |    false) AS keep
+         |FROM d LEFT JOIN f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.gopherRepetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ----- DSIR importance resampling (target-matched data selection) --
     // Target = src0 documents; raw = the rest. Hashed unigram LMs,
     // add-one smoothing, per-bucket weight = fixed-point log2-ratio

@@ -228,6 +228,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(ranked.head === 1L, s"physics doc should rank first: $ranked")
   }
 
+  // ----- Gopher repetition battery ------------------------------------
+
+  test("gopherRepetition: a dominant bigram trips the top-2gram rule " +
+    "with the exact closed-form coverage") {
+    val text = "spam spam spam spam" // chars=19
+    val out = TextOps.gopherRepetition(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect()
+    val r = out.head
+    // "spam spam" occurs 3x (overlaps count), len 9 → 27/19
+    assert(r.getAs[Double]("top_2gram_frac") === math.rint(27.0 / 19 * 1e6) / 1e6)
+    // "spam spam spam" 2x, len 14 → 28/19
+    assert(r.getAs[Double]("top_3gram_frac") === math.rint(28.0 / 19 * 1e6) / 1e6)
+    // no 5-grams exist in a 4-word doc
+    assert(r.getAs[Double]("dup_5gram_frac") === 0.0)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("gopherRepetition: a repeated 5-gram lands in dup_5gram_frac " +
+    "exactly; distinct docs keep") {
+    val rep = "a b c d e x a b c d e y" // "a b c d e" 2x, chars=23
+    val clean = (1 to 60).map(i => s"uniq${i}w").mkString(" ")
+    val out = TextOps.gopherRepetition(
+      Seq((1L, rep), (2L, clean)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_5gram_frac") ===
+      math.rint(18.0 / 23 * 1e6) / 1e6) // 2 * len("a b c d e")=18
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("dup_5gram_frac") === 0.0)
+    assert(out(2L).getAs[Boolean]("keep"))
+  }
+
+  test("gopherRepetition plan: no pair join, no cartesian") {
+    val df = Seq((1L, goodText)).toDF("doc_id", "text")
+    val plan = TextOps.gopherRepetition(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("dsirScores plan: weight join is broadcast, one keyed agg") {
     val B = 64
     val wts = TextOps.dsirWeights(targetDocs, rawDocs, "text", B)
