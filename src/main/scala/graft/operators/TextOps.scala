@@ -795,6 +795,34 @@ object TextOps {
         round(col("__bits").cast("double") / col("n_tokens"), 6).as("lm_score"))
   }
 
+  /** n-gram generalization of [[unigramLogFreq]] — the documented
+    * upgrade path taken: score = mean bit-length of each adjacent
+    * n-word-gram's corpus frequency. A bigram model (n = 2) rewards
+    * documents whose word TRANSITIONS are common, not just their
+    * vocabulary — the signal that separates shuffled-word salad from
+    * fluent text, which the unigram proxy cannot see. Same integer-
+    * exact discipline (bit-length, one final division), same plan
+    * (one gram-hash shuffle for the count frame, ReusedExchange on the
+    * join-back, one doc re-agg). Documents with fewer than n words
+    * have no grams and drop from the output (mirrored by the oracle's
+    * join semantics). */
+  def ngramLogFreq(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    val toks =
+      if (n == 1) LlmOps.tokenHashes(df, idCol, textCol)
+      else LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+    val counts = toks.groupBy("h").agg(count(lit(1)).as("__cnt"))
+    toks.join(counts, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_ngrams"),
+        sum(length(bin(col("__cnt")))).as("__bits"))
+      .select(col(idCol), col("n_ngrams"),
+        round(col("__bits").cast("double") / col("n_ngrams"), 6)
+          .as("lm_score"))
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

@@ -1137,6 +1137,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Bigram LM-quality proxy (the LT17 upgrade path, taken) ------
+    // Mean bit-length of each adjacent word-pair's corpus frequency:
+    // common TRANSITIONS score high — the fluency signal the unigram
+    // proxy can't see. Integer-exact like llm_lm_quality.
+    QDef.sql(
+      "llm_lm2_quality",
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents
+         |),
+         |e AS (
+         |  SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 2)) AS i
+         |  FROM d WHERE len(ws) >= 2
+         |),
+         |h AS (
+         |  SELECT doc_id, ${duckHash("ws[i + 1] || ' ' || ws[i + 2]")} AS h
+         |  FROM e
+         |),
+         |c AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  round(CAST(sum(length(bin(cnt))) AS DOUBLE) / count(*), 6)
+         |    AS lm_score
+         |FROM h JOIN c USING (h)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.ngramLogFreq(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    },
+
     // ----- Hashed-linear classifier inference (fastText-style filter) --
     // Logistic regression over a hashed bag-of-words with mean pooling:
     // score = sigmoid((Σ w[polyhash(tok) % 1024]) / 1000 / n_tokens).

@@ -170,6 +170,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----- bigram LM proxy ----------------------------------------------
+
+  test("ngramLogFreq(2): closed-form mean bit-length of bigram counts; " +
+    "sub-bigram docs drop") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramLogFreq(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // corpus bigram counts: "a b"=3, "b a"=1, "x y"=1
+    assert(out(1L).getAs[Long]("n_ngrams") === 3L)
+    assert(out(1L).getAs[Double]("lm_score") ===
+      math.rint((2 + 1 + 2) / 3.0 * 1e6) / 1e6)
+    assert(out(2L).getAs[Double]("lm_score") === 2.0)
+    assert(out(3L).getAs[Double]("lm_score") === 1.0)
+    assert(!out.contains(4L), "a 1-word doc has no bigrams")
+  }
+
   // ----- DSIR ----------------------------------------------------------
 
   private val targetDocs = Seq(
