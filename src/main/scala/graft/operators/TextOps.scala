@@ -383,8 +383,52 @@ object TextOps {
       rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
       rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
       rStop.as("r_stop"),
-      coalesce(rWords && rMeanLen && rSymbol && rBullet &&
-        rEllipsis && rAlpha && rStop, lit(false)).as("keep"))
+      gopherKeep(text, minWords, maxWords, minMeanWordLen,
+        maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+        minAlphaFrac, minStopwords).as("keep"))
+  }
+
+  /** The [[gopherRules]] `keep` conjunction as a standalone per-row
+    * predicate Column — for callers that only gate (a plain `filter`,
+    * ONE evaluation of the input) and don't need the report frame: a
+    * `join(gopherRules(df).filter(keep))` evaluates the upstream plan
+    * twice, a `df.filter(gopherKeep(col))` once. NULL text → false. */
+  def gopherKeep(
+      text: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2): Column = {
+    val ws = split(text, " ")
+    val wsl = split(lower(text), " ")
+    val lines = split(text, "\n")
+    val nWords = size(ws).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    val meanLen = sumLen.cast("double") / nWords
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEll).cast("double") / nWords
+    val bulletFrac = size(filter(lines, l =>
+      startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
+        startswith(l, lit("• ")))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => endswith(l, lit("..."))))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val nStop = size(filter(
+      array(GopherStops.map(lit): _*), s => array_contains(wsl, s)))
+      .cast("long")
+    coalesce(
+      nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletFrac <= maxBulletFrac &&
+        ellipsisFrac <= maxEllipsisFrac &&
+        alphaFrac >= minAlphaFrac &&
+        nStop >= minStopwords,
+      lit(false))
   }
 
   /** Deterministic stratified sampling with per-stratum rates — the

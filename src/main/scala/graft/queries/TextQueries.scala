@@ -1463,6 +1463,154 @@ object TextQueries {
           "doc_id", k = 100)
     },
 
+    // ----- Modern-curation composition (the round-11 stages chained) ---
+    // C4 segment cleaning → Gopher rule gate (on the CLEANED text) →
+    // DSIR top-k selection against the src0 target — the published
+    // pretraining-curation recipe as ONE dataflow. Each stage's oracle
+    // replay already exists standalone; this chains them end-to-end so
+    // a stage-boundary bug (wrong column, wrong order of filters,
+    // text/target mismatch) cannot hide.
+    QDef.sql(
+      "llm_curation2_e2e",
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         |         string_split(lower(text), ' ') AS wsl
+         |  FROM documents
+         |),
+         |cc AS (
+         |  SELECT doc_id, source, ws, wsl, CAST(len(ws) AS BIGINT) AS n,
+         |         CAST(ceil(len(ws) / 10.0) AS BIGINT) AS nseg
+         |  FROM dd
+         |),
+         |ck AS (
+         |  SELECT doc_id, source,
+         |    list_filter(generate_series(0, nseg - 1), i ->
+         |      least(10, n - i * 10) >= 5 AND
+         |      len(list_filter(wsl[i * 10 + 1 : i * 10 + 10], w ->
+         |        list_contains(['lorem','ipsum','javascript','{','}'], w)
+         |      )) = 0) AS keep_idx,
+         |    ws
+         |  FROM cc
+         |),
+         |cl AS (
+         |  SELECT doc_id, source,
+         |    array_to_string(list_transform(keep_idx, i ->
+         |      array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')), ' ')
+         |      AS tc
+         |  FROM ck WHERE len(keep_idx) >= 3
+         |),
+         |gs AS (
+         |  SELECT doc_id, source, tc,
+         |    string_split(tc, ' ') AS cws,
+         |    string_split(lower(tc), ' ') AS cwsl,
+         |    string_split(tc, chr(10)) AS clines
+         |  FROM cl
+         |),
+         |gk AS (
+         |  SELECT doc_id, source, tc FROM gs
+         |  WHERE CAST(len(cws) AS BIGINT) BETWEEN 40 AND 100000
+         |    AND CAST(list_reduce(
+         |          list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(cws, w -> CAST(length(w) AS BIGINT))),
+         |          (a, x) -> a + x) AS DOUBLE) / len(cws) BETWEEN 3.0 AND 10.0
+         |    AND CAST(length(tc) - length(replace(tc, '#', ''))
+         |          + (length(tc) - length(replace(tc, '...', ''))) / 3
+         |          AS DOUBLE) / len(cws) <= 0.1
+         |    AND CAST(len(list_filter(clines, l -> starts_with(l, '- ')
+         |          OR starts_with(l, '* ') OR starts_with(l, '• ')))
+         |          AS DOUBLE) / len(clines) <= 0.9
+         |    AND CAST(len(list_filter(clines, l -> ends_with(l, '...')))
+         |          AS DOUBLE) / len(clines) <= 0.3
+         |    AND CAST(len(list_filter(cws, w ->
+         |          regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+         |          / len(cws) >= 0.8
+         |    AND len(list_filter(
+         |          ['the','be','to','of','and','that','have','with'],
+         |          t -> list_contains(cwsl, t))) >= 1
+         |),
+         |bt AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM (
+         |    SELECT ${duckHash("tok")} % 512 AS bucket FROM (
+         |      SELECT unnest(string_split(lower(tc), ' ')) AS tok
+         |      FROM gk WHERE source = 'src0')
+         |  ) GROUP BY 1
+         |),
+         |rt AS (
+         |  SELECT doc_id, ${duckHash("tok")} % 512 AS bucket FROM (
+         |    SELECT doc_id, unnest(string_split(lower(tc), ' ')) AS tok
+         |    FROM gk WHERE source <> 'src0')
+         |),
+         |br AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+         |  FROM rt GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM bt) AS t,
+         |         (SELECT CAST(sum(cr) AS BIGINT) FROM br) AS r
+         |),
+         |cnts AS (
+         |  SELECT g.i AS bucket, coalesce(ct, 0) + 1 AS a_t,
+         |         coalesce(cr, 0) + 1 AS a_r
+         |  FROM generate_series(0, 511) g(i)
+         |  LEFT JOIN bt ON bt.bucket = g.i
+         |  LEFT JOIN br ON br.bucket = g.i
+         |),
+         |args AS (
+         |  SELECT DISTINCT n FROM (
+         |    SELECT a_t AS n FROM cnts
+         |    UNION SELECT a_r FROM cnts
+         |    UNION SELECT t + 512 FROM tot
+         |    UNION SELECT r + 512 FROM tot)
+         |),
+         |${DuckSql.duckLog2FixedCtes("args")},
+         |wt AS (
+         |  SELECT cnts.bucket,
+         |    f1.f - ft.f - f2.f + fr.f AS w
+         |  FROM cnts CROSS JOIN tot
+         |  JOIN lg f1 ON f1.n = cnts.a_t
+         |  JOIN lg ft ON ft.n = tot.t + 512
+         |  JOIN lg f2 ON f2.n = cnts.a_r
+         |  JOIN lg fr ON fr.n = tot.r + 512
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(wt.w) AS BIGINT) AS score
+         |  FROM rt LEFT JOIN wt USING (bucket) GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, score,
+         |  round(CAST(score AS DOUBLE) / 1048576.0, 6) AS lr
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 150""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val cleaned = TextOps.c4Clean(docs, "doc_id", "text",
+          window = 10, minSegWords = 5, minSegs = 3)
+          .select(col("doc_id"), col("text_clean").as("tc"))
+        // Pin BEFORE the gate: gopherKeep references the cleaned text
+        // ~10 times, and CollapseProject would inline the full C4
+        // reassembly expression into every reference (the LD14
+        // optimizer hazard — measured 6.4 s for the filter alone);
+        // against a materialized column it is one cheap per-row pass.
+        val shaped = docs.select(col("doc_id"), col("source"))
+          .join(cleaned, Seq("doc_id"))
+          .localCheckpoint(true)
+        // The gate is a plain per-row filter, not a report+semi-join —
+        // ONE evaluation — and the gated frame is pinned too (same
+        // discipline as llm_curation_e2e): the DSIR stage reads it
+        // from four consumers (target/raw counts, totals, scores).
+        // Measured at sf0.1: 10.2 s unpinned+semi-join, 7.4 s with
+        // only the post-gate pin, 2.6 s with this shape.
+        val kept = shaped
+          .filter(TextOps.gopherKeep(col("tc"),
+            minWords = 40, minStopwords = 1))
+          .localCheckpoint(true)
+        val target = kept.filter(col("source") === "src0")
+        val raw = kept.filter(col("source") =!= "src0")
+        val wts = TextOps.dsirWeights(target, raw, "tc", nBuckets = 512)
+        TextOps.dsirTopK(
+          TextOps.dsirScores(raw, "doc_id", "tc", wts, nBuckets = 512),
+          "doc_id", k = 150)
+    },
+
     // ----- End-to-end curation pipeline (the production composition) ---
     // boilerplate-strip → langid+quality filter → exact dedup →
     // MinHash-CC near-dedup → stratified mix → holdout split, composed
