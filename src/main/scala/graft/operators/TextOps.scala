@@ -1375,9 +1375,14 @@ object TextOps {
             dupThresholds(n)))
     val keep = fracs.map { case (_, f, th) => f <= th }
       .reduce(_ && _)
+    // Fill ONLY the coverage columns: a doc with no grams scores all
+    // zeros, but a NULL text must keep its NULL chars so the fractions
+    // come out NULL in BOTH engines (a blanket fill would turn Spark's
+    // 0/0 into NaN where the oracle yields NULL).
     base.select(col(idCol), col("__chars"))
       .join(perDoc.drop("__chars"), Seq(idCol), "left")
-      .na.fill(0L)
+      .na.fill(0L, ns.flatMap(n => Seq(s"__top_$n", s"__dup_$n"))
+        .filter(perDoc.columns.contains))
       .select(col(idCol) +:
         fracs.map { case (name, f, _) => round(f, 6).as(name) } :+
         coalesce(keep, lit(false)).as("keep"): _*)

@@ -276,6 +276,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Boolean]("keep"))
   }
 
+  test("gopherRepetition: NULL text yields NULL fractions and keep=false " +
+    "(matching SQL NULL propagation, not NaN)") {
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9L, null: String),
+        org.apache.spark.sql.Row(1L, "spam spam spam spam")),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    val out = TextOps.gopherRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(9L).isNullAt(out(9L).fieldIndex("top_2gram_frac")))
+    assert(!out(9L).getAs[Boolean]("keep"))
+    assert(!out(1L).getAs[Boolean]("keep"))
+  }
+
   test("gopherRepetition plan: no pair join, no cartesian") {
     val df = Seq((1L, goodText)).toDF("doc_id", "text")
     val plan = TextOps.gopherRepetition(df, "doc_id", "text")

@@ -579,4 +579,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_events") === 2L)
     assert(out(0).getAs[Double]("mx") === 7.0)
   }
+
+  test("curation gates are streaming-safe: c4Clean + gopherKeep run " +
+    "per-row on an unbounded stream with no state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = (Seq("the", "report", "that", "we", "have", "shared",
+      "with") ++ (1 to 53).map(i => s"word${i % 7}x")).mkString(" ")
+    val gated = graft.operators.TextOps.c4Clean(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .filter(graft.operators.TextOps.gopherKeep(col("text_clean"),
+        minWords = 40, minStopwords = 1))
+    val q = gated.writeStream.format("memory")
+      .queryName("curation_gate").outputMode("append").start()
+    try {
+      input.addData((1L, good), (2L, "the short one that we have with"))
+      q.processAllAvailable()
+      // a second batch flows through the same query — stateless gates
+      input.addData((3L, good))
+      q.processAllAvailable()
+      val kept = spark.table("curation_gate")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
 }
