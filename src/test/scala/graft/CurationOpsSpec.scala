@@ -290,12 +290,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out(1L).getAs[Boolean]("keep"))
   }
 
-  test("gopherRepetition plan: no pair join, no cartesian") {
+  test("gopherRepetition plan: no pair join, no cartesian, and ONE " +
+    "hash shuffle — every aggregation reuses the window's doc-id " +
+    "partitioning") {
     val df = Seq((1L, goodText)).toDF("doc_id", "text")
     val plan = TextOps.gopherRepetition(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1,
+      s"expected exactly 1 hash shuffle (the window's), got $shuffles:\n$plan")
   }
 
   test("dsirScores plan: weight join is broadcast, one keyed agg") {
