@@ -577,6 +577,53 @@ object LlmOps {
     * pass with no shuffle before the per-probe top-k window. Compose
     * with [[lshBucket]] the same way annTopKLsh does when even one
     * pass is too much. */
+  /** Embedding prototypicality / outlier report — the "far from the
+    * corpus centroid" curation screen (the SemDeDup-adjacent
+    * prototypicality filter): quantize every vector to int8
+    * ([[quantizeInt8]] — deterministic integers), take the EXACT
+    * per-dimension integer sums across the corpus, divide once by the
+    * count (one deterministic float per dimension — the only step
+    * where corpus order could have mattered, and it can't: integer
+    * sums are order-free), and report the k vectors with the LOWEST
+    * cosine to that mean vector. All folds run in dimension order
+    * (the `duckFold` discipline), sqrt is IEEE-exact, so the scores
+    * replay bit-for-bit. Zero vectors are excluded (their cosine is
+    * undefined and NULL-ordering differs between engines).
+    *
+    * Scale shape: one per-row quantize pass, one 64-row centroid agg
+    * broadcast back, one per-row score, `TakeOrderedAndProject` for
+    * the bottom-k — nothing pairs, nothing shuffles the corpus. */
+  def embedOutliers(
+      df: DataFrame, idCol: String, vecCol: Column, k: Int): DataFrame = {
+    // Pin the quantized corpus ONCE: both the centroid agg and the
+    // scoring pass read it — unpinned, each would re-run the quantize.
+    val qdf = quantizeInt8(df, idCol, vecCol).select(col(idCol), col("q"))
+      .localCheckpoint(true)
+    val cent = qdf
+      .select(posexplode(col("q")).as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("__s"), col("__n")))),
+        x => x.getField("__s").cast("double") / x.getField("__n"))
+        .as("__c"))
+    // native codegen'd DotProduct (bit-identical to the sequential
+    // fold, see DotProductSpec) for the per-row double products; the
+    // q-norm stays an integer fold (exact)
+    val qd = toDoubleVec(col("q"))
+    val d = dot(qd, col("__c"))
+    val nq = aggregate(col("q"), lit(0L), (a, x) => a + x * x)
+    val nc = dot(col("__c"), col("__c"))
+    qdf.crossJoin(broadcast(cent))
+      .select(col(idCol),
+        (d / (sqrt(nq.cast("double")) * sqrt(nc))).as("__cos"),
+        nq.as("__nq"))
+      .filter(col("__nq") > 0L)
+      .orderBy(col("__cos").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("__cos"), 6).as("cos_centroid"))
+  }
+
   def quantizedTopK(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column, k: Int): DataFrame = {

@@ -902,6 +902,57 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // ----- Embedding outlier report (prototypicality screen) -----------
+    // Bottom-k cosine to the int8-quantized corpus mean: per-dim
+    // integer sums are order-free, ONE float division per dimension,
+    // dimension-order folds, IEEE sqrt — bit-for-bit replayable.
+    QDef.sql(
+      "llm_embed_outliers",
+      s"""WITH m AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+         |                (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx
+         |  FROM m
+         |),
+         |qz AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(round(
+         |      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)) AS BIGINT))
+         |      AS q
+         |  FROM s
+         |),
+         |cd AS (
+         |  SELECT p, CAST(sum(x) AS BIGINT) AS sm, count(*) AS n
+         |  FROM (SELECT unnest(q) AS x,
+         |               unnest(generate_series(1, len(q))) AS p FROM qz)
+         |  GROUP BY p
+         |),
+         |cm AS (
+         |  SELECT list(CAST(sm AS DOUBLE) / n ORDER BY p) AS c FROM cd
+         |),
+         |sc AS (
+         |  SELECT vec_id,
+         |    ${DuckSql.duckFold("list_transform(generate_series(1, len(q)), i -> q[i] * c[i])")}
+         |      / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(q, x -> x * x)), (a, b) -> a + b)
+         |           AS DOUBLE))
+         |         * sqrt(${DuckSql.duckFold("list_transform(c, x -> x * x)")}))
+         |      AS cs,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS nq
+         |  FROM qz CROSS JOIN cm
+         |)
+         |SELECT vec_id, round(cs, 6) AS cos_centroid
+         |FROM sc WHERE nq > 0
+         |ORDER BY cs, vec_id LIMIT 50""".stripMargin) { (s, dir) =>
+      LlmOps.embedOutliers(t(s, dir, "embeddings"), "vec_id",
+        col("embedding"), k = 50)
+    },
+
     // ----- Top-k search over the int8-quantized vectors ------------------
     // The payoff of llm_embed_quantize: the scoring loop is pure BIGINT
     // multiply-add over 8-bit values (overflow-free by construction),

@@ -303,6 +303,25 @@ class CurationOpsSpec extends AnyFunSuite {
       s"expected exactly 1 hash shuffle (the window's), got $shuffles:\n$plan")
   }
 
+  // ----- embedding outliers -------------------------------------------
+
+  test("embedOutliers: bottom-k cosine to the quantized corpus mean, " +
+    "closed form; zero vectors excluded") {
+    import graft.operators.LlmOps
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f)), (9L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = LlmOps.embedOutliers(vecs, "vec_id", col("embedding"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // q1=(127,0), q2=(0,127), q3=(127,127); zero vector 9 drops.
+    // mean m=(254/3, 254/3): cos(q1,m)=cos(q2,m)=1/sqrt(2), cos(q3,m)=1
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0)._2 === 0.707107)
+    assert(out(1)._2 === 0.707107)
+    assert(out(2)._2 === 1.0)
+  }
+
   test("dsirScores plan: weight join is broadcast, one keyed agg") {
     val B = 64
     val wts = TextOps.dsirWeights(targetDocs, rawDocs, "text", B)
