@@ -259,6 +259,19 @@ object JsonConfig {
         nBuckets = int(ds.path("n_buckets")).getOrElse(4096),
         k = int(ds.path("k")).getOrElse(1000)))
     } else None,
+    repetitionFilter = if (n.path("repetition_filter").isObject) {
+      val rf = n.path("repetition_filter")
+      def num(key: String, dflt: Double): Double =
+        if (rf.path(key).isNumber) rf.path(key).asDouble() else dflt
+      val dTop = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+      val dDup = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+        9 -> 0.11, 10 -> 0.10)
+      Some(RepetitionFilterDef(
+        idField = str(rf.path("id_field")).getOrElse(sys.error("repetition_filter missing id_field")),
+        textField = str(rf.path("text_field")).getOrElse(sys.error("repetition_filter missing text_field")),
+        topThresholds = dTop.map { case (k, v) => k -> num(s"top_$k", v) },
+        dupThresholds = dDup.map { case (k, v) => k -> num(s"dup_$k", v) }))
+    } else None,
     sample = if (n.path("sample").isObject) {
       val sd = n.path("sample")
       Some(SampleDef(

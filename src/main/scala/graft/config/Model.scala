@@ -152,6 +152,9 @@ final case class TransformDef(
       * top-k docs by hashed-unigram log-likelihood ratio against the
       * target corpus at `targetPath`. */
     dsirSelect: Option[DsirSelectDef] = None,
+    /** LLM-extension: keep only docs passing the Gopher repetition
+      * battery (LT23; see TextOps.gopherRepetition). */
+    repetitionFilter: Option[RepetitionFilterDef] = None,
     /** LLM-extension: deterministic per-stratum hash sampling (LT8). */
     sample: Option[SampleDef] = None,
     addProcessedFlags: Boolean = true,
@@ -293,6 +296,20 @@ final case class C4CleanDef(
     minSegs: Int = 3,
     blacklist: Seq[String] =
       Seq("lorem", "ipsum", "javascript", "{", "}"))
+
+/** LLM-extension: Gopher repetition gate inside a pipeline's
+  * transform — keep rows whose `textField` passes the full top/dup
+  * n-gram coverage battery (see TextOps.gopherRepetition; thresholds
+  * are the published defaults, overridable per n as `top_2`..`top_4`
+  * and `dup_5`..`dup_10`). */
+final case class RepetitionFilterDef(
+    idField: String,
+    textField: String,
+    topThresholds: Map[Int, Double] =
+      Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+    dupThresholds: Map[Int, Double] =
+      Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+          9 -> 0.11, 10 -> 0.10))
 
 /** LLM-extension: DSIR importance selection inside a pipeline's
   * transform — score each row's `textField` by the hashed-unigram

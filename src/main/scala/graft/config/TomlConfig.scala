@@ -213,8 +213,8 @@ object TomlConfig {
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
     * `lang_filter`, `quality_filter`, `classifier_filter`,
-    * `gopher_filter`, `c4_clean`, `dsir_select`, `sample` —
-    * reference-style TOML
+    * `gopher_filter`, `c4_clean`, `dsir_select`, `repetition_filter`,
+    * `sample` — reference-style TOML
     * configs get the full LLM-curation transform surface too. */
   private def parseCuration(n: Map[String, Any]): TransformDef => TransformDef = { base =>
     val nd = tbl(n.get("near_dedup"))
@@ -228,6 +228,7 @@ object TomlConfig {
     val gf = tbl(n.get("gopher_filter"))
     val cc = tbl(n.get("c4_clean"))
     val ds = tbl(n.get("dsir_select"))
+    val rf = tbl(n.get("repetition_filter"))
     val sa = tbl(n.get("sample"))
     // A DECLARED curation table with no keys (e.g. an empty
     // `[pipelines.transform.decontaminate]`) is a config mistake, not an
@@ -345,6 +346,20 @@ object TomlConfig {
           targetTextField = str(ds.get("target_text_field")),
           nBuckets = long(ds.get("n_buckets")).getOrElse(4096L).toInt,
           k = long(ds.get("k")).getOrElse(1000L).toInt)),
+      repetitionFilter =
+        if (!declared("repetition_filter", rf)) None
+        else {
+          val dTop = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+          val dDup = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+            9 -> 0.11, 10 -> 0.10)
+          Some(RepetitionFilterDef(
+            idField = str(rf.get("id_field")).getOrElse(sys.error("repetition_filter missing id_field")),
+            textField = str(rf.get("text_field")).getOrElse(sys.error("repetition_filter missing text_field")),
+            topThresholds = dTop.map { case (k, v) =>
+              k -> dbl(rf.get(s"top_$k")).getOrElse(v) },
+            dupThresholds = dDup.map { case (k, v) =>
+              k -> dbl(rf.get(s"dup_$k")).getOrElse(v) }))
+        },
       sample =
         if (!declared("sample", sa)) None
         else Some(SampleDef(

@@ -578,6 +578,12 @@ object Orchestrator {
         .select(col(ds.idField), col("score").as("dsir_score"))
       df = df.join(top, Seq(ds.idField))
     }
+    t.repetitionFilter.foreach { rf =>
+      val keep = graft.operators.TextOps.gopherRepetition(
+        df, rf.idField, rf.textField, rf.topThresholds, rf.dupThresholds)
+        .filter(col("keep")).select(col(rf.idField))
+      df = df.join(keep, Seq(rf.idField), "left_semi")
+    }
     t.sample.foreach { sd =>
       df = graft.operators.TextOps.stratifiedSample(
         df, sd.idField, col(sd.strataField), sd.rates, sd.defaultRate)

@@ -483,6 +483,24 @@ class OrchestratorSpec extends AnyFunSuite {
       (1 to 30).map(i => s"w$i").mkString(" "))
   }
 
+  test("repetition_filter transform drops docs tripping the Gopher " +
+    "repetition battery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    val clean = (1 to 60).map(i => s"uniq${i}w").mkString(" ")
+    val spammy = (1 to 30).map(_ => "spam").mkString(" ")
+    Seq((1L, clean), (2L, spammy)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("r"), Seq(
+      PipelineDef("r", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          repetitionFilter = Some(RepetitionFilterDef(
+            idField = "doc_id", textField = "text"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("r").df.get.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+  }
+
   test("dsir_select transform keeps the top-k docs by importance " +
     "against the target corpus, attaching dsir_score") {
     import spark.implicits._

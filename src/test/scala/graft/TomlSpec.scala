@@ -668,6 +668,11 @@ class TomlSpec extends AnyFunSuite {
         |text_field = "text"
         |target_path = "/tmp/target"
         |k = 250
+        |[pipelines.transform.repetition_filter]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |top_2 = 0.25
+        |dup_10 = 0.05
         |[pipelines.transform.sample]
         |id_field = "doc_id"
         |strata_field = "lang"
@@ -692,6 +697,9 @@ class TomlSpec extends AnyFunSuite {
       && c.blacklist == Seq("lorem", "ipsum")))
     assert(t.dsirSelect.exists(d => d.targetPath == "/tmp/target"
       && d.k == 250 && d.nBuckets == 4096))
+    assert(t.repetitionFilter.exists(r => r.topThresholds(2) == 0.25
+      && r.topThresholds(3) == 0.18 && r.dupThresholds(10) == 0.05
+      && r.dupThresholds(5) == 0.15))
     assert(t.sample.exists(s => s.rates == Map("en" -> 0.5)
       && s.defaultRate == 0.1))
   }
