@@ -37,6 +37,46 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** Per-language character-trigram profiles for [[langIdNgram]] —
+    * the textcat/CLD family's signal at heuristic size: the most
+    * characteristic trigrams of each language incl. word-boundary
+    * forms (space-padded). ASCII-only so the profiles travel between
+    * engines verbatim. */
+  val TriEn = Seq("the", "he ", " th", "ing", "nd ", "and", " an",
+    "ion", " of", "of ", "at ", "ent", " to", "to ", "er ")
+  val TriDe = Seq("der", "ein", "sch", "ich", "nde", "die", "und",
+    " de", "en ", "cht", "ung", "das", " ge", "ber", "ter")
+  val TriEs = Seq(" de", "de ", "os ", "la ", " la", "que", " qu",
+    "ent", "en ", "el ", " el", "ue ", "as ", "ado", "nte")
+  val TriFr = Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ",
+    "que", " qu", "ion", "et ", " et", "eur", "ait", "les")
+
+  /** Language ID by character-trigram profile overlap — the brief's
+    * "n-gram heuristic" proper, beside [[langId]]'s stopword count:
+    * extract the doc's char trigrams ONCE (a per-row array over the
+    * lowercased text), score each language as the number of trigram
+    * tokens present in its profile, highest count wins with the same
+    * en > de > es > fr tie precedence; no hit → "und". Catches short
+    * or stopword-free text the word-level heuristic misses (trigram
+    * statistics survive even in fragments). Per-row, shuffle-free,
+    * fuses with the scan. */
+  def langIdNgram(textCol: Column): Column = {
+    val t = lower(textCol)
+    val tris = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    def score(profile: Seq[String]): Column =
+      size(filter(tris, x =>
+        array_contains(array(profile.map(lit): _*), x)))
+    val (en, de, es, fr) =
+      (score(TriEn), score(TriDe), score(TriEs), score(TriFr))
+    when(en > 0 && en >= de && en >= es && en >= fr, "en")
+      .when(de > 0 && de >= es && de >= fr, "de")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
   /** Composite quality score in [0,1] as a single Column expression:
     * 0.4 * min(1, words/50) + 0.3 * stopword_ratio + 0.3 * (1 - punct_ratio).
     * Deterministic double arithmetic (same op order in the oracle).

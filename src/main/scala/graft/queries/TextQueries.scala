@@ -115,6 +115,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Language ID: char-trigram profile overlap (LT1b) ------------
+    // The brief's "n-gram heuristic" proper: one per-row trigram array,
+    // per-language profile-hit counts, same tie precedence as LT1.
+    QDef.sql(
+      "llm_lang_id_ngram", {
+        def prof(p: Seq[String]): String =
+          p.map(t => s"'$t'").mkString("[", ",", "]")
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, lower(text) AS t FROM documents
+           |),
+           |g AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN length(t) >= 3 THEN
+           |      list_transform(generate_series(1, length(t) - 2),
+           |                     i -> substr(t, CAST(i AS INT), 3))
+           |    ELSE [] END AS tris
+           |  FROM d
+           |),
+           |c AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(tris, x -> list_contains(${prof(TextOps.TriEn)}, x))) AS c_en,
+           |    len(list_filter(tris, x -> list_contains(${prof(TextOps.TriDe)}, x))) AS c_de,
+           |    len(list_filter(tris, x -> list_contains(${prof(TextOps.TriEs)}, x))) AS c_es,
+           |    len(list_filter(tris, x -> list_contains(${prof(TextOps.TriFr)}, x))) AS c_fr
+           |  FROM g
+           |)
+           |SELECT doc_id, lang AS lang_actual,
+           |  CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+           |       WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+           |       WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+           |       WHEN c_fr > 0 THEN 'fr'
+           |       ELSE 'und' END AS lang_pred
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          TextOps.langIdNgram(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
     // ----- Quality scoring --------------------------------------------
     QDef.sql(
       "llm_quality",

@@ -170,6 +170,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----- trigram language ID ------------------------------------------
+
+  test("langIdNgram: catches stopword-free fragments the word heuristic " +
+    "misses; no hit → und") {
+    val df = Seq(
+      (1L, "untergrundbahnen"),   // German compound, zero DE stopwords
+      (2L, "the"),                // 3-char English fragment
+      (3L, "12345 67890"),        // no profile hit
+      (4L, ""))                   // sub-trigram
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.langIdNgram(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "de")
+    assert(out(2L) === "en")
+    assert(out(3L) === "und")
+    assert(out(4L) === "und")
+    // the stopword heuristic has no signal on the compound
+    val word = df.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(word(1L) === "und")
+  }
+
   // ----- bigram LM proxy ----------------------------------------------
 
   test("ngramLogFreq(2): closed-form mean bit-length of bigram counts; " +
