@@ -166,6 +166,22 @@ object TextOps {
           lit(0L), (a, x) => a + x).as("bpe_tokens"))
   }
 
+  /** Per-row BPE token count as a plain Column (the [[bpeTokenCount]]
+    * kernel without the report frame) — for composition into other
+    * operators, e.g. packing by REAL token counts. */
+  def bpeTokenCountCol(
+      textCol: Column,
+      merges: Seq[(String, String)] = BpeMergesEn): Column = {
+    def bpe(w: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BpeTokens(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(w),
+          merges))
+    aggregate(
+      transform(LlmOps.words(textCol), w => size(bpe(w)).cast("long")),
+      lit(0L), (a, x) => a + x)
+  }
+
   /** Stopword removal: drop listed tokens from the text, preserving the
     * order and single-space joining of the survivors. Per-row lambda,
     * shuffle-free; the words array is projected before the filter
@@ -656,10 +672,13 @@ object TextOps {
     * window runs per-shard in parallel instead of as a global sort. */
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
-      budget: Long, shardCol: Column): DataFrame = {
+      budget: Long, shardCol: Column,
+      tokenCount: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"token budget must be >= 1: $budget")
-    val toks = size(split(col(textCol), " ")).cast("long")
+    // default: whitespace tokens; pass e.g. [[bpeTokenCountCol]] to
+    // pack by REAL tokenizer counts (what a training job budgets on)
+    val toks = tokenCount.getOrElse(size(split(col(textCol), " ")).cast("long"))
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol), shardCol.as("shard"), toks.as("n_tokens"))

@@ -877,6 +877,79 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Sequence packing by REAL BPE token counts (LT9 × LT20) ------
+    // A training job budgets sequences on tokenizer counts, not
+    // whitespace words: the same greedy shard-ordered pack, with the
+    // BPE kernel supplying n_tokens. Oracle = the llm_bpe_tokens
+    // recursive replay feeding the llm_pack_sequences window.
+    QDef.sql(
+      "llm_pack_bpe", {
+        val keys = TextOps.BpeMergesEn
+          .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+        val vals = TextOps.BpeMergesEn.indices
+          .map(_ + 1).mkString("[", ",", "]")
+        val bestJ = "(list_sort(list_filter(list_transform(" +
+          "generate_series(1, len(syms)-1), " +
+          "i -> {'r': m[syms[i] || ' ' || syms[i+1]][1], 'i': i}), " +
+          "x -> x.r IS NOT NULL)))[1].i"
+        s"""WITH RECURSIVE mm AS (
+           |  SELECT map($keys, $vals) AS m
+           |),
+           |w0 AS (
+           |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+           |  FROM documents
+           |),
+           |wds AS (
+           |  SELECT doc_id, lang,
+           |         unnest(generate_series(1, len(ws))) AS wi, ws
+           |  FROM w0
+           |),
+           |init AS (
+           |  SELECT doc_id, lang, wi,
+           |    CASE WHEN ws[wi] = '' THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split(ws[wi], '') END AS syms
+           |  FROM wds
+           |),
+           |st AS (
+           |  SELECT doc_id, lang, wi, syms FROM init
+           |  UNION ALL
+           |  SELECT doc_id, lang, wi,
+           |         syms[1:bj-1] || [syms[bj] || syms[bj+1]] || syms[bj+2:]
+           |  FROM (
+           |    SELECT doc_id, lang, wi, syms, $bestJ AS bj
+           |    FROM st, mm
+           |  ) WHERE bj IS NOT NULL
+           |),
+           |fin AS (
+           |  SELECT doc_id, lang, len(syms) AS n_syms
+           |  FROM (
+           |    SELECT doc_id, lang, wi, syms, $bestJ AS bj
+           |    FROM st, mm
+           |  ) WHERE bj IS NULL
+           |),
+           |bp AS (
+           |  SELECT doc_id, lang AS shard,
+           |         CAST(sum(n_syms) AS BIGINT) AS n_tokens
+           |  FROM fin GROUP BY 1, 2
+           |),
+           |o AS (
+           |  SELECT doc_id, shard, n_tokens,
+           |         coalesce(sum(n_tokens) OVER (PARTITION BY shard
+           |           ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |           0) AS off
+           |  FROM bp)
+           |SELECT doc_id, shard, n_tokens,
+           |       CAST(floor(off / 256.0) AS BIGINT) AS seq_no
+           |FROM o ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.packSequences(
+        t(s, dir, "documents"), "doc_id", "text",
+        budget = 256L, shardCol = col("lang"),
+        tokenCount = Some(TextOps.bpeTokenCountCol(col("text"))))
+        .orderBy("doc_id")
+    },
+
     // ----- Deterministic epoch shuffle (training-data ordering) --------
     // Global pseudo-random order by the avalanched hash of
     // "epoch1:" || id (polyhash then the mixBucket multiplicative
