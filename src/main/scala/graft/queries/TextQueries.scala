@@ -184,6 +184,101 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Per-source data card (corpus profile report) ----------------
+    // The artifact a curation run publishes: per source, doc/word
+    // volume, mean soft quality, hard-gate pass count, trigram-langid
+    // hit count — one scan + one keyed agg over the proven per-row
+    // signals. The avg is a double agg (sum order varies) but its
+    // error is ~1e-16 relative — far inside both engines' 6-digit
+    // rounding and the harness's 9-digit compare.
+    QDef.sql(
+      "llm_data_card", {
+        def prof(p: Seq[String]): String =
+          p.map(t => s"'$t'").mkString("[", ",", "]")
+        s"""WITH w AS (
+           |  SELECT doc_id, source, text, lower(text) AS t,
+           |         string_split(lower(text), ' ') AS ws,
+           |         string_split(text, chr(10)) AS lines
+           |  FROM documents
+           |),
+           |q AS (
+           |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_words,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE least(1.0, CAST(len(ws) AS BIGINT) / 50.0) * 0.4
+           |           + CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE)
+           |             / CAST(len(ws) AS BIGINT) * 0.3
+           |           + (1.0 - CAST(length(regexp_replace(lower(text),
+           |               '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |               / length(text)) * 0.3 END AS quality,
+           |    CASE WHEN
+           |      CAST(len(string_split(text, ' ')) AS BIGINT)
+           |        BETWEEN 40 AND 100000
+           |      AND CAST(list_reduce(
+           |            list_prepend(CAST(0 AS BIGINT),
+           |              list_transform(string_split(text, ' '),
+           |                x -> CAST(length(x) AS BIGINT))),
+           |            (a, b) -> a + b) AS DOUBLE)
+           |            / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0
+           |      AND CAST(length(text) - length(replace(text, '#', ''))
+           |            + (length(text) - length(replace(text, '...', ''))) / 3
+           |            AS DOUBLE) / len(string_split(text, ' ')) <= 0.1
+           |      AND CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+           |            OR starts_with(l, '* ') OR starts_with(l, '• ')))
+           |            AS DOUBLE) / len(lines) <= 0.9
+           |      AND CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+           |            AS DOUBLE) / len(lines) <= 0.3
+           |      AND CAST(len(list_filter(string_split(text, ' '), x ->
+           |            regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |            / len(string_split(text, ' ')) >= 0.8
+           |      AND len(list_filter(
+           |            ['the','be','to','of','and','that','have','with'],
+           |            s -> list_contains(ws, s))) >= 1
+           |      THEN 1 ELSE 0 END AS gk,
+           |    CASE WHEN (
+           |      SELECT CASE
+           |        WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es
+           |          AND c_en >= c_fr THEN 'en'
+           |        WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+           |        WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+           |        WHEN c_fr > 0 THEN 'fr' ELSE 'und' END
+           |      FROM (SELECT
+           |        len(list_filter(tris, x ->
+           |          list_contains(${prof(TextOps.TriEn)}, x))) AS c_en,
+           |        len(list_filter(tris, x ->
+           |          list_contains(${prof(TextOps.TriDe)}, x))) AS c_de,
+           |        len(list_filter(tris, x ->
+           |          list_contains(${prof(TextOps.TriEs)}, x))) AS c_es,
+           |        len(list_filter(tris, x ->
+           |          list_contains(${prof(TextOps.TriFr)}, x))) AS c_fr
+           |        FROM (SELECT CASE WHEN length(t) >= 3 THEN
+           |          list_transform(generate_series(1, length(t) - 2),
+           |                         i -> substr(t, CAST(i AS INT), 3))
+           |          ELSE [] END AS tris))
+           |      ) = 'en' THEN 1 ELSE 0 END AS is_en
+           |  FROM w
+           |)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS total_words,
+           |  round(avg(quality), 6) AS mean_quality,
+           |  CAST(sum(gk) AS BIGINT) AS n_gopher_keep,
+           |  CAST(sum(is_en) AS BIGINT) AS n_en_trigram
+           |FROM q GROUP BY source ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(LlmOps.words(col("text"))).cast("long"))
+            .as("total_words"),
+          round(avg(TextOps.qualityScore(col("text"))), 6)
+            .as("mean_quality"),
+          sum(when(TextOps.gopherKeep(col("text"),
+            minWords = 40, minStopwords = 1), 1L).otherwise(0L))
+            .as("n_gopher_keep"),
+          sum(when(TextOps.langIdNgram(col("text")) === "en", 1L)
+            .otherwise(0L)).as("n_en_trigram"))
+        .orderBy("source")
+    },
+
     // ----- Token counting ---------------------------------------------
     QDef.sql(
       "llm_tokens",
