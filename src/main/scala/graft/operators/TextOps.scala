@@ -1282,14 +1282,29 @@ object TextOps {
     * frames (the target corpus is small by construction; the raw count
     * is one map-side-combined pass), totals via one-row broadcast
     * cross joins; the weight table is nBuckets rows — broadcast it. */
+  /** DSIR feature stream: hashed word n-grams, bucketed. n = 1 is the
+    * unigram default; n = 2 gives the paper's hashed-bigram features
+    * (context-sensitive: "bank loan" and "river bank" stop aliasing). */
+  private def dsirFeatures(
+      df: DataFrame, idCol: String, textCol: String,
+      featureNgrams: Int, nBuckets: Int): DataFrame = {
+    val h =
+      if (featureNgrams == 1) LlmOps.tokenHashes(df, idCol, textCol)
+      else LlmOps.shingleHashes(df, idCol, textCol, featureNgrams,
+        dedup = false)
+    h.select(col(idCol),
+      pmod(col("h"), lit(nBuckets.toLong)).as("bucket"))
+  }
+
   def dsirWeights(
       target: DataFrame, raw: DataFrame, textCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, featureNgrams: Int = 1): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    def bucketCounts(df: DataFrame, cnt: String): DataFrame = df
-      .select(explode(LlmOps.words(col(textCol))).as("__w"))
-      .select(pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong))
-        .as("bucket"))
+    require(featureNgrams >= 1,
+      s"featureNgrams must be positive: $featureNgrams")
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame =
+      dsirFeatures(df.select(lit(0L).as("__fid"), col(textCol)),
+        "__fid", textCol, featureNgrams, nBuckets)
       .groupBy("bucket").agg(count(lit(1)).as(cnt))
     val spark = target.sparkSession
     val tc = bucketCounts(target, "ct")
@@ -1320,11 +1335,10 @@ object TextOps {
     * rows) + one doc-keyed agg — the same plan as [[classifierScore]]. */
   def dsirScores(
       df: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, nBuckets: Int): DataFrame = {
+      weights: DataFrame, nBuckets: Int,
+      featureNgrams: Int = 1): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    df.select(col(idCol), explode(LlmOps.words(col(textCol))).as("__w"))
-      .select(col(idCol),
-        pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong)).as("bucket"))
+    dsirFeatures(df, idCol, textCol, featureNgrams, nBuckets)
       .join(broadcast(weights.select(col("bucket"), col("w"))),
         Seq("bucket"), "left")
       .groupBy(col(idCol))

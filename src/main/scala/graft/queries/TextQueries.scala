@@ -1671,6 +1671,85 @@ object TextQueries {
           "doc_id", k = 100)
     },
 
+    // ----- DSIR with hashed-BIGRAM features (the paper's featurizer) ---
+    // Same pipeline as llm_dsir with n=2 word-shingle features:
+    // context-sensitive selection ("bank loan" and "river bank" stop
+    // aliasing into one bucket).
+    QDef.sql(
+      "llm_dsir2",
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+         |  FROM documents
+         |),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |         unnest(generate_series(0, len(ws) - 2)) AS i, ws
+         |  FROM dd WHERE len(ws) >= 2
+         |),
+         |ft AS (
+         |  SELECT doc_id, source,
+         |    ${duckHash("ws[i + 1] || ' ' || ws[i + 2]")} % 512 AS bucket
+         |  FROM bg
+         |),
+         |bt AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+         |  FROM ft WHERE source = 'src0' GROUP BY 1
+         |),
+         |rt AS (
+         |  SELECT doc_id, bucket FROM ft WHERE source <> 'src0'
+         |),
+         |br AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+         |  FROM rt GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM bt) AS t,
+         |         (SELECT CAST(sum(cr) AS BIGINT) FROM br) AS r
+         |),
+         |cnts AS (
+         |  SELECT g.i AS bucket, coalesce(ct, 0) + 1 AS a_t,
+         |         coalesce(cr, 0) + 1 AS a_r
+         |  FROM generate_series(0, 511) g(i)
+         |  LEFT JOIN bt ON bt.bucket = g.i
+         |  LEFT JOIN br ON br.bucket = g.i
+         |),
+         |args AS (
+         |  SELECT DISTINCT n FROM (
+         |    SELECT a_t AS n FROM cnts
+         |    UNION SELECT a_r FROM cnts
+         |    UNION SELECT t + 512 FROM tot
+         |    UNION SELECT r + 512 FROM tot)
+         |),
+         |${DuckSql.duckLog2FixedCtes("args")},
+         |wt AS (
+         |  SELECT cnts.bucket,
+         |    f1.f - ft2.f - f2.f + fr.f AS w
+         |  FROM cnts CROSS JOIN tot
+         |  JOIN lg f1 ON f1.n = cnts.a_t
+         |  JOIN lg ft2 ON ft2.n = tot.t + 512
+         |  JOIN lg f2 ON f2.n = cnts.a_r
+         |  JOIN lg fr ON fr.n = tot.r + 512
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(wt.w) AS BIGINT) AS score
+         |  FROM rt LEFT JOIN wt USING (bucket) GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, score,
+         |  round(CAST(score AS DOUBLE) / 1048576.0, 6) AS lr
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        val docs = t(s, dir, "documents")
+        val target = docs.filter(col("source") === "src0")
+        val raw = docs.filter(col("source") =!= "src0")
+        val wts = TextOps.dsirWeights(target, raw, "text",
+          nBuckets = 512, featureNgrams = 2)
+        TextOps.dsirTopK(
+          TextOps.dsirScores(raw, "doc_id", "text", wts,
+            nBuckets = 512, featureNgrams = 2),
+          "doc_id", k = 100)
+    },
+
     // ----- Modern-curation composition (the round-11 stages chained) ---
     // C4 segment cleaning → Gopher rule gate (on the CLEANED text) →
     // DSIR top-k selection against the src0 target — the published
