@@ -525,6 +525,26 @@ object TextOps {
       concat(coalesce(stratum.cast("string"), lit("\u0000")),
         lit(":"), id.cast("string"))) * 2654435761L % 4294967296L % 10000L
 
+  /** Probabilistic score-proportional sampling — the CCNet-style soft
+    * gate between "keep everything above a threshold" and "drop
+    * everything below": each document is kept with probability equal
+    * to its score (clamped to [0,1], at 1/10000 granularity), decided
+    * by the deterministic [[mixBucket]] hash rather than an RNG — so
+    * reruns, repartitionings and engines agree on every document's
+    * fate, and distinct salts give independent draws. A borderline
+    * corpus keeps a calibrated fraction instead of a cliff at the
+    * threshold. Per-row, shuffle-free.
+    *
+    * Output: the kept rows with the effective `keep_prob` attached. */
+  def scoreSample(
+      df: DataFrame, idCol: String, scoreCol: Column,
+      salt: String): DataFrame = {
+    val cut = round(greatest(lit(0.0), least(lit(1.0), scoreCol))
+      * 10000, 0).cast("long")
+    df.withColumn("keep_prob", round(cut / lit(10000.0), 4))
+      .filter(mixBucket(lit(salt), col(idCol)) < cut)
+  }
+
   /** Data mixing to a TOKEN budget: sample each stratum down to
     * ~`budgetTokens` whitespace tokens (strata already under budget
     * keep everything). The keep rate per stratum is

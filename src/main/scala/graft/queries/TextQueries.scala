@@ -279,6 +279,49 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // ----- Probabilistic quality sampling (CCNet-style soft gate) ------
+    // Keep each doc with probability = its LT2 quality score, decided
+    // by the deterministic mixBucket hash — a calibrated borderline
+    // fraction instead of a threshold cliff, reproducible across
+    // engines and reruns.
+    QDef.sql(
+      "llm_quality_sample",
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE least(1.0, CAST(len(ws) AS BIGINT) / 50.0) * 0.4
+         |           + CAST(${duckStopCount(TextOps.StopEn)} AS DOUBLE)
+         |             / CAST(len(ws) AS BIGINT) * 0.3
+         |           + (1.0 - CAST(length(regexp_replace(lower(text),
+         |               '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |               / length(text)) * 0.3 END AS quality
+         |  FROM w
+         |),
+         |c AS (
+         |  SELECT doc_id, quality,
+         |    CAST(round(greatest(0.0, least(1.0, quality)) * 10000)
+         |      AS BIGINT) AS cut
+         |  FROM q
+         |)
+         |SELECT doc_id, round(quality, 6) AS quality,
+         |       round(cut / 10000.0, 4) AS keep_prob
+         |FROM c
+         |WHERE ${duckMixBucket("'qs1' || ':' || CAST(doc_id AS VARCHAR)")}
+         |      < cut
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.scoreSample(
+        docs.withColumn("__q", TextOps.qualityScore(col("text"))),
+        "doc_id", col("__q"), salt = "qs1")
+        .select(col("doc_id"), round(col("__q"), 6).as("quality"),
+          col("keep_prob"))
+        .orderBy("doc_id")
+    },
+
     // ----- Token counting ---------------------------------------------
     QDef.sql(
       "llm_tokens",

@@ -326,6 +326,28 @@ class CurationOpsSpec extends AnyFunSuite {
       s"expected exactly 1 hash shuffle (the window's), got $shuffles:\n$plan")
   }
 
+  // ----- probabilistic score sampling ---------------------------------
+
+  test("scoreSample: keep rate tracks the score, extremes are exact, " +
+    "reruns identical, salts independent") {
+    val df = spark.range(10000).toDF("doc_id")
+    def kept(score: Double, salt: String): Set[Long] =
+      TextOps.scoreSample(df.withColumn("s", lit(score)), "doc_id",
+        col("s"), salt).collect().map(_.getLong(0)).toSet
+    assert(kept(0.0, "a").isEmpty)
+    assert(kept(1.0, "a").size === 10000)
+    val third = kept(0.3, "a")
+    assert(third.size > 2700 && third.size < 3300,
+      s"keep rate should track 0.3: ${third.size}")
+    assert(kept(0.3, "a") === third, "rerun must be identical")
+    val other = kept(0.3, "b")
+    assert(other.size > 2700 && other.size < 3300)
+    assert(other !== third, "distinct salts draw independently")
+    // scores beyond [0,1] clamp instead of corrupting the cut
+    assert(kept(7.5, "a").size === 10000)
+    assert(kept(-2.0, "a").isEmpty)
+  }
+
   // ----- embedding outliers -------------------------------------------
 
   test("embedOutliers: bottom-k cosine to the quantized corpus mean, " +
