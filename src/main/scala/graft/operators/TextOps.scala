@@ -1221,6 +1221,100 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("w_sum"), col("score"))
   }
 
+  /** TRAIN the hashed-linear quality classifier in-engine — the
+    * missing half of [[classifierScore]]'s inference slot: given
+    * labeled seed sets (the GPT-3/LLaMA recipe: positives = a curated
+    * corpus, negatives = a raw-crawl sample), run `iters` rounds of
+    * FULL-BATCH gradient descent on a logistic model over hashed
+    * token-PRESENCE features, entirely in engine-portable arithmetic:
+    *
+    *  - features: distinct (doc, bucket) memberships — integer,
+    *    order-free;
+    *  - per-doc logit z = (Σ_{b∈d} w_b) / (scale · n_d) with integer
+    *    numerator (order-independent BIGINT sum);
+    *  - HARD sigmoid p = clamp(1/2 + z/4, 0, 1) instead of exp —
+    *    every step (power-of-two scales, one IEEE divide, clamp,
+    *    round·2^20) is exactly reproducible across engines, where
+    *    libm's exp is not;
+    *  - per-bucket gradient g_b = Σ_{d∋b} (round(p·2^20) − y·2^20) —
+    *    a BIGINT sum of BIGINTs;
+    *  - update w ← w − (g·lrNum) div lrDen in truncated integer
+    *    division (Spark `div` and DuckDB `//` both truncate toward
+    *    zero — probed, not assumed).
+    *
+    * Output: the complete bucket domain with INTEGER weights in
+    * [[classifierScore]]'s micro-unit convention — train here, score
+    * there, one closed loop. The unsupervised twin is [[dsirWeights]]
+    * (target distribution instead of labels, counts instead of a
+    * trained discriminator).
+    *
+    * Scale shape per round: the feature frame is built ONCE and
+    * persisted (each round reads it twice); the weight table is
+    * nBuckets rows — broadcast into the scoring join; the two
+    * aggregations (doc-keyed logits, bucket-keyed gradients) are both
+    * map-side-combined keyed shuffles of the feature frame, the same
+    * shape as one [[classifierScore]] pass; weights localCheckpoint
+    * per round (constant-size lineage, superseded blocks released) —
+    * the [[LlmOps.kmeansCentroids]] training discipline. */
+  def classifierTrain(
+      pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, iters: Int = 3, scale: Long = 1L << 20,
+      lrNum: Long = 1L, lrDen: Long = 4096L): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    require(scale > 0 && lrNum > 0 && lrDen > 0,
+      s"scale/lr must be positive: $scale $lrNum $lrDen")
+    val FP = 1L << 20
+    val spark = pos.sparkSession
+    // (y, id) keys a doc — ids need only be unique WITHIN each side
+    def feats(df: DataFrame, y: Int): DataFrame = df
+      .select(col(idCol).as("__r"), col(textCol))
+      .select(col("__r"), explode(LlmOps.words(col(textCol))).as("__w"))
+      .select(lit(y).as("y"), col("__r"),
+        pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong)).as("bucket"))
+      .distinct()
+    val f = feats(pos, 1).unionByName(feats(neg, 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = f.groupBy(col("y"), col("__r"))
+      .agg(count(lit(1)).as("__n"))
+    var w: DataFrame = spark.range(nBuckets)
+      .select(col("id").as("bucket"), lit(0L).as("w"))
+    var prevCp: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to iters) {
+        // logit numerators: one keyed agg over the feature frame with
+        // the nBuckets-row weight table broadcast in
+        val z = f.join(broadcast(w), Seq("bucket"))
+          .groupBy(col("y"), col("__r"))
+          .agg(sum(col("w")).as("__zn"))
+          .join(nd, Seq("y", "__r"))
+        // hard sigmoid in 2^-20 fixed point: every float op is either
+        // exact (power-of-two scaling, clamp) or a single IEEE divide
+        val p = greatest(lit(0.0), least(lit(1.0),
+          lit(0.5) + col("__zn").cast("double") /
+            (lit(4.0 * scale) * col("__n"))))
+        val err = z.select(col("y"), col("__r"),
+          (round(p * FP, 0).cast("long") - col("y") * FP).as("__e"))
+        val grad = f.join(err, Seq("y", "__r"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("__e")).as("__g"))
+        w = w.join(grad, Seq("bucket"), "left")
+          .select(col("bucket"),
+            (col("w") - expr(s"coalesce(__g, 0L) * $lrNum div $lrDen"))
+              .as("w"))
+          .localCheckpoint(true)
+        prevCp.foreach(LlmOps.releaseCheckpoint)
+        prevCp = Some(w)
+      }
+    } catch { case t: Throwable =>
+      prevCp.foreach(LlmOps.releaseCheckpoint)
+      f.unpersist(false)
+      throw t
+    }
+    f.unpersist(false)
+    w
+  }
+
   /** C4-style line/segment cleaning (Raffel et al. 2020 §2.2), on the
     * word-window segment unit (see [[dedupDocSegments]] for why):
     * split the doc into consecutive non-overlapping `window`-word

@@ -1456,6 +1456,86 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- TRAINED classifier: in-engine GD + inference (closed loop) --
+    // Train the hashed-presence logistic model on seed sets (pos =
+    // src0, neg = src1) with 3 rounds of full-batch hard-sigmoid
+    // gradient descent — every training step engine-exact integer /
+    // IEEE arithmetic — then score ALL documents through the LT18
+    // inference slot with the trained weights. The oracle replays the
+    // ENTIRE training loop (3 unrolled rounds) plus the scoring pass;
+    // w_sum is the integer-exact signal.
+    QDef.sql(
+      "llm_classifier_train", {
+        val nb = 256
+        val rounds = (1 to 3).map { k =>
+          s"""z$k AS (
+             |  SELECT f.y, f.doc_id, nd.n, CAST(sum(wr${k - 1}.w) AS BIGINT) AS zn
+             |  FROM f JOIN wr${k - 1} USING (bucket)
+             |         JOIN nd ON nd.y = f.y AND nd.doc_id = f.doc_id
+             |  GROUP BY 1, 2, 3
+             |),
+             |e$k AS (
+             |  SELECT y, doc_id,
+             |    CAST(round(greatest(0.0, least(1.0,
+             |      0.5 + zn / (4194304.0 * n))) * 1048576) AS BIGINT)
+             |      - y * 1048576 AS e
+             |  FROM z$k
+             |),
+             |g$k AS (
+             |  SELECT bucket, CAST(sum(e) AS BIGINT) AS g
+             |  FROM f JOIN e$k ON e$k.y = f.y AND e$k.doc_id = f.doc_id
+             |  GROUP BY 1
+             |),
+             |wr$k AS (
+             |  SELECT w.bucket, w.w - coalesce(g.g, 0) * 1 // 4096 AS w
+             |  FROM wr${k - 1} w LEFT JOIN g$k g USING (bucket)
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lab AS (
+           |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+           |         doc_id, text
+           |  FROM documents WHERE source IN ('src0', 'src1')
+           |),
+           |f AS (
+           |  SELECT DISTINCT y, doc_id, ${duckHash("tok")} % $nb AS bucket
+           |  FROM (SELECT y, doc_id,
+           |          unnest(string_split(lower(text), ' ')) AS tok
+           |        FROM lab)
+           |),
+           |nd AS (
+           |  SELECT y, doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM f GROUP BY 1, 2
+           |),
+           |wr0 AS (
+           |  SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+           |  FROM generate_series(0, ${nb - 1}) t(i)
+           |),
+           |$rounds,
+           |toks AS (
+           |  SELECT doc_id, ${duckHash("tok")} % $nb AS bucket
+           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           |        FROM documents)
+           |),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |         CAST(sum(coalesce(wr3.w, 0)) AS BIGINT) AS w_sum
+           |  FROM toks LEFT JOIN wr3 USING (bucket) GROUP BY 1
+           |)
+           |SELECT doc_id, n_tokens, w_sum,
+           |  round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / 1048576.0
+           |                           / n_tokens))), 6) AS score
+           |FROM agg ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val wts = TextOps.classifierTrain(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"),
+        "doc_id", "text", nBuckets = 256, iters = 3)
+      TextOps.classifierScore(docs, "doc_id", "text", wts,
+        nBuckets = 256, scale = 1048576.0, bias = 0.0)
+        .orderBy("doc_id")
+    },
+
     // ----- Gopher rule-based quality filter ----------------------------
     // Per-rule flags + the conjunction, on unrounded signals (the
     // rounded columns are the human-audit rendering). Thresholds tuned

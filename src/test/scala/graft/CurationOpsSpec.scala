@@ -375,4 +375,64 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  // ----- in-engine classifier training --------------------------------
+
+  private val clsPos = (1L to 8L).map(i =>
+    (i, s"excellent thoughtful prose number$i with careful analysis"))
+  private val clsNeg = (1L to 8L).map(i =>
+    (i, s"spam casino jackpot number$i click winner bonus"))
+
+  test("classifierTrain: GD separates separable seed sets and the " +
+    "trained model scores pos above neg through classifierScore") {
+    val pos = clsPos.toDF("doc_id", "text")
+    val neg = clsNeg.toDF("doc_id", "text")
+    val w = TextOps.classifierTrain(pos, neg, "doc_id", "text",
+      nBuckets = 64, iters = 3, lrDen = 64L)
+    assert(w.count() === 64L, "complete bucket domain")
+    val all = pos.withColumn("lbl", lit(1))
+      .unionByName(neg.withColumn("lbl", lit(0)))
+      // ids collide across sides by construction; scoring needs unique
+      .withColumn("doc_id", col("doc_id") + col("lbl") * 100L)
+    val scored = TextOps.classifierScore(all, "doc_id", "text", w,
+      nBuckets = 64, scale = 1048576.0)
+      .join(all.select(col("doc_id"), col("lbl")), Seq("doc_id"))
+      .groupBy("lbl").agg(avg("w_sum").as("mw"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scored(1) > scored(0),
+      s"trained weights must rank pos above neg: $scored")
+  }
+
+  test("classifierTrain: zero rounds returns the zero table; training " +
+    "is rerun-identical and invariant to input partitioning") {
+    val pos = clsPos.toDF("doc_id", "text")
+    val neg = clsNeg.toDF("doc_id", "text")
+    val w0 = TextOps.classifierTrain(pos, neg, "doc_id", "text",
+      nBuckets = 32, iters = 0)
+    assert(w0.agg(sum(abs(col("w")))).collect()(0).getLong(0) === 0L)
+    def run(p: org.apache.spark.sql.DataFrame) =
+      TextOps.classifierTrain(p, neg, "doc_id", "text",
+        nBuckets = 32, iters = 2, lrDen = 64L)
+        .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    val a = run(pos)
+    val b = run(pos.repartition(7))
+    assert(a === b, "weights must not depend on partitioning")
+    assert(a === run(pos), "rerun must be identical")
+  }
+
+  test("classifierTrain plan: per-round weight join is broadcast") {
+    val pos = clsPos.toDF("doc_id", "text")
+    val neg = clsNeg.toDF("doc_id", "text")
+    val w = TextOps.classifierTrain(pos, neg, "doc_id", "text",
+      nBuckets = 32, iters = 1)
+    // iters=1 leaves the final round's plan inspectable pre-checkpoint
+    // only via re-derivation; assert on a fresh scoring join instead —
+    // the table is 32 rows, it must broadcast
+    val plan = TextOps.classifierScore(pos, "doc_id", "text", w,
+      nBuckets = 32, scale = 1048576.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
