@@ -154,6 +154,50 @@ object LlmOps {
       .distinct()
   }
 
+  /** Cross-source near-duplicate overlap matrix — the data-card
+    * companion that answers "which of my sources duplicate each
+    * other?" before committing to a mix (the real-corpus motivation:
+    * successive CommonCrawl snapshots overlap heavily, and a source
+    * that is mostly a re-crawl of another should be down-weighted or
+    * dropped, not sampled independently). One row per unordered source
+    * pair: the count of [[minHashCandidatePairs]] LSH candidate pairs
+    * crossing the two sources (or within one), each side's doc count,
+    * and the pair rate normalized by the number of possible cross (or
+    * within) pairs.
+    *
+    * Scale shape: the candidate pairs come from the banded LSH pass
+    * (one shuffle on (band, bh), never n²); attaching labels is two
+    * keyed joins of the pair frame against the narrow (id, source)
+    * projection — linear shuffles; the matrix itself is
+    * sources²-bounded (tiny) and the per-source counts broadcast back
+    * onto it. */
+  def sourceOverlap(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      n: Int = 2): DataFrame = {
+    val lab = df.select(col(idCol), col(srcCol))
+    val cnt = lab.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+    val matrix = minHashCandidatePairs(df, idCol, textCol, n)
+      .join(lab.select(col(idCol).as("doc_a"), col(srcCol).as("__sa")),
+        Seq("doc_a"))
+      .join(lab.select(col(idCol).as("doc_b"), col(srcCol).as("__sb")),
+        Seq("doc_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val possible = when(col("source_a") === col("source_b"),
+      col("n_docs_a").cast("double") * (col("n_docs_a") - 1L) / 2.0)
+      .otherwise(col("n_docs_a").cast("double") * col("n_docs_b"))
+    matrix
+      .join(broadcast(cnt.select(col(srcCol).as("source_a"),
+        col("__n").as("n_docs_a"))), Seq("source_a"))
+      .join(broadcast(cnt.select(col(srcCol).as("source_b"),
+        col("__n").as("n_docs_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        round(col("n_pairs") / possible, 6).as("pair_rate"))
+  }
+
   /** (id, token-hash) — one row per token occurrence (frequency
     * preserved). The shared tokenizer+hash projection for SimHash,
     * TF-IDF, and any other token-level consumer: one definition keeps
@@ -690,6 +734,103 @@ object LlmOps {
       .select(col("probe_id"), col("cand_id"), cosine.as("c"))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** Product-quantization ADC top-k (PQ, Jégou et al. 2011 — the
+    * memory-bound half of the industry-standard IVF-PQ layout): split
+    * each vector into `m` subvectors, quantize every subvector to its
+    * nearest entry of a per-subspace codebook (seeded deterministic
+    * init: the first `ksub` nonzero vectors' subvectors, the
+    * [[kmeansCentroids]] seeding convention), and score probe→candidate
+    * with ASYMMETRIC DISTANCE COMPUTATION: the probe precomputes one
+    * m×ksub table of subspace dot products, and each candidate costs m
+    * TABLE LOOKUPS — not a d-dim float loop. Ranking is by approximate
+    * cosine adot / (|p|·|x̂|) where x̂ is the code reconstruction; ties
+    * break on candidate id.
+    *
+    * Why it matters at 100 TB: a candidate row carries m small code
+    * indices (m bytes at ksub≤256) instead of d floats — 32× smaller
+    * than the raw vector and 8× smaller than [[quantizeInt8]]'s int8
+    * — so the candidate stream is almost free to scan, and the float
+    * work per pair is m lookups + 2 sqrt. Compose with the IVF cell
+    * restriction exactly like [[annTopKIvfQuantized]] when even one
+    * full pass is too much.
+    *
+    * Determinism: codebook order is the sorted (cid, e) list; argmin
+    * is a strict-improvement left fold (earliest rank wins ties); all
+    * float folds run in fixed subspace-then-dimension order — the
+    * DuckDB oracle replays every step bit for bit. Candidates whose
+    * reconstruction is the zero vector are excluded (approx cosine
+    * undefined), mirroring the zero-norm exclusion everywhere else. */
+  def annTopKPq(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, k: Int, m: Int = 8, ksub: Int = 8,
+      dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
+    require(ksub > 0, s"ksub must be positive: $ksub")
+    val sub = dims / m
+    val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0)
+    // one broadcast row: the (cid, ce) codebook seeds, sorted by id —
+    // list POSITION (1-based) is the code alphabet
+    val cb = v.filter(col("vid") < ksub)
+      .agg(array_sort(collect_list(struct(col("vid").as("cid"),
+        col("e").as("ce")))).as("cb"))
+    def subDot(x: Column, y: Column, j: Column): Column =
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+        (acc, i) => acc +
+          element_at(x, (j * sub + i + 1).cast("int")) *
+          element_at(y, (j * sub + i + 1).cast("int")))
+    def subL2(x: Column, y: Column, j: Column): Column =
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+        (acc, i) => {
+          val d = element_at(x, (j * sub + i + 1).cast("int")) -
+            element_at(y, (j * sub + i + 1).cast("int"))
+          acc + d * d
+        })
+    // per-subspace code: 1-based rank of the argmin-L2 sub-centroid
+    // (strict-improvement fold — earliest rank wins exact ties, the
+    // same convention as the oracle's ORDER BY l2, rnk)
+    def codeJ(j: Column): Column =
+      aggregate(col("cb"),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("best"),
+          lit(0).as("i")),
+        (acc, c) => {
+          val d = subL2(col("e"), c.getField("ce"), j)
+          val i = acc.getField("i") + 1
+          when(d < acc.getField("d"),
+            struct(d.as("d"), i.as("best"), i.as("i")))
+            .otherwise(struct(acc.getField("d").as("d"),
+              acc.getField("best").as("best"), i.as("i")))
+        },
+        acc => acc.getField("best"))
+    val cand = v.crossJoin(broadcast(cb))
+      .withColumn("code", transform(sequence(lit(0), lit(m - 1)), codeJ(_)))
+      .withColumn("anrm", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => {
+          val ce = element_at(col("cb"),
+            element_at(col("code"), (j + 1).cast("int"))).getField("ce")
+          acc + subDot(ce, ce, j)
+        }))
+      .filter(col("anrm") > 0)
+      .select(col("vid").as("cand_id"), col("code"), col("anrm"))
+    val probes = v.filter(probeFilter(col("vid")))
+      .crossJoin(broadcast(cb))
+      .withColumn("ptab", transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(col("cb"), c => subDot(col("e"), c.getField("ce"), j))))
+      .select(col("vid").as("probe_id"), col("ptab"), col("nrm").as("pnrm"))
+    // ADC: m table lookups per pair — the only per-candidate float work
+    val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(
+        element_at(col("ptab"), (j + 1).cast("int")),
+        element_at(col("code"), (j + 1).cast("int"))))
+    val pqcos = adot / (sqrt(col("pnrm")) * sqrt(col("anrm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    cand.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), pqcos.as("c"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("pqcosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component j (LCG over the flat

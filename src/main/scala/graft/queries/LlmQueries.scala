@@ -145,6 +145,60 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ----- Cross-source overlap matrix (data-card companion) -----------
+    // Per unordered source pair: LSH candidate-pair count, side doc
+    // counts, and the rate over possible pairs — "which sources
+    // duplicate each other" before committing to a mix.
+    QDef.sql(
+      "llm_source_overlap",
+      s"""WITH ${duckShingleHashes()},
+         |mh AS (
+         |  SELECT doc_id,
+         |    min((1000003 * h + 12345) % 2147483647) AS m0,
+         |    min((1000033 * h + 54321) % 2147483647) AS m1,
+         |    min((1000037 * h + 11111) % 2147483647) AS m2,
+         |    min((1000039 * h + 22222) % 2147483647) AS m3,
+         |    min((1000081 * h + 33333) % 2147483647) AS m4,
+         |    min((1000099 * h + 44444) % 2147483647) AS m5,
+         |    min((1000117 * h + 55555) % 2147483647) AS m6,
+         |    min((1000121 * h + 66666) % 2147483647) AS m7
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, (m0 * 1000003 + m1) % 2147483647 AS bh FROM mh
+         |  UNION ALL SELECT doc_id, 1, (m2 * 1000003 + m3) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 2, (m4 * 1000003 + m5) % 2147483647 FROM mh
+         |  UNION ALL SELECT doc_id, 3, (m6 * 1000003 + m7) % 2147483647 FROM mh
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |                           AND a.doc_id < b.doc_id
+         |),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM cand JOIN documents da ON da.doc_id = cand.doc_a
+         |            JOIN documents db ON db.doc_id = cand.doc_b
+         |),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |        FROM documents GROUP BY source),
+         |m AS (
+         |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM lab GROUP BY 1, 2
+         |)
+         |SELECT source_a, source_b, n_pairs,
+         |  ca.n AS n_docs_a, cb.n AS n_docs_b,
+         |  round(n_pairs / (CASE WHEN source_a = source_b
+         |    THEN CAST(ca.n AS DOUBLE) * (ca.n - 1) / 2.0
+         |    ELSE CAST(ca.n AS DOUBLE) * cb.n END), 6) AS pair_rate
+         |FROM m JOIN cnt ca ON ca.source = m.source_a
+         |       JOIN cnt cb ON cb.source = m.source_b
+         |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      LlmOps.sourceOverlap(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source_a", "source_b")
+    },
+
     // ----- MinHash calibration: signature estimate vs exact Jaccard ----
     // For every LSH candidate pair: matching signature components out
     // of 8 (estimate = matches/8, float-exact), joined with the true
@@ -1001,6 +1055,85 @@ object LlmQueries {
       LlmOps.quantizedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         probeFilter = col("vec_id") < 5, k = 5)
         .orderBy(col("probe_id"), col("qcosine").desc, col("cand_id"))
+    },
+
+    // ----- Product-quantization ADC retrieval (PQ half of IVF-PQ) ------
+    // 8 subspaces × 8 seeded sub-centroids; candidates carry 8 code
+    // indices + 1 reconstruction norm, probes carry an 8×8 dot table,
+    // each pair costs 8 table lookups. All folds in subspace-then-
+    // dimension order — the oracle replays codes, norms, and ADC
+    // scores bit for bit.
+    QDef.sql(
+      "llm_ann_pq",
+      """WITH m0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |),
+        |v AS (
+        |  SELECT vec_id, e,
+        |    list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |                (a, b) -> a + b) AS nrm
+        |  FROM m0 WHERE nrm > 0
+        |),
+        |cbr AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk, e AS ce
+        |  FROM v WHERE vec_id < 8
+        |),
+        |cj AS (
+        |  SELECT v.vec_id, g.j, c.rnk,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i])
+        |         * (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+        |      (a, b) -> a + b) AS l2
+        |  FROM v, generate_series(0, 7) g(j), cbr c
+        |),
+        |code AS (
+        |  SELECT vec_id, j, rnk FROM cj
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY l2, rnk) = 1
+        |),
+        |selfd AS (
+        |  SELECT code.vec_id, code.j,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> c.ce[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+        |      (a, b) -> a + b) AS sd
+        |  FROM code JOIN cbr c ON c.rnk = code.rnk
+        |),
+        |anrm AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+        |                (a, b) -> a + b) AS anrm
+        |  FROM selfd GROUP BY vec_id
+        |),
+        |pt AS (
+        |  SELECT p.vec_id AS probe_id, code.vec_id AS cand_id, code.j,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> p.e[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+        |      (a, b) -> a + b) AS t
+        |  FROM v p, code JOIN cbr c ON c.rnk = code.rnk
+        |  WHERE p.vec_id < 5 AND code.vec_id != p.vec_id
+        |),
+        |sc AS (
+        |  SELECT probe_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(t ORDER BY j)),
+        |                (a, b) -> a + b) AS adot
+        |  FROM pt GROUP BY 1, 2
+        |),
+        |scored AS (
+        |  SELECT sc.probe_id, sc.cand_id,
+        |    adot / (sqrt(p.nrm) * sqrt(a.anrm)) AS c
+        |  FROM sc JOIN v p ON p.vec_id = sc.probe_id
+        |          JOIN anrm a ON a.vec_id = sc.cand_id
+        |  WHERE a.anrm > 0
+        |)
+        |SELECT probe_id, cand_id, round(c, 6) AS pqcosine
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY c DESC, cand_id) <= 5
+        |ORDER BY probe_id, pqcosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 5, k = 5)
+        .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
     },
 
     // ----- Quantized-coarse + exact-rerank retrieval ---------------------

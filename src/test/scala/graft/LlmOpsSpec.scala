@@ -31,6 +31,29 @@ class LlmOpsSpec extends AnyFunSuite {
       "unrelated doc must not be a candidate")
   }
 
+  test("sourceOverlap: matrix counts LSH pairs per unordered source " +
+    "pair with exact possible-pair normalization") {
+    // srcA: docs 1,2 (identical post-normalization); srcB: doc 3 (near-dup
+    // of both); doc 4 unrelated in srcB — cross pairs (1,3),(2,3) land in
+    // (srcA,srcB), pair (1,2) in (srcA,srcA), nothing pairs with 4.
+    val labeled = docs.withColumn("source",
+      when(col("doc_id") <= 2L, "srcA").otherwise("srcB"))
+    val m = LlmOps.sourceOverlap(labeled, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val within = m(("srcA", "srcA"))
+    assert(within._1 === 1L && within._2 === 2L)
+    assert(within._4 === 1.0, "1 pair of 1 possible within srcA")
+    val cross = m(("srcA", "srcB"))
+    assert(cross._1 >= 1L && cross._1 <= 2L,
+      s"doc 3 near-dups the srcA docs: $cross")
+    assert(cross._3 === 2L, "srcB doc count")
+    assert(cross._4 === cross._1 / 4.0, "rate over 2*2 possible pairs")
+    assert(!m.contains(("srcB", "srcB")), "doc 4 pairs with nothing")
+  }
+
   test("simhash: identical (post-normalization) docs get identical codes") {
     val codes = LlmOps.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -131,6 +154,33 @@ class LlmOpsSpec extends AnyFunSuite {
       probeFilter = _ === 0, k = 5, planes = 16, dims = 8).collect()
     assert(wide.map(_.getLong(1)).toSet === Set(1L),
       "parallel vectors must stay co-bucketed at any plane count")
+  }
+
+  test("pq adc: codes snap to the nearest sub-centroid, identical and " +
+    "code-identical candidates score 1.0, zero vectors excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // seed c0
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)), // seed c1
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // identical to 0
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // near 0: same codes as 0
+      (4L, Array(0.1f, 0.9f, 0.9f, 0.1f)), // near 1: orthogonal recon
+      (5L, Array(0.0f, 0.0f, 0.0f, 0.0f))  // zero: excluded
+    ).toDF("vec_id", "embedding")
+    val out = LlmOps.annTopKPq(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, k = 5, m = 2, ksub = 2, dims = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // 2 and 3 both reconstruct to c0 exactly → ADC cosine 1.0; 1 and 4
+    // reconstruct to c1 → 0.0; the zero vector never appears
+    assert(out.map(_._1).toSeq === Seq(2L, 3L, 1L, 4L),
+      s"ADC ranking (ties by cand id): ${out.mkString(",")}")
+    assert(out(0)._2 === 1.0 && out(1)._2 === 1.0)
+    assert(out(2)._2 === 0.0 && out(3)._2 === 0.0)
+    // candidates carry m code lookups, not d-dim float loops: the
+    // probe side (with its dot table) is the broadcast side
+    val plan = LlmOps.annTopKPq(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, k = 5, m = 2, ksub = 2, dims = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
   }
 
   test("semantic dedup: in-cell near-dups drop deterministically; " +
