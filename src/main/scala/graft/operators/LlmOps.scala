@@ -762,42 +762,48 @@ object LlmOps {
     * DuckDB oracle replays every step bit for bit. Candidates whose
     * reconstruction is the zero vector are excluded (approx cosine
     * undefined), mirroring the zero-norm exclusion everywhere else. */
-  def annTopKPq(
-      vecs: DataFrame, idCol: String, vecCol: String,
-      probeFilter: Column => Column, k: Int, m: Int = 8, ksub: Int = 8,
-      dims: Int = 64): DataFrame = {
-    require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
-    require(ksub > 0, s"ksub must be positive: $ksub")
-    val sub = dims / m
-    val v = vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
+  /** Subspace-j dot of two flat vectors, sequential over the slice. */
+  private def pqSubDot(x: Column, y: Column, j: Column, sub: Int): Column =
+    aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+      (acc, i) => acc +
+        element_at(x, (j * sub + i + 1).cast("int")) *
+        element_at(y, (j * sub + i + 1).cast("int")))
+
+  /** Subspace-j squared L2 distance, sequential over the slice. */
+  private def pqSubL2(x: Column, y: Column, j: Column, sub: Int): Column =
+    aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+      (acc, i) => {
+        val d = element_at(x, (j * sub + i + 1).cast("int")) -
+          element_at(y, (j * sub + i + 1).cast("int"))
+        acc + d * d
+      })
+
+  /** The shared nonzero-vector base frame: (vid, e, nrm). */
+  private def pqBase(vecs: DataFrame, idCol: String, vecCol: String) =
+    vecs.select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
       .withColumn("nrm", dot(col("e"), col("e")))
       .filter(col("nrm") > 0)
-    // one broadcast row: the (cid, ce) codebook seeds, sorted by id —
-    // list POSITION (1-based) is the code alphabet
-    val cb = v.filter(col("vid") < ksub)
+
+  /** One broadcast row: the (cid, ce) codebook seeds, sorted by id —
+    * list POSITION (1-based) is the code alphabet. */
+  private def pqCodebook(v: DataFrame, ksub: Int): DataFrame =
+    v.filter(col("vid") < ksub)
       .agg(array_sort(collect_list(struct(col("vid").as("cid"),
         col("e").as("ce")))).as("cb"))
-    def subDot(x: Column, y: Column, j: Column): Column =
-      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
-        (acc, i) => acc +
-          element_at(x, (j * sub + i + 1).cast("int")) *
-          element_at(y, (j * sub + i + 1).cast("int")))
-    def subL2(x: Column, y: Column, j: Column): Column =
-      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
-        (acc, i) => {
-          val d = element_at(x, (j * sub + i + 1).cast("int")) -
-            element_at(y, (j * sub + i + 1).cast("int"))
-          acc + d * d
-        })
-    // per-subspace code: 1-based rank of the argmin-L2 sub-centroid
-    // (strict-improvement fold — earliest rank wins exact ties, the
-    // same convention as the oracle's ORDER BY l2, rnk)
+
+  /** PQ-encode every vector of `v`: m 1-based code indices (argmin-L2
+    * sub-centroid via a strict-improvement fold — earliest rank wins
+    * exact ties, the oracle's ORDER BY l2, rnk) plus the reconstruction
+    * self-dot. Zero reconstructions are excluded (approx cosine
+    * undefined). Output: (vid, code, anrm). */
+  private def pqEncoded(
+      v: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame = {
     def codeJ(j: Column): Column =
       aggregate(col("cb"),
         struct(lit(Double.MaxValue).as("d"), lit(0).as("best"),
           lit(0).as("i")),
         (acc, c) => {
-          val d = subL2(col("e"), c.getField("ce"), j)
+          val d = pqSubL2(col("e"), c.getField("ce"), j, sub)
           val i = acc.getField("i") + 1
           when(d < acc.getField("d"),
             struct(d.as("d"), i.as("best"), i.as("i")))
@@ -805,32 +811,101 @@ object LlmOps {
               acc.getField("best").as("best"), i.as("i")))
         },
         acc => acc.getField("best"))
-    val cand = v.crossJoin(broadcast(cb))
+    v.crossJoin(broadcast(cb))
       .withColumn("code", transform(sequence(lit(0), lit(m - 1)), codeJ(_)))
       .withColumn("anrm", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, j) => {
           val ce = element_at(col("cb"),
             element_at(col("code"), (j + 1).cast("int"))).getField("ce")
-          acc + subDot(ce, ce, j)
+          acc + pqSubDot(ce, ce, j, sub)
         }))
       .filter(col("anrm") > 0)
-      .select(col("vid").as("cand_id"), col("code"), col("anrm"))
-    val probes = v.filter(probeFilter(col("vid")))
-      .crossJoin(broadcast(cb))
+      .select(col("vid"), col("code"), col("anrm"))
+  }
+
+  /** Per-probe ADC dot tables: ptab[j][rank] = probe-subvector ·
+    * sub-centroid. Output: (vid, ptab, pnrm). */
+  private def pqProbeTabs(
+      vp: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame =
+    vp.crossJoin(broadcast(cb))
       .withColumn("ptab", transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(col("cb"), c => subDot(col("e"), c.getField("ce"), j))))
-      .select(col("vid").as("probe_id"), col("ptab"), col("nrm").as("pnrm"))
-    // ADC: m table lookups per pair — the only per-candidate float work
+        transform(col("cb"), c => pqSubDot(col("e"), c.getField("ce"), j, sub))))
+      .select(col("vid"), col("ptab"), col("nrm").as("pnrm"))
+
+  /** ADC pair scoring + per-probe top-k: m table lookups per pair —
+    * the only per-candidate float work. `cand` must carry (cand_id,
+    * code, anrm) [+ optional join keys already applied]; `probes`
+    * (probe_id, ptab, pnrm). */
+  private def pqScoreTopK(pairs: DataFrame, m: Int, k: Int,
+      extraCols: Seq[Column] = Nil): DataFrame = {
     val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
       (acc, j) => acc + element_at(
         element_at(col("ptab"), (j + 1).cast("int")),
         element_at(col("code"), (j + 1).cast("int"))))
     val pqcos = adot / (sqrt(col("pnrm")) * sqrt(col("anrm")))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
-    cand.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), pqcos.as("c"))
+    pairs
+      .select(Seq(col("probe_id"), col("cand_id"), pqcos.as("c")) ++
+        extraCols: _*)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("pqcosine"))
+      .select(Seq(col("probe_id"), col("cand_id")) ++ extraCols :+
+        round(col("c"), 6).as("pqcosine"): _*)
+  }
+
+  def annTopKPq(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, k: Int, m: Int = 8, ksub: Int = 8,
+      dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
+    require(ksub > 0, s"ksub must be positive: $ksub")
+    val sub = dims / m
+    val v = pqBase(vecs, idCol, vecCol)
+    val cb = pqCodebook(v, ksub)
+    val cand = pqEncoded(v, cb, m, sub)
+      .select(col("vid").as("cand_id"), col("code"), col("anrm"))
+    val probes = pqProbeTabs(v.filter(probeFilter(col("vid"))), cb, m, sub)
+      .select(col("vid").as("probe_id"), col("ptab"), col("pnrm"))
+    pqScoreTopK(
+      cand.join(broadcast(probes), col("probe_id") =!= col("cand_id")), m, k)
+  }
+
+  /** IVF × PQ — the full industry-standard retrieval layout at corpus
+    * scale: the IVF side restricts each probe to its `nprobe` nearest
+    * coarse cells ([[annTopKIvf]]'s broadcast-codebook assignment, at
+    * full precision), and the in-cell scoring runs on PQ codes via
+    * [[annTopKPq]]'s ADC table lookups — so a candidate costs m bytes
+    * to store, a cell-keyed shuffle to route, and m lookups + 2 sqrt
+    * to score. Codes are computed against the GLOBAL sub-codebooks
+    * (the simpler no-residual PQ variant; residual encoding per cell
+    * is the classic refinement and slots into [[pqEncoded]] by
+    * subtracting the cell centroid first). Ranking is by approx
+    * cosine with a candidate-id tiebreak; the emitted `cell` column
+    * records which inverted list served the pair. */
+  def annTopKIvfPq(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, topK: Int, kCells: Int = 8,
+      iters: Int = 0, nprobe: Int = 1, m: Int = 8, ksub: Int = 8,
+      dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val sub = dims / m
+    val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
+      .select(col("vid"), col("cid"), col("__rn"))
+    val v = pqBase(vecs, idCol, vecCol)
+    val cb = pqCodebook(v, ksub)
+    val cand = ranked.filter(col("__rn") === 1)
+      .join(pqEncoded(v, cb, m, sub), Seq("vid"))
+      .select(col("vid").as("cand_id"), col("cid").as("cell"),
+        col("code"), col("anrm"))
+    val probes = ranked
+      .filter(probeFilter(col("vid")) && col("__rn") <= nprobe)
+      .join(pqProbeTabs(v.filter(probeFilter(col("vid"))), cb, m, sub),
+        Seq("vid"))
+      .select(col("vid").as("probe_id"), col("cid").as("cell"),
+        col("ptab"), col("pnrm"))
+    pqScoreTopK(
+      probes.join(cand, Seq("cell"))
+        .filter(col("probe_id") =!= col("cand_id")),
+      m, topK, extraCols = Seq(col("cell")))
   }
 
   /** Deterministic pseudo-random hyperplane component j (LCG over the flat

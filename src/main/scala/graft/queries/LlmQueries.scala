@@ -1136,6 +1136,100 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
     },
 
+    // ----- IVF x PQ: the full production retrieval layout --------------
+    // Seeded coarse cells (iters=0, nprobe=1) restrict each probe to
+    // its home cell; in-cell scoring is PQ ADC (8 lookups/pair) against
+    // the global sub-codebooks. Candidate = cell id + 8 codes + 1 norm.
+    QDef.sql(
+      "llm_ann_ivf_pq",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+         |  FROM embeddings
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cid, e AS ce,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
+         |  FROM v WHERE vec_id < 8 AND nrm > 0
+         |),
+         |assign AS (
+         |  SELECT vec_id, cell
+         |  FROM (
+         |    SELECT v.vec_id, c.cid AS cell,
+         |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+         |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+         |    FROM v, cents c
+         |    WHERE v.nrm > 0
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+         |),
+         |cbr AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk, e AS ce
+         |  FROM v WHERE vec_id < 8 AND nrm > 0
+         |),
+         |cj AS (
+         |  SELECT v.vec_id, g.j, c.rnk,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+         |      i -> (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i])
+         |         * (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+         |      (a, b) -> a + b) AS l2
+         |  FROM v, generate_series(0, 7) g(j), cbr c
+         |  WHERE v.nrm > 0
+         |),
+         |code AS (
+         |  SELECT vec_id, j, rnk FROM cj
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+         |                             ORDER BY l2, rnk) = 1
+         |),
+         |selfd AS (
+         |  SELECT code.vec_id, code.j,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+         |      i -> c.ce[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+         |      (a, b) -> a + b) AS sd
+         |  FROM code JOIN cbr c ON c.rnk = code.rnk
+         |),
+         |anrm AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+         |                (a, b) -> a + b) AS anrm
+         |  FROM selfd GROUP BY vec_id
+         |),
+         |pt AS (
+         |  SELECT p.vec_id AS probe_id, a.vec_id AS cand_id,
+         |         pa.cell AS cell, code.j,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+         |      i -> p.e[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+         |      (a, b) -> a + b) AS t
+         |  FROM v p
+         |  JOIN assign pa ON pa.vec_id = p.vec_id
+         |  JOIN assign a ON a.cell = pa.cell AND a.vec_id != p.vec_id
+         |  JOIN code ON code.vec_id = a.vec_id
+         |  JOIN cbr c ON c.rnk = code.rnk
+         |  WHERE p.vec_id < 20 AND p.nrm > 0
+         |),
+         |sc AS (
+         |  SELECT probe_id, cand_id, cell,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY j)),
+         |                (a, b) -> a + b) AS adot
+         |  FROM pt GROUP BY 1, 2, 3
+         |),
+         |scored AS (
+         |  SELECT sc.probe_id, sc.cand_id, sc.cell,
+         |    adot / (sqrt(p.nrm) * sqrt(a.anrm)) AS c
+         |  FROM sc JOIN v p ON p.vec_id = sc.probe_id
+         |          JOIN anrm a ON a.vec_id = sc.cand_id
+         |  WHERE a.anrm > 0
+         |)
+         |SELECT probe_id, cand_id, cell, round(c, 6) AS pqcosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY c DESC, cand_id) <= 3
+         |ORDER BY probe_id, pqcosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKIvfPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, topK = 3, kCells = 8, iters = 0, nprobe = 1)
+        .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
+    },
+
     // ----- Quantized-coarse + exact-rerank retrieval ---------------------
     // The production two-stage pattern: int8 scan keeps top-20 per
     // probe, full-precision cosine reranks ONLY those to the final

@@ -183,6 +183,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("ivf x pq: the cell restriction bounds the ADC scan to the " +
+    "probe's inverted list") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // seed: cell 0 + sub-codebooks
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)), // seed: cell 1 + sub-codebooks
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // cell 0, codes = c0
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // cell 0, codes = c0
+      (4L, Array(0.1f, 0.9f, 0.9f, 0.1f))  // cell 1 — outside probe 0's list
+    ).toDF("vec_id", "embedding")
+    val out = LlmOps.annTopKIvfPq(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, topK = 5, kCells = 2, iters = 0, nprobe = 1,
+      m = 2, ksub = 2, dims = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // cell 1's vectors (1, 4) never reach the scorer; cell-mates 2 and 3
+    // both reconstruct to c0 → ADC cosine exactly 1.0
+    assert(out.map(_._1).toSet === Set(2L, 3L),
+      s"only probe 0's cell-mates are scored: ${out.mkString(",")}")
+    assert(out.forall(_._2 === 0L), "served from cell 0")
+    assert(out.forall(_._3 === 1.0))
+  }
+
   test("semantic dedup: in-cell near-dups drop deterministically; " +
     "cluster minima, distinct neighbors, and only nonzero vectors survive") {
     val vecs = Seq(
