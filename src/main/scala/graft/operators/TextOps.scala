@@ -322,6 +322,63 @@ object TextOps {
       .orderBy(col("freq").desc, col("h"))
       .limit(k)
 
+  /** Count-min sketch of the n-gram frequency stream (Cormode &
+    * Muthukrishnan 2005) — the BOUNDED-MEMORY path to heavy hitters at
+    * 100 TB, next to [[topNgrams]]' exact aggregation: `depth`
+    * independent hash rows × `width` counters, counter (r, p) = the
+    * number of gram occurrences with `(SeedA_r·h + SeedB_r) mod P31
+    * mod width = p` (the LD2 permutation family — deterministic,
+    * engine-portable). The sketch is d·w rows NO MATTER the corpus —
+    * the aggregation output is constant-size where [[topNgrams]]'
+    * shuffle grows with the distinct-gram space; estimates are
+    * one-sided (est ≥ true count, off only by collision mass).
+    * Output: (r, p, cnt). */
+  def countMinSketch(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= LlmOps.SeedA.size,
+      s"depth must be in [1, ${LlmOps.SeedA.size}]: $depth")
+    require(width > 0, s"width must be positive: $width")
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod((lit(LlmOps.SeedA(r)) * col("h") + lit(LlmOps.SeedB(r)))
+          % LlmOps.P31, lit(width.toLong)).as("p"))
+    }
+    LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+      .select(explode(array(rows: _*)).as("__c"))
+      .groupBy(col("__c.r").as("r"), col("__c.p").as("p"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters from the sketch: every candidate gram's estimate =
+    * min over the `depth` rows of its counter (the CM point query),
+    * top-k by (estimate desc, gram hash). The scale contract: the
+    * sketch is a tiny broadcast table, so estimation is ONE distinct
+    * on the candidate grams plus a map-side lookup — the counting
+    * shuffle is d·w-bounded and the candidate set can be sampled
+    * without touching the sketch. Output: (h, est) — join back to a
+    * gram dictionary for display. */
+  def cmsHeavyHitters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 20, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val sketch = countMinSketch(df, idCol, textCol, n, depth, width)
+    val cand = LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+      .select(col("h")).distinct()
+    val withCells = (0 until depth).foldLeft(cand) { (acc, r) =>
+      acc.withColumn(s"__p$r",
+        pmod((lit(LlmOps.SeedA(r)) * col("h") + lit(LlmOps.SeedB(r)))
+          % LlmOps.P31, lit(width.toLong)))
+    }
+    val est = (0 until depth).foldLeft(withCells) { (acc, r) =>
+      acc.join(broadcast(sketch.filter(col("r") === r)
+          .select(col("p").as(s"__p$r"), col("cnt").as(s"__c$r"))),
+        Seq(s"__p$r"))
+    }.withColumn("est",
+      (0 until depth).map(r => col(s"__c$r")).reduce(least(_, _)))
+    est.select(col("h"), col("est"))
+      .orderBy(col("est").desc, col("h"))
+      .limit(k)
+  }
+
   /** PII regexes shared by the engine and the DuckDB oracle rendering:
     * plain ERE features only (classes, +, bounded reps, \b, \d) so the
     * same pattern string is valid for Java's regex and RE2. */

@@ -729,6 +729,62 @@ object TextQueries {
       TextOps.topNgrams(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 20)
     },
 
+    // ----- Count-min heavy hitters (bounded-memory top-ngrams) ---------
+    // 4x1024 sketch over the 2-gram stream (the LD2 permutation
+    // family); top-20 candidates by min-counter estimate, joined with
+    // the exact count — est >= exact always (one-sided collision
+    // error), and the spread is the width-tuning signal.
+    QDef.sql(
+      "llm_cms_ngrams", {
+        val cell = (r: Int) =>
+          s"((${LlmOps.SeedA(r)} * h + ${LlmOps.SeedB(r)}) % 2147483647) % 1024"
+        val cellC = (r: Int) =>
+          s"((${LlmOps.SeedA(r)} * c.h + ${LlmOps.SeedB(r)}) % 2147483647) % 1024"
+        val sketchRows = (0 until 4).map(r =>
+          s"SELECT $r AS r, ${cell(r)} AS p FROM hashed")
+          .mkString("\n    UNION ALL ")
+        val cellJoins = (0 until 4).map(r =>
+          s"JOIN sketch s$r ON s$r.r = $r AND s$r.p = ${cellC(r)}")
+          .mkString("\n  ")
+        s"""WITH words AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+           |),
+           |shingles AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+           |    i -> ws[i] || ' ' || ws[i+1])) AS s
+           |  FROM words
+           |),
+           |hashed AS (
+           |  SELECT ${duckHash("s")} AS h FROM shingles
+           |),
+           |cnt AS (
+           |  SELECT h, CAST(count(*) AS BIGINT) AS exact_freq
+           |  FROM hashed GROUP BY h
+           |),
+           |sketch AS (
+           |  SELECT r, p, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    $sketchRows
+           |  ) GROUP BY 1, 2
+           |),
+           |est AS (
+           |  SELECT c.h, least(s0.cnt, s1.cnt, s2.cnt, s3.cnt) AS est
+           |  FROM (SELECT DISTINCT h FROM hashed) c
+           |  $cellJoins
+           |)
+           |SELECT est.h AS h, est.est AS est, cnt.exact_freq AS exact_freq
+           |FROM est JOIN cnt USING (h)
+           |ORDER BY est DESC, h LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val hh = TextOps.cmsHeavyHitters(docs, "doc_id", "text", n = 2, k = 20)
+      val exact = LlmOps.shingleHashes(docs, "doc_id", "text", 2,
+        dedup = false)
+        .groupBy("h").agg(count(lit(1)).as("exact_freq"))
+      hh.join(exact, Seq("h"))
+        .select(col("h"), col("est"), col("exact_freq"))
+        .orderBy(col("est").desc, col("h"))
+    },
+
     // ----- PII scrubbing ----------------------------------------------
     // Deterministic synthetic PII (an email + phone built from doc_id)
     // is appended to every doc so the redaction is actually exercised

@@ -376,6 +376,36 @@ class CurationOpsSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  // ----- count-min sketch heavy hitters -------------------------------
+
+  test("countMinSketch: per-row mass equals the gram stream; wide " +
+    "sketch recovers exact counts, narrow sketch over-estimates only") {
+    import graft.operators.LlmOps
+    val docs = Seq(
+      (1L, "a b a b a b"), // grams: "a b" x3, "b a" x2
+      (2L, "a b c d")      // "a b", "b c", "c d"
+    ).toDF("doc_id", "text")
+    val sk = TextOps.countMinSketch(docs, "doc_id", "text",
+      n = 2, depth = 4, width = 4096)
+    val mass = sk.groupBy("r").agg(sum("cnt").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mass === Map(0 -> 8L, 1 -> 8L, 2 -> 8L, 3 -> 8L),
+      "every sketch row counts all 8 gram occurrences")
+    val exact = LlmOps.shingleHashes(docs, "doc_id", "text", 2,
+      dedup = false).groupBy("h").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = TextOps.cmsHeavyHitters(docs, "doc_id", "text",
+      n = 2, k = 10, depth = 4, width = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === exact, "collision-free sketch is exact")
+    val narrow = TextOps.cmsHeavyHitters(docs, "doc_id", "text",
+      n = 2, k = 10, depth = 4, width = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow.keySet === exact.keySet)
+    assert(exact.forall { case (h, c) => narrow(h) >= c },
+      s"CM estimates are one-sided: $narrow vs $exact")
+  }
+
   // ----- in-engine classifier training --------------------------------
 
   private val clsPos = (1L to 8L).map(i =>
