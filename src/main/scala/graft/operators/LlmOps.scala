@@ -792,56 +792,57 @@ object LlmOps {
         col("e").as("ce")))).as("cb"))
 
   /** PQ-encode every vector of `v`: m 1-based code indices (argmin-L2
-    * sub-centroid via a strict-improvement fold — earliest rank wins
-    * exact ties, the oracle's ORDER BY l2, rnk) plus the reconstruction
-    * self-dot. Zero reconstructions are excluded (approx cosine
-    * undefined). Output: (vid, code, anrm). */
+    * sub-centroid, strict-improvement scan — earliest rank wins exact
+    * ties, the oracle's ORDER BY l2, rnk) plus the reconstruction
+    * self-dot. Runs as the NATIVE [[graft.functions.PqEncode]]
+    * expression — one tight primitive loop per row over the flattened
+    * codebook; the equivalent nested higher-order-function argmin
+    * measured ~3000 s of single-task interpreted CPU on a 250k-vector
+    * partition at the sf10 probe (struct-accumulator allocation per
+    * fold step), vs seconds natively, at bit-identical output. Zero
+    * reconstructions are excluded (approx cosine undefined).
+    * Output: (vid, code, anrm). */
   private def pqEncoded(
       v: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame = {
-    def codeJ(j: Column): Column =
-      aggregate(col("cb"),
-        struct(lit(Double.MaxValue).as("d"), lit(0).as("best"),
-          lit(0).as("i")),
-        (acc, c) => {
-          val d = pqSubL2(col("e"), c.getField("ce"), j, sub)
-          val i = acc.getField("i") + 1
-          when(d < acc.getField("d"),
-            struct(d.as("d"), i.as("best"), i.as("i")))
-            .otherwise(struct(acc.getField("d").as("d"),
-              acc.getField("best").as("best"), i.as("i")))
-        },
-        acc => acc.getField("best"))
+    val enc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("e")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          flatten(transform(col("cb"), c => c.getField("ce")))),
+        m, sub))
     v.crossJoin(broadcast(cb))
-      .withColumn("code", transform(sequence(lit(0), lit(m - 1)), codeJ(_)))
-      .withColumn("anrm", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => {
-          val ce = element_at(col("cb"),
-            element_at(col("code"), (j + 1).cast("int"))).getField("ce")
-          acc + pqSubDot(ce, ce, j, sub)
-        }))
+      .withColumn("__enc", enc)
+      .select(col("vid"), col("__enc.code").as("code"),
+        col("__enc.anrm").as("anrm"))
       .filter(col("anrm") > 0)
-      .select(col("vid"), col("code"), col("anrm"))
   }
 
   /** Per-probe ADC dot tables: ptab[j][rank] = probe-subvector ·
     * sub-centroid. Output: (vid, ptab, pnrm). */
+  /** Per-probe ADC dot tables, FLATTENED ([j][rank] → j·ncents+rank−1,
+    * the layout [[graft.functions.PqAdc]] indexes): ptab cell =
+    * probe-subvector · sub-centroid. The probe set is bounded, so the
+    * nested HOF here stays off the data-sized path. */
   private def pqProbeTabs(
       vp: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame =
     vp.crossJoin(broadcast(cb))
-      .withColumn("ptab", transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(col("cb"), c => pqSubDot(col("e"), c.getField("ce"), j, sub))))
+      .withColumn("ptab", flatten(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(col("cb"),
+            c => pqSubDot(col("e"), c.getField("ce"), j, sub)))))
       .select(col("vid"), col("ptab"), col("nrm").as("pnrm"))
 
-  /** ADC pair scoring + per-probe top-k: m table lookups per pair —
-    * the only per-candidate float work. `cand` must carry (cand_id,
-    * code, anrm) [+ optional join keys already applied]; `probes`
+  /** ADC pair scoring + per-probe top-k via the codegen'd
+    * [[graft.functions.PqAdc]]: m table lookups per pair — the only
+    * per-candidate float work, and the data-sized cost of PQ
+    * retrieval. `cand` must carry (cand_id, code, anrm); `probes`
     * (probe_id, ptab, pnrm). */
   private def pqScoreTopK(pairs: DataFrame, m: Int, k: Int,
       extraCols: Seq[Column] = Nil): DataFrame = {
-    val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc + element_at(
-        element_at(col("ptab"), (j + 1).cast("int")),
-        element_at(col("code"), (j + 1).cast("int"))))
+    val adot = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdc(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ptab")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("code"))))
     val pqcos = adot / (sqrt(col("pnrm")) * sqrt(col("anrm")))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
     pairs

@@ -357,12 +357,21 @@ object TextOps {
     * shuffle is d·w-bounded and the candidate set can be sampled
     * without touching the sketch. Output: (h, est) — join back to a
     * gram dictionary for display. */
+  /** `candidates` (any frame with an `h` column; extra columns are
+    * carried through to the output) replaces the default
+    * distinct-over-the-stream candidate set — pass a sampled frame at
+    * production scale, or an existing per-gram aggregate to avoid a
+    * second pass (the calibration query feeds its exact-count frame
+    * here, which measured 44.6 → 36.2 s at the sf10 probe by deleting
+    * one 75M-row distinct shuffle + scan). */
   def cmsHeavyHitters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, k: Int = 20, depth: Int = 4,
-      width: Int = 1024): DataFrame = {
+      width: Int = 1024, candidates: Option[DataFrame] = None): DataFrame = {
     val sketch = countMinSketch(df, idCol, textCol, n, depth, width)
-    val cand = LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
-      .select(col("h")).distinct()
+    val cand = candidates.getOrElse(
+      LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
+        .select(col("h")).distinct())
+    val carried = cand.columns.filter(_ != "h").map(col).toSeq
     val withCells = (0 until depth).foldLeft(cand) { (acc, r) =>
       acc.withColumn(s"__p$r",
         pmod((lit(LlmOps.SeedA(r)) * col("h") + lit(LlmOps.SeedB(r)))
@@ -374,7 +383,7 @@ object TextOps {
         Seq(s"__p$r"))
     }.withColumn("est",
       (0 until depth).map(r => col(s"__c$r")).reduce(least(_, _)))
-    est.select(col("h"), col("est"))
+    est.select(col("h") +: col("est") +: carried: _*)
       .orderBy(col("est").desc, col("h"))
       .limit(k)
   }

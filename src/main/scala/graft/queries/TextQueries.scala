@@ -776,11 +776,13 @@ object TextQueries {
            |ORDER BY est DESC, h LIMIT 20""".stripMargin
       }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val hh = TextOps.cmsHeavyHitters(docs, "doc_id", "text", n = 2, k = 20)
+      // the exact-count frame IS the candidate set: one pass serves
+      // calibration and estimation (no separate distinct shuffle)
       val exact = LlmOps.shingleHashes(docs, "doc_id", "text", 2,
         dedup = false)
         .groupBy("h").agg(count(lit(1)).as("exact_freq"))
-      hh.join(exact, Seq("h"))
+      TextOps.cmsHeavyHitters(docs, "doc_id", "text", n = 2, k = 20,
+        candidates = Some(exact))
         .select(col("h"), col("est"), col("exact_freq"))
         .orderBy(col("est").desc, col("h"))
     },
