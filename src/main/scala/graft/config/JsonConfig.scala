@@ -217,6 +217,22 @@ object JsonConfig {
         bias = num("bias", 0.0),
         min = num("min", 0.5)))
     } else None,
+    classifierTrain = if (n.path("classifier_train").isObject) {
+      val ct = n.path("classifier_train")
+      def num(key: String, dflt: Double): Double =
+        if (ct.path(key).isNumber) ct.path(key).asDouble() else dflt
+      Some(ClassifierTrainDef(
+        idField = str(ct.path("id_field")).getOrElse(sys.error("classifier_train missing id_field")),
+        textField = str(ct.path("text_field")).getOrElse(sys.error("classifier_train missing text_field")),
+        posSource = str(ct.path("pos_source")).getOrElse(sys.error("classifier_train missing pos_source")),
+        negSource = str(ct.path("neg_source")).getOrElse(sys.error("classifier_train missing neg_source")),
+        srcField = str(ct.path("src_field")).getOrElse("source"),
+        nBuckets = int(ct.path("n_buckets")).getOrElse(1024),
+        iters = int(ct.path("iters")).getOrElse(3),
+        lrDen = if (ct.path("lr_den").isNumber) ct.path("lr_den").asLong()
+                else 4096L,
+        min = num("min", 0.5)))
+    } else None,
     gopherFilter = if (n.path("gopher_filter").isObject) {
       val gf = n.path("gopher_filter")
       def num(key: String, dflt: Double): Double =

@@ -141,6 +141,10 @@ final case class TransformDef(
       * score (fastText-style model at `weightsPath`) clears `min`;
       * the score lands as a `classifier_score` column. */
     classifierFilter: Option[ClassifierFilterDef] = None,
+    /** LLM-extension: TRAIN the classifier in-pipeline from labeled
+      * seed sources, then gate on the trained score (LT26; see
+      * TextOps.classifierTrain). */
+    classifierTrain: Option[ClassifierTrainDef] = None,
     /** LLM-extension: keep only docs passing the Gopher rule set
       * (LT21; see TextOps.gopherRules). */
     gopherFilter: Option[GopherFilterDef] = None,
@@ -266,6 +270,24 @@ final case class ClassifierFilterDef(
     nBuckets: Int = 1024,
     scale: Double = 1000.0,
     bias: Double = 0.0,
+    min: Double = 0.5)
+
+/** LLM-extension: in-pipeline classifier TRAINING (the GPT-3/LLaMA
+  * quality-filter recipe end-to-end): rows whose `srcField` equals
+  * `posSource` / `negSource` form the seed sets, TextOps.classifierTrain
+  * fits the hashed-presence logistic model (engine-exact fixed-point
+  * GD), every row is scored through classifierScore with the trained
+  * weights (micro-unit scale 2^20), the score lands as
+  * `classifier_score`, and rows below `min` drop. */
+final case class ClassifierTrainDef(
+    idField: String,
+    textField: String,
+    posSource: String,
+    negSource: String,
+    srcField: String = "source",
+    nBuckets: Int = 1024,
+    iters: Int = 3,
+    lrDen: Long = 4096L,
     min: Double = 0.5)
 
 /** LLM-extension: Gopher rule-set quality gate inside a pipeline's

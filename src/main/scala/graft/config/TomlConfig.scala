@@ -213,7 +213,8 @@ object TomlConfig {
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
     * `lang_filter`, `quality_filter`, `classifier_filter`,
-    * `gopher_filter`, `c4_clean`, `dsir_select`, `repetition_filter`,
+    * `classifier_train`, `gopher_filter`, `c4_clean`, `dsir_select`,
+    * `repetition_filter`,
     * `sample` — reference-style TOML
     * configs get the full LLM-curation transform surface too. */
   private def parseCuration(n: Map[String, Any]): TransformDef => TransformDef = { base =>
@@ -225,6 +226,7 @@ object TomlConfig {
     val lf = tbl(n.get("lang_filter"))
     val qf = tbl(n.get("quality_filter"))
     val cf = tbl(n.get("classifier_filter"))
+    val ct = tbl(n.get("classifier_train"))
     val gf = tbl(n.get("gopher_filter"))
     val cc = tbl(n.get("c4_clean"))
     val ds = tbl(n.get("dsir_select"))
@@ -311,6 +313,18 @@ object TomlConfig {
           scale = dbl(cf.get("scale")).getOrElse(1000.0),
           bias = dbl(cf.get("bias")).getOrElse(0.0),
           min = dbl(cf.get("min")).getOrElse(0.5))),
+      classifierTrain =
+        if (!declared("classifier_train", ct)) None
+        else Some(ClassifierTrainDef(
+          idField = str(ct.get("id_field")).getOrElse(sys.error("classifier_train missing id_field")),
+          textField = str(ct.get("text_field")).getOrElse(sys.error("classifier_train missing text_field")),
+          posSource = str(ct.get("pos_source")).getOrElse(sys.error("classifier_train missing pos_source")),
+          negSource = str(ct.get("neg_source")).getOrElse(sys.error("classifier_train missing neg_source")),
+          srcField = str(ct.get("src_field")).getOrElse("source"),
+          nBuckets = long(ct.get("n_buckets")).getOrElse(1024L).toInt,
+          iters = long(ct.get("iters")).getOrElse(3L).toInt,
+          lrDen = long(ct.get("lr_den")).getOrElse(4096L),
+          min = dbl(ct.get("min")).getOrElse(0.5))),
       gopherFilter =
         if (!declared("gopher_filter", gf)) None
         else Some(GopherFilterDef(

@@ -548,6 +548,21 @@ object Orchestrator {
       df = df.join(scores, Seq(cf.idField))
         .filter(col("classifier_score") >= cf.min)
     }
+    t.classifierTrain.foreach { ct =>
+      val pos = df.filter(col(ct.srcField) === ct.posSource)
+      val neg = df.filter(col(ct.srcField) === ct.negSource)
+      val wts = graft.operators.TextOps.classifierTrain(
+        pos, neg, ct.idField, ct.textField,
+        ct.nBuckets, ct.iters, lrDen = ct.lrDen)
+      // trained weights are log2-fixed micro-units: score with the
+      // matching 2^20 scale
+      val scores = graft.operators.TextOps.classifierScore(
+        df, ct.idField, ct.textField, wts,
+        ct.nBuckets, scale = (1L << 20).toDouble)
+        .select(col(ct.idField), col("score").as("classifier_score"))
+      df = df.join(scores, Seq(ct.idField))
+        .filter(col("classifier_score") >= ct.min)
+    }
     t.gopherFilter.foreach { gf =>
       val keep = graft.operators.TextOps.gopherRules(
         df, gf.idField, gf.textField,

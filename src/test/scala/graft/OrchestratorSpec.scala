@@ -442,6 +442,38 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("classifier_score") === 0.993307)
   }
 
+  test("classifier_train transform trains on the seed sources and " +
+    "gates every row on the trained score") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctr").toString
+    // separable seeds: 'curated' docs share one vocabulary, 'crawl'
+    // docs another; the held-out rows (srcX) reuse those vocabularies
+    val rows =
+      (1L to 6L).map(i => (i, "curated", s"excellent thoughtful prose n$i")) ++
+      (1L to 6L).map(i => (i + 10L, "crawl", s"spam casino jackpot n$i")) ++
+      Seq((21L, "srcX", "excellent thoughtful prose held out"),
+          (22L, "srcX", "spam casino jackpot held out"))
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("ct"), Seq(
+      PipelineDef("ct", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          classifierTrain = Some(ClassifierTrainDef(
+            idField = "doc_id", textField = "text",
+            posSource = "curated", negSource = "crawl",
+            nBuckets = 64, iters = 3, lrDen = 64L, min = 0.5))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("ct").df.get.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("classifier_score"))
+      .toMap
+    // hard sigmoid centers at 0.5: curated-vocabulary rows (incl. the
+    // held-out 21) score above it, crawl-vocabulary rows drop
+    assert(out.contains(21L), s"held-out curated-like doc must survive: $out")
+    assert(!out.contains(22L), s"held-out crawl-like doc must drop: $out")
+    assert((1L to 6L).forall(out.contains), "pos seeds survive")
+    assert((11L to 16L).forall(i => !out.contains(i)), "neg seeds drop")
+  }
+
   test("gopher_filter transform keeps only rows passing every rule") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gph").toString

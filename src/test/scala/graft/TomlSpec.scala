@@ -653,6 +653,15 @@ class TomlSpec extends AnyFunSuite {
         |[pipelines.transform.quality_filter]
         |field = "text"
         |min = 0.4
+        |[pipelines.transform.classifier_train]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |pos_source = "curated"
+        |neg_source = "crawl"
+        |n_buckets = 128
+        |iters = 2
+        |lr_den = 64
+        |min = 0.6
         |[pipelines.transform.gopher_filter]
         |id_field = "doc_id"
         |text_field = "text"
@@ -690,6 +699,10 @@ class TomlSpec extends AnyFunSuite {
       && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
     assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
     assert(t.qualityFilter.exists(_.min == 0.4))
+    assert(t.classifierTrain.exists(c => c.posSource == "curated"
+      && c.negSource == "crawl" && c.srcField == "source"
+      && c.nBuckets == 128 && c.iters == 2 && c.lrDen == 64L
+      && c.min == 0.6))
     assert(t.gopherFilter.exists(g => g.minWords == 40L
       && g.minStopwords == 1 && g.maxWords == 100000L
       && g.maxSymbolRatio == 0.1))
