@@ -109,6 +109,104 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native RESIDUAL PQ encoder — the classic IVF-PQ refinement: the
+  * quantized object is `r = e − base` (the vector minus its coarse
+  * cell centroid; residuals are much smaller than raw vectors, so the
+  * same code budget quantizes them finer), codes are argmin-L2 over
+  * RESIDUAL sub-codebooks, and the emitted norm is the FULL
+  * reconstruction `|base + r̂|²` (grouped subspace folds, j ascending,
+  * each subspace's sum closed before the outer add — the [[PqEncode]]
+  * float-ordering discipline). Every elementary step is one IEEE op
+  * (`r_i = e_i − base_i` first, then `r_i − c_i`), so the DuckDB
+  * oracle replays `((e[i] − base[i]) − ce[i])` verbatim.
+  * Null/shape semantics as [[PqEncode]], plus: base must match the
+  * vector's length. */
+case class PqEncodeResidual(
+    first: Expression, second: Expression, third: Expression,
+    m: Int, sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+          ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode_residual requires three ARRAY<DOUBLE> inputs, " +
+          s"got ${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("anrm", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode_residual"
+
+  override protected def nullSafeEval(a: Any, b: Any, cth: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val base = b.asInstanceOf[ArrayData]
+    val cb = cth.asInstanceOf[ArrayData]
+    val dims = m * sub
+    val nc = cb.numElements() / dims
+    if (nc == 0 || cb.numElements() != nc * dims ||
+      e.numElements() < dims || base.numElements() != e.numElements())
+      return null
+    var i = 0
+    while (i < e.numElements()) {
+      if (e.isNullAt(i) || base.isNullAt(i)) return null; i += 1
+    }
+    i = 0
+    while (i < cb.numElements()) {
+      if (cb.isNullAt(i)) return null; i += 1
+    }
+    val code = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestD = Double.MaxValue
+      var best = 0
+      var c = 0
+      while (c < nc) {
+        var d = 0.0
+        var k = 0
+        while (k < sub) {
+          val p = j * sub + k
+          // r_i first (one IEEE sub), then the centroid diff — the
+          // oracle's ((e[i] - base[i]) - ce[i])
+          val diff = (e.getDouble(p) - base.getDouble(p)) -
+            cb.getDouble(c * dims + p)
+          d += diff * diff
+          k += 1
+        }
+        if (d < bestD) { bestD = d; best = c + 1 }
+        c += 1
+      }
+      code(j) = best
+      j += 1
+    }
+    var anrm = 0.0
+    j = 0
+    while (j < m) {
+      val c = code(j) - 1
+      var sd = 0.0
+      var k = 0
+      while (k < sub) {
+        val p = j * sub + k
+        val x = base.getDouble(p) + cb.getDouble(c * dims + p)
+        sd += x * x
+        k += 1
+      }
+      anrm += sd
+      j += 1
+    }
+    InternalRow(new GenericArrayData(code), anrm)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqEncodeResidual =
+    copy(first = f, second = s, third = t)
+}
+
 /** Native ADC pair scorer: `Σ_j ptabFlat[j·ncents + code_j − 1]` with
   * the fold running j-ascending from 0.0 — bit-identical to the
   * `aggregate(sequence(0,m-1), ...)` table-lookup form it replaces,

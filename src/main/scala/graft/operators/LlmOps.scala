@@ -838,11 +838,15 @@ object LlmOps {
     * retrieval. `cand` must carry (cand_id, code, anrm); `probes`
     * (probe_id, ptab, pnrm). */
   private def pqScoreTopK(pairs: DataFrame, m: Int, k: Int,
-      extraCols: Seq[Column] = Nil): DataFrame = {
-    val adot = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      extraCols: Seq[Column] = Nil,
+      baseDot: Option[Column] = None): DataFrame = {
+    val adcSum = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.PqAdc(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ptab")),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("code"))))
+    // residual variant adds dot(p, cell centroid); IEEE addition is
+    // commutative, so `pcd + adc` is engine-exact in either order
+    val adot = baseDot.map(_ + adcSum).getOrElse(adcSum)
     val pqcos = adot / (sqrt(col("pnrm")) * sqrt(col("anrm")))
     val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
     pairs
@@ -886,9 +890,11 @@ object LlmOps {
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column => Column, topK: Int, kCells: Int = 8,
       iters: Int = 0, nprobe: Int = 1, m: Int = 8, ksub: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, residual: Boolean = false): DataFrame = {
     require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
     val sub = dims / m
+    if (residual) return annTopKIvfPqResidual(vecs, idCol, vecCol,
+      probeFilter, topK, kCells, iters, nprobe, m, ksub, dims)
     val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
       .select(col("vid"), col("cid"), col("__rn"))
     val v = pqBase(vecs, idCol, vecCol)
@@ -907,6 +913,68 @@ object LlmOps {
       probes.join(cand, Seq("cell"))
         .filter(col("probe_id") =!= col("cand_id")),
       m, topK, extraCols = Seq(col("cell")))
+  }
+
+  /** RESIDUAL IVF-PQ — the classic Jégou et al. refinement the
+    * no-residual variant documents as its upgrade slot: the PQ
+    * codebooks quantize `r = e − cell_centroid` (residuals are much
+    * smaller than raw vectors, so the same m×ksub code budget
+    * quantizes finer → higher recall at identical candidate bytes),
+    * and the candidate norm is the FULL reconstruction
+    * `|centroid + r̂|²`. Pair score = dot(p, centroid) [one native dot
+    * per (probe, probed-cell) — nprobe rows, not per pair] + the
+    * residual ADC lookup sum; IEEE addition is commutative, so the
+    * two-term sum is engine-exact in either order.
+    *
+    * Residual sub-codebook seeding: the residuals of vectors
+    * [kCells, kCells+ksub) against their OWN home cells — the first
+    * kCells vectors are excluded because with seeded coarse centroids
+    * they ARE their cells' centroids (their residuals are ~zero and
+    * would degenerate the codebook). Same scale shape as the
+    * no-residual variant: one broadcast codebook row, cell-keyed
+    * shuffle, m lookups per pair via [[graft.functions.PqAdc]]. */
+  private def annTopKIvfPqResidual(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, topK: Int, kCells: Int,
+      iters: Int, nprobe: Int, m: Int, ksub: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
+      .select(col("vid"), col("cid"), col("__rn"), col("e"), col("nrm"),
+        col("ce"))
+    val cb = ranked.filter(col("__rn") === 1 &&
+        col("vid") >= kCells && col("vid") < kCells + ksub)
+      .select(col("vid"),
+        zip_with(col("e"), col("ce"), (a, b) => a - b).as("re"))
+      .agg(array_sort(collect_list(struct(col("vid").as("cid"),
+        col("re").as("ce")))).as("cb"))
+    val encR = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncodeResidual(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("e")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ce")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          flatten(transform(col("cb"), c => c.getField("ce")))),
+        m, sub))
+    val cand = ranked.filter(col("__rn") === 1)
+      .crossJoin(broadcast(cb))
+      .withColumn("__enc", encR)
+      .select(col("vid").as("cand_id"), col("cid").as("cell"),
+        col("__enc.code").as("code"), col("__enc.anrm").as("anrm"))
+      .filter(col("anrm") > 0)
+    val probes = ranked
+      .filter(probeFilter(col("vid")) && col("__rn") <= nprobe)
+      .crossJoin(broadcast(cb))
+      .withColumn("ptab", flatten(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(col("cb"),
+            c => pqSubDot(col("e"), c.getField("ce"), j, sub)))))
+      .withColumn("pcd", dot(col("e"), col("ce")))
+      .select(col("vid").as("probe_id"), col("cid").as("cell"),
+        col("ptab"), col("pcd"), col("nrm").as("pnrm"))
+    pqScoreTopK(
+      probes.join(cand, Seq("cell"))
+        .filter(col("probe_id") =!= col("cand_id")),
+      m, topK, extraCols = Seq(col("cell")),
+      baseDot = Some(col("pcd")))
   }
 
   /** Deterministic pseudo-random hyperplane component j (LCG over the flat

@@ -1230,6 +1230,217 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
     },
 
+    // ----- RESIDUAL IVF-PQ (the classic Jégou refinement) --------------
+    // PQ codebooks quantize e - cell_centroid (seeds: residuals of
+    // vectors 8..15 vs their home cells — vectors 0..7 ARE the seeded
+    // centroids, residual ~0); candidate norm = |centroid + residual
+    // reconstruction|²; pair score = dot(p, centroid) + residual ADC.
+    QDef.sql(
+      "llm_ann_ivf_pqr",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+         |  FROM embeddings
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cid, e AS ce,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
+         |  FROM v WHERE vec_id < 8 AND nrm > 0
+         |),
+         |assign AS (
+         |  SELECT vec_id, cell
+         |  FROM (
+         |    SELECT v.vec_id, c.cid AS cell,
+         |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+         |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+         |    FROM v, cents c
+         |    WHERE v.nrm > 0
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+         |),
+         |rv AS (
+         |  SELECT a.vec_id, a.cell, v.e, v.nrm, c.ce AS bce
+         |  FROM assign a JOIN v ON v.vec_id = a.vec_id
+         |                JOIN cents c ON c.cid = a.cell
+         |),
+         |rcb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk,
+         |    list_transform(generate_series(1, 64), i -> e[i] - bce[i]) AS ce
+         |  FROM rv WHERE vec_id >= 8 AND vec_id < 16
+         |),
+         |cj AS (
+         |  SELECT rv.vec_id, g.j, c.rnk,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+         |      i -> ((rv.e[g.j * 8 + i] - rv.bce[g.j * 8 + i]) - c.ce[g.j * 8 + i])
+         |         * ((rv.e[g.j * 8 + i] - rv.bce[g.j * 8 + i]) - c.ce[g.j * 8 + i]))),
+         |      (a, b) -> a + b) AS l2
+         |  FROM rv, generate_series(0, 7) g(j), rcb c
+         |),
+         |code AS (
+         |  SELECT vec_id, j, rnk FROM cj
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+         |                             ORDER BY l2, rnk) = 1
+         |),
+         |selfd AS (
+         |  SELECT code.vec_id, code.j,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+         |      i -> (rv.bce[code.j * 8 + i] + c.ce[code.j * 8 + i])
+         |         * (rv.bce[code.j * 8 + i] + c.ce[code.j * 8 + i]))),
+         |      (a, b) -> a + b) AS sd
+         |  FROM code JOIN rcb c ON c.rnk = code.rnk
+         |            JOIN rv ON rv.vec_id = code.vec_id
+         |),
+         |anrm AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+         |                (a, b) -> a + b) AS anrm
+         |  FROM selfd GROUP BY vec_id
+         |),
+         |pb AS (
+         |  SELECT vec_id, cell, e, nrm,
+         |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * bce[i])")} AS pcd
+         |  FROM rv WHERE vec_id < 20
+         |),
+         |pt AS (
+         |  SELECT p.vec_id AS probe_id, ca.vec_id AS cand_id,
+         |         p.cell AS cell, code.j,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+         |      i -> p.e[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+         |      (a, b) -> a + b) AS t
+         |  FROM pb p
+         |  JOIN rv ca ON ca.cell = p.cell AND ca.vec_id != p.vec_id
+         |  JOIN code ON code.vec_id = ca.vec_id
+         |  JOIN rcb c ON c.rnk = code.rnk
+         |),
+         |sc AS (
+         |  SELECT probe_id, cand_id, cell,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY j)),
+         |                (a, b) -> a + b) AS adc
+         |  FROM pt GROUP BY 1, 2, 3
+         |),
+         |scored AS (
+         |  SELECT sc.probe_id, sc.cand_id, sc.cell,
+         |    (p.pcd + sc.adc) / (sqrt(p.nrm) * sqrt(a.anrm)) AS c
+         |  FROM sc JOIN pb p ON p.vec_id = sc.probe_id
+         |          JOIN anrm a ON a.vec_id = sc.cand_id
+         |  WHERE a.anrm > 0
+         |)
+         |SELECT probe_id, cand_id, cell, round(c, 6) AS pqcosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY c DESC, cand_id) <= 3
+         |ORDER BY probe_id, pqcosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.annTopKIvfPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, topK = 3, kCells = 8, iters = 0, nprobe = 1,
+        residual = true)
+        .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
+    },
+
+    // ----- PQ recall calibration (est-vs-exact, the llm_minhash_est ----
+    // pattern for ANN): per probe, overlap of the PQ ADC top-5 with the
+    // exact cosine top-5 — THE number that tunes m/ksub before trusting
+    // the compressed index at scale.
+    QDef.sql(
+      "llm_ann_pq_recall",
+      """WITH m0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |),
+        |v AS (
+        |  SELECT vec_id, e,
+        |    list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |                (a, b) -> a + b) AS nrm
+        |  FROM m0 WHERE nrm > 0
+        |),
+        |cbr AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk, e AS ce
+        |  FROM v WHERE vec_id < 8
+        |),
+        |cj AS (
+        |  SELECT v.vec_id, g.j, c.rnk,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i])
+        |         * (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+        |      (a, b) -> a + b) AS l2
+        |  FROM v, generate_series(0, 7) g(j), cbr c
+        |),
+        |code AS (
+        |  SELECT vec_id, j, rnk FROM cj
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY l2, rnk) = 1
+        |),
+        |selfd AS (
+        |  SELECT code.vec_id, code.j,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> c.ce[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+        |      (a, b) -> a + b) AS sd
+        |  FROM code JOIN cbr c ON c.rnk = code.rnk
+        |),
+        |anrm AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+        |                (a, b) -> a + b) AS anrm
+        |  FROM selfd GROUP BY vec_id
+        |),
+        |pt AS (
+        |  SELECT p.vec_id AS probe_id, code.vec_id AS cand_id, code.j,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> p.e[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+        |      (a, b) -> a + b) AS t
+        |  FROM v p, code JOIN cbr c ON c.rnk = code.rnk
+        |  WHERE p.vec_id < 5 AND code.vec_id != p.vec_id
+        |),
+        |sc AS (
+        |  SELECT probe_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(t ORDER BY j)),
+        |                (a, b) -> a + b) AS adot
+        |  FROM pt GROUP BY 1, 2
+        |),
+        |pqtop AS (
+        |  SELECT probe_id, cand_id
+        |  FROM (
+        |    SELECT sc.probe_id, sc.cand_id,
+        |      adot / (sqrt(p.nrm) * sqrt(a.anrm)) AS c
+        |    FROM sc JOIN v p ON p.vec_id = sc.probe_id
+        |            JOIN anrm a ON a.vec_id = sc.cand_id
+        |    WHERE a.anrm > 0
+        |  )
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |                             ORDER BY c DESC, cand_id) <= 5
+        |),
+        |extop AS (
+        |  SELECT probe_id, cand_id
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |      list_reduce(list_prepend(0.0, list_transform(
+        |        generate_series(1, 64), i -> p.e[i] * c.e[i])),
+        |        (a, b) -> a + b) / (sqrt(p.nrm) * sqrt(c.nrm)) AS cos
+        |    FROM v p, v c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id
+        |  )
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |                             ORDER BY cos DESC, cand_id) <= 5
+        |)
+        |SELECT e.probe_id,
+        |  CAST(count(q.cand_id) AS BIGINT) AS n_hit,
+        |  round(count(q.cand_id) / 5.0, 6) AS recall
+        |FROM extop e LEFT JOIN pqtop q
+        |  ON q.probe_id = e.probe_id AND q.cand_id = e.cand_id
+        |GROUP BY e.probe_id
+        |ORDER BY e.probe_id""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pq = LlmOps.annTopKPq(emb, "vec_id", "embedding",
+        probeFilter = _ < 5, k = 5)
+        .select(col("probe_id"), col("cand_id"), lit(1).as("__hit"))
+      val exact = LlmOps.cosineTopK(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5)
+        .select(col("probe_id"), col("cand_id"))
+      exact.join(pq, Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / 5.0, 6))
+        .orderBy("probe_id")
+    },
+
     // ----- Quantized-coarse + exact-rerank retrieval ---------------------
     // The production two-stage pattern: int8 scan keeps top-20 per
     // probe, full-precision cosine reranks ONLY those to the final

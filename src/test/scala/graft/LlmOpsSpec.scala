@@ -204,6 +204,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 === 1.0))
   }
 
+  test("residual ivf x pq: a vector that IS centroid + codebook " +
+    "residual reconstructs exactly and scores the exact cosine where " +
+    "plain PQ saturates to its centroid") {
+    // power-of-two fractions: every residual arithmetic step is exact,
+    // so recon(v4) == v4 bitwise and the ADC cosine equals the true one
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),       // cell-0 centroid
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),       // cell-1 centroid
+      (2L, Array(1.25f, 0.125f, 0.125f, 1.25f)), // residual seed (cell 0)
+      (3L, Array(0.125f, 1.25f, 1.25f, 0.125f)), // residual seed (cell 1)
+      (4L, Array(1.125f, 0.25f, 0.25f, 1.125f))  // = v0 + residual(v3)
+    ).toDF("vec_id", "embedding")
+    def run(res: Boolean) = LlmOps.annTopKIvfPq(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, topK = 3, kCells = 2, iters = 0, nprobe = 1,
+      m = 2, ksub = 2, dims = 4, residual = res)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val exact = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") === 0, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val resOut = run(res = true)
+    val plainOut = run(res = false)
+    assert(resOut(4L) === exact(4L),
+      s"exact-reconstruction candidate must score the true cosine: " +
+        s"res=$resOut exact=$exact")
+    assert(plainOut(4L) === 1.0,
+      s"plain PQ snaps v4 to the centroid and over-scores: $plainOut")
+    assert(resOut(4L) < 1.0)
+  }
+
   test("semantic dedup: in-cell near-dups drop deterministically; " +
     "cluster minima, distinct neighbors, and only nonzero vectors survive") {
     val vecs = Seq(
