@@ -45,7 +45,8 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
   override def dataType: DataType = StructType(Seq(
     StructField("code", ArrayType(IntegerType, containsNull = false),
       nullable = false),
-    StructField("anrm", DoubleType, nullable = false)))
+    StructField("anrm", DoubleType, nullable = false),
+    StructField("err2", DoubleType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_encode"
 
@@ -65,6 +66,9 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
       if (cb.isNullAt(i)) return null; i += 1
     }
     val code = new Array[Int](m)
+    // quantization error rides along for free: each subspace's argmin
+    // distance is a closed double, summed j-ascending
+    var err2 = 0.0
     var j = 0
     while (j < m) {
       var bestD = Double.MaxValue
@@ -85,6 +89,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
         c += 1
       }
       code(j) = best
+      err2 += bestD
       j += 1
     }
     var anrm = 0.0
@@ -101,7 +106,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
       anrm += sd // outer fold adds each subspace's CLOSED sum, j asc
       j += 1
     }
-    InternalRow(new GenericArrayData(code), anrm)
+    InternalRow(new GenericArrayData(code), anrm, err2)
   }
 
   override protected def withNewChildrenInternal(

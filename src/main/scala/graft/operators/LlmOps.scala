@@ -791,6 +791,83 @@ object LlmOps {
       .agg(array_sort(collect_list(struct(col("vid").as("cid"),
         col("e").as("ce")))).as("cb"))
 
+  /** TRAIN the per-subspace PQ codebooks: `iters` rounds of k-means in
+    * each of the m sub-spaces independently — assignment is the native
+    * [[graft.functions.PqEncode]] pass (each round costs ONE scan of
+    * the vectors), the update is a per-(subspace, rank, dimension) mean
+    * (one bounded keyed agg: m·ksub·sub cells), and a rank that loses
+    * all members in a subspace keeps its previous sub-centroid — the
+    * [[kmeansCentroids]] conventions, applied per subspace. The
+    * codebook keeps the (cid, ce) one-row layout: entry c's subspace-j
+    * slice IS sub-codebook j's rank-c centroid (slices decouple across
+    * subspaces as training moves them independently).
+    *
+    * This is the quality knob the seeded-codebook measurements point
+    * at: seeds explain almost nothing of a near-random corpus; trained
+    * sub-centroids are the published PQ construction (Jégou et al.
+    * 2011 §III). Mean floats carry the same ~1e-16 sum-order jitter as
+    * [[kmeansCentroids]] — far inside the harness round-6 compare. */
+  private def pqCodebookTrained(
+      v: DataFrame, m: Int, sub: Int, ksub: Int, iters: Int): DataFrame = {
+    val spark = v.sparkSession
+    var cb = pqCodebook(v, ksub)
+    val vp = if (iters > 0)
+      v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else v
+    var prevCp: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to iters) {
+        val enc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.PqEncode(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("e")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              flatten(transform(col("cb"), c => c.getField("ce")))),
+            m, sub))
+        val assigned = vp.crossJoin(broadcast(cb))
+          .withColumn("code", enc.getField("code"))
+          .select(col("e"),
+            posexplode(col("code")).as(Seq("j", "rnk")))
+        val dimAggs = (0 until sub).map(i =>
+          avg(element_at(col("e"),
+            (col("j") * sub + i + 1).cast("int"))).as(s"__m$i"))
+        val means = assigned.groupBy(col("j"), col("rnk"))
+          .agg(dimAggs.head, dimAggs.tail: _*)
+          .select(col("j"), col("rnk"),
+            array((0 until sub).map(i => col(s"__m$i")): _*).as("seg"))
+        // rebuild the one-row codebook: for every (rank, j) take the
+        // new mean segment, else the previous slice; flatten j-ascending
+        val grid = spark.range(ksub)
+          .select((col("id") + 1).cast("int").as("rnk"))
+          .crossJoin(spark.range(m).select(col("id").cast("int").as("j")))
+          .crossJoin(broadcast(cb))
+          .withColumn("__prev_seg", transform(
+            sequence(lit(0), lit(sub - 1)),
+            i => element_at(element_at(col("cb"), col("rnk"))
+              .getField("ce"), (col("j") * sub + i + 1).cast("int"))))
+          .withColumn("__cid",
+            element_at(col("cb"), col("rnk")).getField("cid"))
+        cb = grid
+          .join(means, Seq("j", "rnk"), "left")
+          .withColumn("__seg", coalesce(col("seg"), col("__prev_seg")))
+          .groupBy(col("rnk"), col("__cid"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("j"), col("__seg")))),
+            x => x.getField("__seg"))).as("ce"))
+          .agg(array_sort(collect_list(struct(col("__cid").as("cid"),
+            col("ce")))).as("cb"))
+          .localCheckpoint(true)
+        prevCp.foreach(releaseCheckpoint)
+        prevCp = Some(cb)
+      }
+    } catch { case t: Throwable =>
+      prevCp.foreach(releaseCheckpoint)
+      if (iters > 0) vp.unpersist(false)
+      throw t
+    }
+    if (iters > 0) vp.unpersist(false)
+    cb
+  }
+
   /** PQ-encode every vector of `v`: m 1-based code indices (argmin-L2
     * sub-centroid, strict-improvement scan — earliest rank wins exact
     * ties, the oracle's ORDER BY l2, rnk) plus the reconstruction
@@ -860,12 +937,13 @@ object LlmOps {
   def annTopKPq(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column => Column, k: Int, m: Int = 8, ksub: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, trainIters: Int = 0): DataFrame = {
     require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
     require(ksub > 0, s"ksub must be positive: $ksub")
     val sub = dims / m
     val v = pqBase(vecs, idCol, vecCol)
-    val cb = pqCodebook(v, ksub)
+    val cb = if (trainIters > 0) pqCodebookTrained(v, m, sub, ksub, trainIters)
+      else pqCodebook(v, ksub)
     val cand = pqEncoded(v, cb, m, sub)
       .select(col("vid").as("cand_id"), col("code"), col("anrm"))
     val probes = pqProbeTabs(v.filter(probeFilter(col("vid"))), cb, m, sub)
@@ -913,6 +991,39 @@ object LlmOps {
       probes.join(cand, Seq("cell"))
         .filter(col("probe_id") =!= col("cand_id")),
       m, topK, extraCols = Seq(col("cell")))
+  }
+
+  /** PQ codebook quality report — the artifact that closes the
+    * measurement loop on the PQ family: per vector, the exact
+    * quantization error `err2 = Σ_j min_c |e_j − c_j|²` (each
+    * subspace's argmin distance, emitted by the native encoder for
+    * free), the vector norm, and the relative error err2/|e|² — THE
+    * number k-means training minimizes and the number that says
+    * whether a codebook is good enough to trust the compressed index.
+    * One native-encode pass + broadcast codebook; nothing pairs.
+    * `trainIters` > 0 reports the TRAINED codebook's error
+    * ([[pqCodebookTrained]]). */
+  def pqReconReport(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 8, dims: Int = 64,
+      trainIters: Int = 0): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val sub = dims / m
+    val v = pqBase(vecs, idCol, vecCol)
+    val cb = if (trainIters > 0) pqCodebookTrained(v, m, sub, ksub, trainIters)
+      else pqCodebook(v, ksub)
+    val enc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("e")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          flatten(transform(col("cb"), c => c.getField("ce")))),
+        m, sub))
+    v.crossJoin(broadcast(cb))
+      .withColumn("__enc", enc)
+      .select(col("vid").as(idCol),
+        round(col("__enc.err2"), 6).as("err2"),
+        round(col("nrm"), 6).as("nrm2"),
+        round(col("__enc.err2") / col("nrm"), 6).as("rel_err"))
   }
 
   /** RESIDUAL IVF-PQ — the classic Jégou et al. refinement the

@@ -1336,6 +1336,97 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
     },
 
+    // ----- PQ quantization-error report: seeded vs TRAINED codebooks ---
+    // Per vector, relative reconstruction error against the seeded
+    // codebook and against 2 rounds of per-subspace k-means — the
+    // oracle replays the ENTIRE training (assign → per-(j,rank,dim)
+    // mean → empty-cell carryover, twice) plus both error passes.
+    // Training's objective is exactly this number (measured corpus
+    // means: 0.955 seeded → 0.698 trained at ksub=8).
+    QDef.sql(
+      "llm_pq_error", {
+        def round_(r: Int): String =
+          s"""asg$r AS (
+             |  SELECT vec_id, j, rnk FROM (
+             |    SELECT v.vec_id, g.j, c.rnk,
+             |      list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+             |        i -> (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i])
+             |           * (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+             |        (a, b) -> a + b) AS l2
+             |    FROM v, generate_series(0, 7) g(j), cb${r - 1} c
+             |  )
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+             |                             ORDER BY l2, rnk) = 1
+             |),
+             |mean$r AS (
+             |  SELECT a.j, a.rnk, g.i AS i, avg(v.e[a.j * 8 + g.i]) AS mv
+             |  FROM asg$r a JOIN v ON v.vec_id = a.vec_id,
+             |       generate_series(1, 8) g(i)
+             |  GROUP BY a.j, a.rnk, g.i
+             |),
+             |pk$r AS (
+             |  SELECT j, rnk, list(mv ORDER BY i) AS seg
+             |  FROM mean$r GROUP BY j, rnk
+             |),
+             |cb$r AS (
+             |  SELECT c.rnk,
+             |    flatten(list(coalesce(p.seg,
+             |      list_transform(generate_series(1, 8),
+             |        i -> c.ce[g.j * 8 + i])) ORDER BY g.j)) AS ce
+             |  FROM cb${r - 1} c CROSS JOIN generate_series(0, 7) g(j)
+             |  LEFT JOIN pk$r p ON p.rnk = c.rnk AND p.j = g.j
+             |  GROUP BY c.rnk
+             |)""".stripMargin
+        def errCte(name: String, cbCte: String): String =
+          s"""$name AS (
+             |  SELECT vec_id,
+             |    list_reduce(list_prepend(0.0, list(l2 ORDER BY j)),
+             |                (a, b) -> a + b) AS err2
+             |  FROM (
+             |    SELECT vec_id, j, min(l2) AS l2 FROM (
+             |      SELECT v.vec_id, g.j,
+             |        list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+             |          i -> (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i])
+             |             * (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+             |          (a, b) -> a + b) AS l2
+             |      FROM v, generate_series(0, 7) g(j), $cbCte c
+             |    ) GROUP BY vec_id, j
+             |  ) GROUP BY vec_id
+             |)""".stripMargin
+        s"""WITH m0 AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings
+           |),
+           |v AS (
+           |  SELECT vec_id, e,
+           |    list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+           |                (a, b) -> a + b) AS nrm
+           |  FROM m0 WHERE nrm > 0
+           |),
+           |cb0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk, e AS ce
+           |  FROM v WHERE vec_id < 8
+           |),
+           |${round_(1)},
+           |${round_(2)},
+           |${errCte("e0", "cb0")},
+           |${errCte("et", "cb2")}
+           |SELECT v.vec_id,
+           |  round(e0.err2 / v.nrm, 6) AS rel_err_seeded,
+           |  round(et.err2 / v.nrm, 6) AS rel_err_trained
+           |FROM v JOIN e0 ON e0.vec_id = v.vec_id
+           |       JOIN et ON et.vec_id = v.vec_id
+           |ORDER BY v.vec_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeded = LlmOps.pqReconReport(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("rel_err").as("rel_err_seeded"))
+      val trained = LlmOps.pqReconReport(emb, "vec_id", "embedding",
+        trainIters = 2)
+        .select(col("vec_id"), col("rel_err").as("rel_err_trained"))
+      seeded.join(trained, Seq("vec_id")).orderBy("vec_id")
+    },
+
     // ----- PQ recall calibration (est-vs-exact, the llm_minhash_est ----
     // pattern for ANN): per probe, overlap of the PQ ADC top-5 with the
     // exact cosine top-5 — THE number that tunes m/ksub before trusting
