@@ -968,7 +968,8 @@ object LlmOps {
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column => Column, topK: Int, kCells: Int = 8,
       iters: Int = 0, nprobe: Int = 1, m: Int = 8, ksub: Int = 8,
-      dims: Int = 64, residual: Boolean = false): DataFrame = {
+      dims: Int = 64, residual: Boolean = false,
+      trainIters: Int = 0): DataFrame = {
     require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
     val sub = dims / m
     if (residual) return annTopKIvfPqResidual(vecs, idCol, vecCol,
@@ -976,7 +977,8 @@ object LlmOps {
     val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
       .select(col("vid"), col("cid"), col("__rn"))
     val v = pqBase(vecs, idCol, vecCol)
-    val cb = pqCodebook(v, ksub)
+    val cb = if (trainIters > 0) pqCodebookTrained(v, m, sub, ksub, trainIters)
+      else pqCodebook(v, ksub)
     val cand = ranked.filter(col("__rn") === 1)
       .join(pqEncoded(v, cb, m, sub), Seq("vid"))
       .select(col("vid").as("cand_id"), col("cid").as("cell"),
