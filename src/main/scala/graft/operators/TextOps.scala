@@ -1287,6 +1287,39 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("w_sum"), col("score"))
   }
 
+  /** Per-ROW classifier scoring — the shuffle-free twin of
+    * [[classifierScore]] for streaming ingest and map-only batch
+    * gates: the weight table rides as a LITERAL map in the plan
+    * (bounded — nBuckets entries), each row folds its own tokens into
+    * the integer w_sum, and no aggregation touches the stream — so
+    * the gate composes with `readStream` exactly like the per-row
+    * Gopher/C4 gates (no watermark, no state). Integer accumulation in
+    * token order gives the IDENTICAL w_sum as the explode+agg form
+    * (integer sums are order-free), so batch and streaming scores
+    * agree bit-for-bit — pinned by the spec.
+    *
+    * Output: struct(n_tokens, w_sum, score). The per-row HOF fold is
+    * ~tokens·k interpreted node evals (the quantize-class envelope,
+    * fine off the pair-hot path); a native expression is the upgrade
+    * slot if ingest CPU ever binds. */
+  def classifierScoreRow(textCol: Column, weights: Map[Long, Long],
+      nBuckets: Int, scale: Double = 1000.0, bias: Double = 0.0): Column = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(scale > 0, s"scale must be positive: $scale")
+    val wmap = typedLit(weights)
+    val ws = LlmOps.words(textCol)
+    val wSum = aggregate(ws, lit(0L), (acc, w) => acc +
+      coalesce(element_at(wmap,
+        pmod(LlmOps.strHash(w), lit(nBuckets.toLong))), lit(0L)))
+    val n = size(ws).cast("long")
+    struct(
+      n.as("n_tokens"),
+      wSum.as("w_sum"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(bias) + wSum.cast("double") / lit(scale) / n))), 6)
+        .as("score"))
+  }
+
   /** TRAIN the hashed-linear quality classifier in-engine — the
     * missing half of [[classifierScore]]'s inference slot: given
     * labeled seed sets (the GPT-3/LLaMA recipe: positives = a curated

@@ -1514,6 +1514,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Per-row classifier scoring (shuffle-free / streaming form) --
+    // Same model and weights as llm_classifier, but the weight table
+    // rides as a literal map and each row folds its own tokens — NO
+    // explode, NO aggregation, no shuffle (PlanSpec-asserted): the form
+    // a streaming ingest gate runs. Integer w_sum is order-free, so
+    // the oracle is the same math as llm_classifier's.
+    QDef.sql(
+      "llm_classifier_row",
+      s"""WITH wt AS (
+         |  SELECT CAST(i AS BIGINT) AS bucket,
+         |         CAST((i * 1103515245 + 12345) % 2001 - 1000 AS BIGINT) AS w
+         |  FROM generate_series(0, 1023) t(i)
+         |),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents
+         |),
+         |hb AS (
+         |  SELECT doc_id, ${duckHash("tok")} % 1024 AS bucket FROM toks
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS w_sum
+         |  FROM hb LEFT JOIN wt USING (bucket) GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, w_sum,
+         |  round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / 1000.0
+         |                           / n_tokens))), 6) AS score
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val weights = (0 until 1024).map(i =>
+        i.toLong -> ((i.toLong * 1103515245L + 12345L) % 2001L - 1000L))
+        .toMap
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.classifierScoreRow(col("text"), weights,
+            nBuckets = 1024, scale = 1000.0).as("c"))
+        .select(col("doc_id"), col("c.n_tokens").as("n_tokens"),
+          col("c.w_sum").as("w_sum"), col("c.score").as("score"))
+        .orderBy("doc_id")
+    },
+
     // ----- TRAINED classifier: in-engine GD + inference (closed loop) --
     // Train the hashed-presence logistic model on seed sets (pos =
     // src0, neg = src1) with 3 rounds of full-batch hard-sigmoid

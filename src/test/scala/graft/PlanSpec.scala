@@ -222,6 +222,18 @@ class PlanSpec extends AnyFunSuite {
       s"nested loop in pairing plan:\n$estPlan")
   }
 
+  test("classifierScoreRow is shuffle-free: the literal weight map and " +
+    "per-row fold leave no Exchange (the streaming-gate contract)") {
+    val weights = (0 until 64).map(i => i.toLong -> i.toLong).toMap
+    val q = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        graft.operators.TextOps.classifierScoreRow(col("text"), weights,
+          nBuckets = 64).as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-row scoring must not shuffle:\n$plan")
+  }
+
   test("chunkDocs is shuffle-free: generators and array ops fused with the scan") {
     val q = graft.operators.TextOps.chunkDocs(
       spark.read.parquet(docs), "doc_id", "text", window = 32, stride = 24)

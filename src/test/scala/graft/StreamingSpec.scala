@@ -604,4 +604,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(kept.toSeq === Seq(1L, 3L))
     } finally q.stop()
   }
+
+  test("classifierScoreRow gates an unbounded stream statelessly and " +
+    "agrees bit-for-bit with the batch explode+agg scorer") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextOps
+    val weights = (0 until 64).map(i =>
+      i.toLong -> ((i.toLong * 1103515245L + 12345L) % 2001L - 1000L)).toMap
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta iota kappa lambda"))
+    // batch reference: the explode + keyed-agg form
+    val wdf = weights.toSeq.toDF("bucket", "w")
+    val batch = TextOps.classifierScore(docs.toDF("doc_id", "text"),
+      "doc_id", "text", wdf, nBuckets = 64, scale = 1000.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.classifierScoreRow(col("text"), weights,
+          nBuckets = 64, scale = 1000.0).as("c"))
+      .select(col("doc_id"), col("c.n_tokens"), col("c.w_sum"),
+        col("c.score"))
+    val q = scored.writeStream.format("memory")
+      .queryName("clf_gate").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val out = spark.table("clf_gate").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      assert(out === batch,
+        s"streaming per-row scores must equal the batch agg: $out vs $batch")
+    } finally q.stop()
+  }
 }
