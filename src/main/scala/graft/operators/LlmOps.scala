@@ -465,7 +465,7 @@ object LlmOps {
     val bfBytes = histFp.select(ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col(fpCol)),
         Literal(expected), Literal(numBits)).toAggregateExpression()))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       Literal(bfBytes, BinaryType), ColumnBridge.expression(col(fpCol))))
     val fresh = newDf.filter(!mightContain)

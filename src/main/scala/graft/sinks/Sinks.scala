@@ -271,7 +271,7 @@ object Sinks {
     val scoped = partitionValues
       .map(vs => all.filter(col(partitionCol).isin(vs: _*)))
       .getOrElse(all)
-    val salt = pmod(xxhash64(struct(scoped.columns.map(col): _*)),
+    val salt = pmod(xxhash64(struct(scoped.columns.toIndexedSeq.map(col): _*)),
       lit(parallelism.toLong))
     scoped
       .repartition(col(partitionCol), salt)

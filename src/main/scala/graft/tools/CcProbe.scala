@@ -76,7 +76,7 @@ object CcProbe {
       // mod-reduced terms keep the order-independent sum inside long
       // range under ANSI arithmetic
       val r = e.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var sig = (-1L, 0L)

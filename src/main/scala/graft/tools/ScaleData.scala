@@ -104,7 +104,7 @@ object ScaleData {
     // strides: one tiny agg per key domain
     val stride: Map[String, Long] = DomainOf.collect {
       case (dom, (tbl, c)) if wanted(tbl) =>
-        dom -> (src(tbl).agg(max(col(c))).head.getLong(0) + 1L)
+        dom -> (src(tbl).agg(max(col(c))).head().getLong(0) + 1L)
     }
 
     val replicas = broadcast(
