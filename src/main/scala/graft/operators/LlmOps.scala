@@ -995,6 +995,45 @@ object LlmOps {
       m, topK, extraCols = Seq(col("cell")))
   }
 
+  /** PQ coarse + exact rerank — the production recall-repair pattern
+    * ([[quantizedRerankTopK]]'s shape) applied to the ADC stage: the
+    * m-byte-code scan keeps the top `coarseK` per probe, and ONLY
+    * those pairs are re-scored at full float precision for the final
+    * `k` — the measured answer to the PQ recall ceiling (the
+    * `llm_ann_pq_recall` calibration): true neighbors the quantized
+    * ranking placed just outside k are recovered as long as they land
+    * inside coarseK, at exact-math cost coarseK·probes instead of
+    * N·probes. Stage 1 streams the candidate codes (broadcast probe
+    * tables, no corpus shuffle); stage 2 joins the bounded
+    * (probes·coarseK) pair frame back to the raw vectors — at scale
+    * that frame broadcasts. Ranking is by exact cosine, candidate-id
+    * tiebreak. */
+  def pqRerankTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      probeFilter: Column => Column, k: Int, coarseK: Int,
+      m: Int = 8, ksub: Int = 8, dims: Int = 64,
+      trainIters: Int = 0): DataFrame = {
+    require(coarseK >= k, s"coarse pool $coarseK must be >= final k $k")
+    val coarse = annTopKPq(vecs, idCol, vecCol, probeFilter, coarseK,
+      m, ksub, dims, trainIters)
+      .select(col("probe_id"), col("cand_id"))
+    val v = vecs.select(col(idCol).as("cand_id"), toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("nrm", dot(col("e"), col("e")))
+      .filter(col("nrm") > 0)
+    val probes = vecs.filter(probeFilter(col(idCol)))
+      .select(col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("pe"))
+      .withColumn("pnrm", dot(col("pe"), col("pe")))
+      .filter(col("pnrm") > 0)
+    val cosine = dot(col("pe"), col("e")) / (sqrt(col("pnrm")) * sqrt(col("nrm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("cand_id"))
+    coarse
+      .join(v, Seq("cand_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"), cosine.as("c"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("c"), 6).as("cosine"))
+  }
+
   /** PQ codebook quality report — the artifact that closes the
     * measurement loop on the PQ family: per vector, the exact
     * quantization error `err2 = Σ_j min_c |e_j − c_j|²` (each

@@ -1427,6 +1427,96 @@ object LlmQueries {
       seeded.join(trained, Seq("vec_id")).orderBy("vec_id")
     },
 
+    // ----- PQ coarse + exact rerank (the recall repair) ----------------
+    // ADC keeps top-20 per probe on m-byte codes, full-precision
+    // cosine reranks ONLY those to the final top-5 — the measured
+    // answer to the PQ recall ceiling (cf. llm_ann_pq_recall).
+    QDef.sql(
+      "llm_ann_pq_rerank",
+      """WITH m0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |),
+        |v AS (
+        |  SELECT vec_id, e,
+        |    list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |                (a, b) -> a + b) AS nrm
+        |  FROM m0 WHERE nrm > 0
+        |),
+        |cbr AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk, e AS ce
+        |  FROM v WHERE vec_id < 8
+        |),
+        |cj AS (
+        |  SELECT v.vec_id, g.j, c.rnk,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i])
+        |         * (v.e[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+        |      (a, b) -> a + b) AS l2
+        |  FROM v, generate_series(0, 7) g(j), cbr c
+        |),
+        |code AS (
+        |  SELECT vec_id, j, rnk FROM cj
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY l2, rnk) = 1
+        |),
+        |selfd AS (
+        |  SELECT code.vec_id, code.j,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> c.ce[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+        |      (a, b) -> a + b) AS sd
+        |  FROM code JOIN cbr c ON c.rnk = code.rnk
+        |),
+        |anrm AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+        |                (a, b) -> a + b) AS anrm
+        |  FROM selfd GROUP BY vec_id
+        |),
+        |pt AS (
+        |  SELECT p.vec_id AS probe_id, code.vec_id AS cand_id, code.j,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+        |      i -> p.e[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+        |      (a, b) -> a + b) AS t
+        |  FROM v p, code JOIN cbr c ON c.rnk = code.rnk
+        |  WHERE p.vec_id < 5 AND code.vec_id != p.vec_id
+        |),
+        |sc AS (
+        |  SELECT probe_id, cand_id,
+        |    list_reduce(list_prepend(0.0, list(t ORDER BY j)),
+        |                (a, b) -> a + b) AS adot
+        |  FROM pt GROUP BY 1, 2
+        |),
+        |coarse AS (
+        |  SELECT probe_id, cand_id
+        |  FROM (
+        |    SELECT sc.probe_id, sc.cand_id,
+        |      adot / (sqrt(p.nrm) * sqrt(a.anrm)) AS c
+        |    FROM sc JOIN v p ON p.vec_id = sc.probe_id
+        |            JOIN anrm a ON a.vec_id = sc.cand_id
+        |    WHERE a.anrm > 0
+        |  )
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |                             ORDER BY c DESC, cand_id) <= 20
+        |),
+        |rr AS (
+        |  SELECT co.probe_id, co.cand_id,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      generate_series(1, 64), i -> p.e[i] * cv.e[i])),
+        |      (a, b) -> a + b) / (sqrt(p.nrm) * sqrt(cv.nrm)) AS cos
+        |  FROM coarse co JOIN v p ON p.vec_id = co.probe_id
+        |                 JOIN v cv ON cv.vec_id = co.cand_id
+        |)
+        |SELECT probe_id, cand_id, round(cos, 6) AS cosine
+        |FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY cos DESC, cand_id) <= 5
+        |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin) { (s, dir) =>
+      LlmOps.pqRerankTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 5, k = 5, coarseK = 20)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    },
+
     // ----- PQ recall calibration (est-vs-exact, the llm_minhash_est ----
     // pattern for ANN): per probe, overlap of the PQ ADC top-5 with the
     // exact cosine top-5 — THE number that tunes m/ksub before trusting

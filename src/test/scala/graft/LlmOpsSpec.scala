@@ -204,6 +204,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 === 1.0))
   }
 
+  test("pq rerank: a coarse pool covering the corpus restores the EXACT " +
+    "cosine ranking that raw ADC collapses into ties") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)),  // identical to probe
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f)),  // near: ADC ties it with 2
+      (4L, Array(0.1f, 0.9f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val exact = LlmOps.cosineTopK(vecs, "vec_id", "embedding",
+      probeFilter = col("vec_id") === 0, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val rr = LlmOps.pqRerankTopK(vecs, "vec_id", "embedding",
+      probeFilter = _ === 0, k = 4, coarseK = 4, m = 2, ksub = 2, dims = 4)
+      .orderBy(col("cosine").desc, col("cand_id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(rr === exact.sortBy(p => (-p._2, p._1)),
+      s"full-coverage rerank must equal exact: $rr vs $exact")
+    // raw ADC scored 2 and 3 both 1.0 (same codes); the rerank
+    // separates them at true precision
+    assert(rr.find(_._1 == 2L).get._2 === 1.0)
+    assert(rr.find(_._1 == 3L).get._2 < 1.0)
+  }
+
   test("trained pq codebooks: per-subspace k-means converges to cluster " +
     "means, cutting reconstruction error to ~0 on clustered data") {
     // subvectors cluster tightly around two directions per subspace;
