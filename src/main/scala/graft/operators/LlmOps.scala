@@ -160,31 +160,42 @@ object LlmOps {
     * successive CommonCrawl snapshots overlap heavily, and a source
     * that is mostly a re-crawl of another should be down-weighted or
     * dropped, not sampled independently). One row per unordered source
-    * pair: the count of [[minHashCandidatePairs]] LSH candidate pairs
-    * crossing the two sources (or within one), each side's doc count,
-    * and the pair rate normalized by the number of possible cross (or
-    * within) pairs.
+    * pair: the [[minHashCandidatePairs]] LSH candidate count AND the
+    * exact-Jaccard-VERIFIED near-dup count at `minJaccard` (candidate
+    * counts are band-config noise — hash-collision-only candidates
+    * verify at 0; the dup count is the number a mix decision reads),
+    * each side's doc count, and both rates normalized by the possible
+    * cross (or within) pairs.
     *
-    * Scale shape: the candidate pairs come from the banded LSH pass
-    * (one shuffle on (band, bh), never n²); attaching labels is two
-    * keyed joins of the pair frame against the narrow (id, source)
+    * Scale shape: candidates + verification come from
+    * [[minHashEstimatePairs]] (banded LSH pass, exact side restricted
+    * to candidate docs — never n²); attaching labels is two keyed
+    * joins of the pair frame against the narrow (id, source)
     * projection — linear shuffles; the matrix itself is
     * sources²-bounded (tiny) and the per-source counts broadcast back
     * onto it. */
   def sourceOverlap(
       df: DataFrame, idCol: String, textCol: String, srcCol: String,
-      n: Int = 2): DataFrame = {
+      n: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val lab = df.select(col(idCol), col(srcCol))
     val cnt = lab.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
-    val matrix = minHashCandidatePairs(df, idCol, textCol, n)
+    // candidate pairs WITH their exact Jaccard (the minhash-est
+    // calibration frame): the matrix reports both the raw LSH
+    // candidate count (band-config-dependent) and the VERIFIED
+    // near-dup count at `minJaccard` — the number a mix decision
+    // should actually read (collision-only candidates verify at 0)
+    val matrix = minHashEstimatePairs(df, idCol, textCol, n)
       .join(lab.select(col(idCol).as("doc_a"), col(srcCol).as("__sa")),
         Seq("doc_a"))
       .join(lab.select(col(idCol).as("doc_b"), col(srcCol).as("__sb")),
         Seq("doc_b"))
       .select(least(col("__sa"), col("__sb")).as("source_a"),
-        greatest(col("__sa"), col("__sb")).as("source_b"))
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("jaccard"))
       .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= minJaccard, 1L).otherwise(0L))
+          .as("n_dups"))
     val possible = when(col("source_a") === col("source_b"),
       col("n_docs_a").cast("double") * (col("n_docs_a") - 1L) / 2.0)
       .otherwise(col("n_docs_a").cast("double") * col("n_docs_b"))
@@ -194,8 +205,9 @@ object LlmOps {
       .join(broadcast(cnt.select(col(srcCol).as("source_b"),
         col("__n").as("n_docs_b"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_pairs"),
-        col("n_docs_a"), col("n_docs_b"),
-        round(col("n_pairs") / possible, 6).as("pair_rate"))
+        col("n_dups"), col("n_docs_a"), col("n_docs_b"),
+        round(col("n_pairs") / possible, 6).as("pair_rate"),
+        round(col("n_dups") / possible, 6).as("dup_rate"))
   }
 
   /** (id, token-hash) — one row per token occurrence (frequency

@@ -175,23 +175,45 @@ object LlmQueries {
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
          |                           AND a.doc_id < b.doc_id
          |),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM hashed GROUP BY doc_id),
+         |inter AS (
+         |  SELECT cand.doc_a, cand.doc_b, count(*) AS i
+         |  FROM cand JOIN hashed a ON a.doc_id = cand.doc_a
+         |            JOIN hashed b ON b.doc_id = cand.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2
+         |),
+         |jac AS (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |    coalesce(round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6),
+         |             0.0) AS j
+         |  FROM cand JOIN sizes sa ON sa.doc_id = cand.doc_a
+         |            JOIN sizes sb ON sb.doc_id = cand.doc_b
+         |            LEFT JOIN inter ON inter.doc_a = cand.doc_a
+         |                           AND inter.doc_b = cand.doc_b
+         |),
          |lab AS (
          |  SELECT least(da.source, db.source) AS source_a,
-         |         greatest(da.source, db.source) AS source_b
-         |  FROM cand JOIN documents da ON da.doc_id = cand.doc_a
-         |            JOIN documents db ON db.doc_id = cand.doc_b
+         |         greatest(da.source, db.source) AS source_b,
+         |         jac.j
+         |  FROM jac JOIN documents da ON da.doc_id = jac.doc_a
+         |           JOIN documents db ON db.doc_id = jac.doc_b
          |),
          |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
          |        FROM documents GROUP BY source),
          |m AS (
-         |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dups
          |  FROM lab GROUP BY 1, 2
          |)
-         |SELECT source_a, source_b, n_pairs,
+         |SELECT source_a, source_b, n_pairs, n_dups,
          |  ca.n AS n_docs_a, cb.n AS n_docs_b,
          |  round(n_pairs / (CASE WHEN source_a = source_b
          |    THEN CAST(ca.n AS DOUBLE) * (ca.n - 1) / 2.0
-         |    ELSE CAST(ca.n AS DOUBLE) * cb.n END), 6) AS pair_rate
+         |    ELSE CAST(ca.n AS DOUBLE) * cb.n END), 6) AS pair_rate,
+         |  round(n_dups / (CASE WHEN source_a = source_b
+         |    THEN CAST(ca.n AS DOUBLE) * (ca.n - 1) / 2.0
+         |    ELSE CAST(ca.n AS DOUBLE) * cb.n END), 6) AS dup_rate
          |FROM m JOIN cnt ca ON ca.source = m.source_a
          |       JOIN cnt cb ON cb.source = m.source_b
          |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>

@@ -31,8 +31,8 @@ class LlmOpsSpec extends AnyFunSuite {
       "unrelated doc must not be a candidate")
   }
 
-  test("sourceOverlap: matrix counts LSH pairs per unordered source " +
-    "pair with exact possible-pair normalization") {
+  test("sourceOverlap: matrix counts candidates AND verified dups per " +
+    "unordered source pair with exact possible-pair normalization") {
     // srcA: docs 1,2 (identical post-normalization); srcB: doc 3 (near-dup
     // of both); doc 4 unrelated in srcB — cross pairs (1,3),(2,3) land in
     // (srcA,srcB), pair (1,2) in (srcA,srcA), nothing pairs with 4.
@@ -41,16 +41,22 @@ class LlmOpsSpec extends AnyFunSuite {
     val m = LlmOps.sourceOverlap(labeled, "doc_id", "text", "source")
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))
       .toMap
     val within = m(("srcA", "srcA"))
-    assert(within._1 === 1L && within._2 === 2L)
-    assert(within._4 === 1.0, "1 pair of 1 possible within srcA")
+    assert(within._1 === 1L && within._3 === 2L)
+    assert(within._2 === 1L,
+      "identical docs 1,2 verify as a true dup (jaccard 1.0)")
+    assert(within._5 === 1.0, "1 pair of 1 possible within srcA")
+    assert(within._6 === 1.0, "1 verified dup of 1 possible")
     val cross = m(("srcA", "srcB"))
     assert(cross._1 >= 1L && cross._1 <= 2L,
       s"doc 3 near-dups the srcA docs: $cross")
-    assert(cross._3 === 2L, "srcB doc count")
-    assert(cross._4 === cross._1 / 4.0, "rate over 2*2 possible pairs")
+    assert(cross._2 === cross._1,
+      s"one-word-changed doc verifies at jaccard ~0.64 >= 0.5: $cross")
+    assert(cross._4 === 2L, "srcB doc count")
+    assert(cross._5 === cross._1 / 4.0, "rate over 2*2 possible pairs")
     assert(!m.contains(("srcB", "srcB")), "doc 4 pairs with nothing")
   }
 
