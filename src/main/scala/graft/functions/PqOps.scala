@@ -29,8 +29,13 @@ import org.apache.spark.sql.types._
   * multiply-adds); per-row cost makes CodegenFallback acceptable —
   * the per-PAIR hot path is [[PqAdc]], which IS codegen'd.
   *
-  * Null semantics: null input array, null element, or a codebook not
-  * divisible into m·sub-length centroids → null. */
+  * Null semantics: null input array, null element, a codebook not
+  * divisible into m·sub-length centroids, or a vector whose length is
+  * not exactly m·sub → null. The length check is strict both ways: a
+  * short vector can't be encoded, and an oversized one would silently
+  * encode only its prefix — a dims-parameter mismatch should fail
+  * loudly (null → filtered empty) rather than produce plausible codes
+  * from a truncated vector. */
 case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
     extends BinaryExpression with CodegenFallback {
 
@@ -56,7 +61,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
     val dims = m * sub
     val nc = cb.numElements() / dims
     if (nc == 0 || cb.numElements() != nc * dims ||
-      e.numElements() < dims) return null
+      e.numElements() != dims) return null
     var i = 0
     while (i < e.numElements()) {
       if (e.isNullAt(i)) return null; i += 1
@@ -124,8 +129,12 @@ case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int)
   * float-ordering discipline). Every elementary step is one IEEE op
   * (`r_i = e_i − base_i` first, then `r_i − c_i`), so the DuckDB
   * oracle replays `((e[i] − base[i]) − ce[i])` verbatim.
-  * Null/shape semantics as [[PqEncode]], plus: base must match the
-  * vector's length. */
+  * `err2` is the residual quantization error `|r − r̂|²` — identically
+  * the FULL reconstruction error `|e − (base + r̂)|²`, since
+  * `e − base − r̂ = r − r̂` — emitted like [[PqEncode]]'s so the two
+  * layouts are directly comparable on the same corpus.
+  * Null/shape semantics as [[PqEncode]] (strict `m·sub` vector
+  * length), plus: base must match the vector's length. */
 case class PqEncodeResidual(
     first: Expression, second: Expression, third: Expression,
     m: Int, sub: Int)
@@ -144,7 +153,8 @@ case class PqEncodeResidual(
   override def dataType: DataType = StructType(Seq(
     StructField("code", ArrayType(IntegerType, containsNull = false),
       nullable = false),
-    StructField("anrm", DoubleType, nullable = false)))
+    StructField("anrm", DoubleType, nullable = false),
+    StructField("err2", DoubleType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_encode_residual"
 
@@ -155,7 +165,7 @@ case class PqEncodeResidual(
     val dims = m * sub
     val nc = cb.numElements() / dims
     if (nc == 0 || cb.numElements() != nc * dims ||
-      e.numElements() < dims || base.numElements() != e.numElements())
+      e.numElements() != dims || base.numElements() != e.numElements())
       return null
     var i = 0
     while (i < e.numElements()) {
@@ -166,6 +176,7 @@ case class PqEncodeResidual(
       if (cb.isNullAt(i)) return null; i += 1
     }
     val code = new Array[Int](m)
+    var err2 = 0.0
     var j = 0
     while (j < m) {
       var bestD = Double.MaxValue
@@ -187,6 +198,7 @@ case class PqEncodeResidual(
         c += 1
       }
       code(j) = best
+      err2 += bestD
       j += 1
     }
     var anrm = 0.0
@@ -204,7 +216,7 @@ case class PqEncodeResidual(
       anrm += sd
       j += 1
     }
-    InternalRow(new GenericArrayData(code), anrm)
+    InternalRow(new GenericArrayData(code), anrm, err2)
   }
 
   override protected def withNewChildrenInternal(

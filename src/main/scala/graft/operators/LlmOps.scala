@@ -796,12 +796,43 @@ object LlmOps {
       .withColumn("nrm", dot(col("e"), col("e")))
       .filter(col("nrm") > 0)
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** One broadcast row: the (cid, ce) codebook seeds, sorted by id —
     * list POSITION (1-based) is the code alphabet. */
   private def pqCodebook(v: DataFrame, ksub: Int): DataFrame =
-    v.filter(col("vid") < ksub)
-      .agg(array_sort(collect_list(struct(col("vid").as("cid"),
-        col("e").as("ce")))).as("cb"))
+    checkedPqCodebook(
+      v.filter(col("vid") < ksub)
+        .agg(array_sort(collect_list(struct(col("vid").as("cid"),
+          col("e").as("ce")))).as("cb")),
+      ksub, "seeded")
+
+  /** Eagerly materialize a one-row (cid, ce)-list codebook and fail
+    * fast when it is EMPTY: seeds are drawn from an id range (the
+    * [[kmeansCentroids]] convention — ids dense from 0), and on data
+    * whose ids don't cover the range every [[graft.functions.PqEncode]]
+    * would return null and the retrieval would be silently empty.
+    * Underfull (1 ≤ n < ksub) is legal — ids may be sparse — but
+    * logged, since a shrunken code alphabet costs recall; the trainer
+    * reads the ACTUAL length so an underfull book trains correctly
+    * instead of growing null segments. The checkpoint also pins the
+    * codebook so each downstream broadcast reuses one computation. */
+  private def checkedPqCodebook(
+      cb: DataFrame, ksub: Int, what: String): DataFrame = {
+    val c = cb.localCheckpoint(true)
+    val n = c.select(size(col("cb"))).head.getInt(0)
+    require(n >= 1,
+      s"$what PQ codebook is empty — no vectors in the seed id range " +
+        s"(the kmeansCentroids convention needs ids dense from 0)")
+    if (n < ksub)
+      log.warn(s"$what PQ codebook has $n of $ksub requested entries " +
+        "(sparse seed ids); recall drops with the code alphabet")
+    c
+  }
+
+  /** Actual entry count of a checkpointed one-row codebook. */
+  private def codebookLen(cb: DataFrame): Int =
+    cb.select(size(col("cb"))).head.getInt(0)
 
   /** TRAIN the per-subspace PQ codebooks: `iters` rounds of k-means in
     * each of the m sub-spaces independently — assignment is the native
@@ -818,11 +849,27 @@ object LlmOps {
     * at: seeds explain almost nothing of a near-random corpus; trained
     * sub-centroids are the published PQ construction (Jégou et al.
     * 2011 §III). Mean floats carry the same ~1e-16 sum-order jitter as
-    * [[kmeansCentroids]] — far inside the harness round-6 compare. */
+    * [[kmeansCentroids]] — far inside the harness round-6 compare.
+    * CAVEAT (unlike the integer-exact classifierTrain fold): that
+    * jitter is partition-order-dependent, and a near-exact tie in a
+    * later round's argmin assignment can flip a code DISCRETELY and
+    * cascade into a different (still valid) codebook across
+    * partitionings. The synthetic corpora have no such ties
+    * (PqOpsSpec pins repartition-invariance at 1 vs 32 partitions);
+    * real corpora with duplicated vectors may tie — the output is a
+    * correct k-means codebook either way, just not bit-pinned.
+    *
+    * `seed` overrides the default vid-range seeding — the RESIDUAL
+    * path trains on `e − cell_centroid` frames whose natural seeds
+    * are residuals of a shifted id range, not `vid < ksub`. The seed
+    * must be a checked (checkpointed) codebook; training reads its
+    * ACTUAL length, so an underfull alphabet trains correctly. */
   private def pqCodebookTrained(
-      v: DataFrame, m: Int, sub: Int, ksub: Int, iters: Int): DataFrame = {
+      v: DataFrame, m: Int, sub: Int, ksub: Int, iters: Int,
+      seed: Option[DataFrame] = None): DataFrame = {
     val spark = v.sparkSession
-    var cb = pqCodebook(v, ksub)
+    var cb = seed.getOrElse(pqCodebook(v, ksub))
+    val nAlpha = codebookLen(cb)
     val vp = if (iters > 0)
       v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else v
@@ -848,7 +895,7 @@ object LlmOps {
             array((0 until sub).map(i => col(s"__m$i")): _*).as("seg"))
         // rebuild the one-row codebook: for every (rank, j) take the
         // new mean segment, else the previous slice; flatten j-ascending
-        val grid = spark.range(ksub)
+        val grid = spark.range(nAlpha.toLong)
           .select((col("id") + 1).cast("int").as("rnk"))
           .crossJoin(spark.range(m).select(col("id").cast("int").as("j")))
           .crossJoin(broadcast(cb))
@@ -985,7 +1032,7 @@ object LlmOps {
     require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
     val sub = dims / m
     if (residual) return annTopKIvfPqResidual(vecs, idCol, vecCol,
-      probeFilter, topK, kCells, iters, nprobe, m, ksub, dims)
+      probeFilter, topK, kCells, iters, nprobe, m, ksub, dims, trainIters)
     val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
       .select(col("vid"), col("cid"), col("__rn"))
     val v = pqBase(vecs, idCol, vecCol)
@@ -1079,6 +1126,52 @@ object LlmOps {
         round(col("__enc.err2") / col("nrm"), 6).as("rel_err"))
   }
 
+  /** Residual-PQ quantization-error report — [[pqReconReport]]'s twin
+    * for the IVF×residual layout: per vector, `err2 = |r − r̂|²` (the
+    * residual encoder's subspace-argmin distances; identically the
+    * FULL reconstruction error `|e − (centroid + r̂)|²`), so
+    * residual-vs-plain codebook quality is a direct same-column
+    * comparison on the same corpus — the number behind the published
+    * claim that residual coding quantizes finer at the same m×ksub
+    * budget. One coarse assignment + one native-encode pass; nothing
+    * pairs. `trainIters` > 0 trains the residual sub-codebooks. */
+  def pqResidualReconReport(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      kCells: Int = 8, iters: Int = 0,
+      m: Int = 8, ksub: Int = 8, dims: Int = 64,
+      trainIters: Int = 0): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val sub = dims / m
+    val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
+      .select(col("vid"), col("__rn"), col("e"), col("nrm"), col("ce"))
+    val home = ranked.filter(col("__rn") === 1)
+    val cbSeed = checkedPqCodebook(
+      home.filter(col("vid") >= kCells && col("vid") < kCells + ksub)
+        .select(col("vid"),
+          zip_with(col("e"), col("ce"), (a, b) => a - b).as("re"))
+        .agg(array_sort(collect_list(struct(col("vid").as("cid"),
+          col("re").as("ce")))).as("cb")),
+      ksub, "residual")
+    val cb = if (trainIters > 0) {
+      val rf = home.select(col("vid"),
+        zip_with(col("e"), col("ce"), (a, b) => a - b).as("e"))
+      pqCodebookTrained(rf, m, sub, ksub, trainIters, seed = Some(cbSeed))
+    } else cbSeed
+    val encR = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncodeResidual(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("e")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ce")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          flatten(transform(col("cb"), c => c.getField("ce")))),
+        m, sub))
+    home.crossJoin(broadcast(cb))
+      .withColumn("__enc", encR)
+      .select(col("vid").as(idCol),
+        round(col("__enc.err2"), 6).as("err2"),
+        round(col("nrm"), 6).as("nrm2"),
+        round(col("__enc.err2") / col("nrm"), 6).as("rel_err"))
+  }
+
   /** RESIDUAL IVF-PQ — the classic Jégou et al. refinement the
     * no-residual variant documents as its upgrade slot: the PQ
     * codebooks quantize `r = e − cell_centroid` (residuals are much
@@ -1096,21 +1189,42 @@ object LlmOps {
     * they ARE their cells' centroids (their residuals are ~zero and
     * would degenerate the codebook). Same scale shape as the
     * no-residual variant: one broadcast codebook row, cell-keyed
-    * shuffle, m lookups per pair via [[graft.functions.PqAdc]]. */
+    * shuffle, m lookups per pair via [[graft.functions.PqAdc]].
+    *
+    * `trainIters` > 0 runs [[pqCodebookTrained]]'s per-subspace
+    * k-means ON THE RESIDUALS (`e − home_cell_centroid`, the Jégou
+    * et al. 2011 §IV construction), seeded from the id-range book
+    * above — this is what makes residual PQ actually win: seeds
+    * explain almost nothing, but trained residual sub-centroids fit
+    * the (much smaller) residual distribution finer than raw-vector
+    * centroids fit raw vectors at the same m×ksub budget. Each
+    * training round costs one scan of the assigned vectors + one
+    * bounded keyed agg — identical shape to the plain-PQ trainer. */
   private def annTopKIvfPqResidual(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column => Column, topK: Int, kCells: Int,
-      iters: Int, nprobe: Int, m: Int, ksub: Int, dims: Int): DataFrame = {
+      iters: Int, nprobe: Int, m: Int, ksub: Int, dims: Int,
+      trainIters: Int = 0): DataFrame = {
     val sub = dims / m
     val ranked = ivfRanked(vecs, idCol, vecCol, kCells, iters, dims)
       .select(col("vid"), col("cid"), col("__rn"), col("e"), col("nrm"),
         col("ce"))
-    val cb = ranked.filter(col("__rn") === 1 &&
-        col("vid") >= kCells && col("vid") < kCells + ksub)
-      .select(col("vid"),
-        zip_with(col("e"), col("ce"), (a, b) => a - b).as("re"))
-      .agg(array_sort(collect_list(struct(col("vid").as("cid"),
-        col("re").as("ce")))).as("cb"))
+    val cbSeed = checkedPqCodebook(
+      ranked.filter(col("__rn") === 1 &&
+          col("vid") >= kCells && col("vid") < kCells + ksub)
+        .select(col("vid"),
+          zip_with(col("e"), col("ce"), (a, b) => a - b).as("re"))
+        .agg(array_sort(collect_list(struct(col("vid").as("cid"),
+          col("re").as("ce")))).as("cb")),
+      ksub, "residual")
+    val cb = if (trainIters > 0) {
+      // the trained object is the residual itself: one narrow frame of
+      // precomputed r = e − ce (same IEEE subtract the encoder does)
+      val rf = ranked.filter(col("__rn") === 1)
+        .select(col("vid"),
+          zip_with(col("e"), col("ce"), (a, b) => a - b).as("e"))
+      pqCodebookTrained(rf, m, sub, ksub, trainIters, seed = Some(cbSeed))
+    } else cbSeed
     val encR = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.PqEncodeResidual(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("e")),

@@ -1358,6 +1358,158 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
     },
 
+    // ----- TRAINED residual IVF-PQ (the production refinement) ---------
+    // The residual sub-codebooks are TRAINED: 2 rounds of per-subspace
+    // k-means on r = e - home_cell_centroid, seeded from the residuals
+    // of vectors 8..15 — the oracle replays the ENTIRE training
+    // (residual assign -> per-(j,rank,dim) mean -> empty-cell
+    // carryover, twice) before the encode/ADC-score replay. This is
+    // the Jegou et al. layout that makes residual coding actually win:
+    // trained residual centroids fit the (small) residual distribution
+    // finer than raw-vector centroids fit raw vectors at the same
+    // m x ksub budget (see PqTrainSpec for the measured recall and
+    // reconstruction-error comparison on a clustered corpus).
+    QDef.sql(
+      "llm_ann_ivf_pqr_t", {
+        def round_(r: Int): String =
+          s"""asg$r AS (
+             |  SELECT vec_id, j, rnk FROM (
+             |    SELECT res.vec_id, g.j, c.rnk,
+             |      list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+             |        i -> (res.re[g.j * 8 + i] - c.ce[g.j * 8 + i])
+             |           * (res.re[g.j * 8 + i] - c.ce[g.j * 8 + i]))),
+             |        (a, b) -> a + b) AS l2
+             |    FROM res, generate_series(0, 7) g(j), rcb${r - 1} c
+             |  )
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+             |                             ORDER BY l2, rnk) = 1
+             |),
+             |mean$r AS (
+             |  SELECT a.j, a.rnk, g.i AS i, avg(res.re[a.j * 8 + g.i]) AS mv
+             |  FROM asg$r a JOIN res ON res.vec_id = a.vec_id,
+             |       generate_series(1, 8) g(i)
+             |  GROUP BY a.j, a.rnk, g.i
+             |),
+             |pk$r AS (
+             |  SELECT j, rnk, list(mv ORDER BY i) AS seg
+             |  FROM mean$r GROUP BY j, rnk
+             |),
+             |rcb$r AS (
+             |  SELECT c.rnk,
+             |    flatten(list(coalesce(p.seg,
+             |      list_transform(generate_series(1, 8),
+             |        i -> c.ce[g.j * 8 + i])) ORDER BY g.j)) AS ce
+             |  FROM rcb${r - 1} c CROSS JOIN generate_series(0, 7) g(j)
+             |  LEFT JOIN pk$r p ON p.rnk = c.rnk AND p.j = g.j
+             |  GROUP BY c.rnk
+             |)""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           |         ${duckFold("list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")} AS nrm
+           |  FROM embeddings
+           |),
+           |cents AS (
+           |  SELECT vec_id AS cid, e AS ce,
+           |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS cnrm
+           |  FROM v WHERE vec_id < 8 AND nrm > 0
+           |),
+           |assign AS (
+           |  SELECT vec_id, cell
+           |  FROM (
+           |    SELECT v.vec_id, c.cid AS cell,
+           |      ${duckFold("list_transform(generate_series(1,64), i -> v.e[i] * c.ce[i])")}
+           |        / (sqrt(v.nrm) * sqrt(c.cnrm)) AS ccos
+           |    FROM v, cents c
+           |    WHERE v.nrm > 0
+           |  )
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) = 1
+           |),
+           |rv AS (
+           |  SELECT a.vec_id, a.cell, v.e, v.nrm, c.ce AS bce
+           |  FROM assign a JOIN v ON v.vec_id = a.vec_id
+           |                JOIN cents c ON c.cid = a.cell
+           |),
+           |res AS (
+           |  SELECT vec_id,
+           |    list_transform(generate_series(1, 64), i -> e[i] - bce[i]) AS re
+           |  FROM rv
+           |),
+           |rcb0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) AS rnk,
+           |    list_transform(generate_series(1, 64), i -> e[i] - bce[i]) AS ce
+           |  FROM rv WHERE vec_id >= 8 AND vec_id < 16
+           |),
+           |${round_(1)},
+           |${round_(2)},
+           |cj AS (
+           |  SELECT rv.vec_id, g.j, c.rnk,
+           |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+           |      i -> ((rv.e[g.j * 8 + i] - rv.bce[g.j * 8 + i]) - c.ce[g.j * 8 + i])
+           |         * ((rv.e[g.j * 8 + i] - rv.bce[g.j * 8 + i]) - c.ce[g.j * 8 + i]))),
+           |      (a, b) -> a + b) AS l2
+           |  FROM rv, generate_series(0, 7) g(j), rcb2 c
+           |),
+           |code AS (
+           |  SELECT vec_id, j, rnk FROM cj
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+           |                             ORDER BY l2, rnk) = 1
+           |),
+           |selfd AS (
+           |  SELECT code.vec_id, code.j,
+           |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+           |      i -> (rv.bce[code.j * 8 + i] + c.ce[code.j * 8 + i])
+           |         * (rv.bce[code.j * 8 + i] + c.ce[code.j * 8 + i]))),
+           |      (a, b) -> a + b) AS sd
+           |  FROM code JOIN rcb2 c ON c.rnk = code.rnk
+           |            JOIN rv ON rv.vec_id = code.vec_id
+           |),
+           |anrm AS (
+           |  SELECT vec_id,
+           |    list_reduce(list_prepend(0.0, list(sd ORDER BY j)),
+           |                (a, b) -> a + b) AS anrm
+           |  FROM selfd GROUP BY vec_id
+           |),
+           |pb AS (
+           |  SELECT vec_id, cell, e, nrm,
+           |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * bce[i])")} AS pcd
+           |  FROM rv WHERE vec_id < 20
+           |),
+           |pt AS (
+           |  SELECT p.vec_id AS probe_id, ca.vec_id AS cand_id,
+           |         p.cell AS cell, code.j,
+           |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+           |      i -> p.e[code.j * 8 + i] * c.ce[code.j * 8 + i])),
+           |      (a, b) -> a + b) AS t
+           |  FROM pb p
+           |  JOIN rv ca ON ca.cell = p.cell AND ca.vec_id != p.vec_id
+           |  JOIN code ON code.vec_id = ca.vec_id
+           |  JOIN rcb2 c ON c.rnk = code.rnk
+           |),
+           |sc AS (
+           |  SELECT probe_id, cand_id, cell,
+           |    list_reduce(list_prepend(0.0, list(t ORDER BY j)),
+           |                (a, b) -> a + b) AS adc
+           |  FROM pt GROUP BY 1, 2, 3
+           |),
+           |scored AS (
+           |  SELECT sc.probe_id, sc.cand_id, sc.cell,
+           |    (p.pcd + sc.adc) / (sqrt(p.nrm) * sqrt(a.anrm)) AS c
+           |  FROM sc JOIN pb p ON p.vec_id = sc.probe_id
+           |          JOIN anrm a ON a.vec_id = sc.cand_id
+           |  WHERE a.anrm > 0
+           |)
+           |SELECT probe_id, cand_id, cell, round(c, 6) AS pqcosine
+           |FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY probe_id
+           |                           ORDER BY c DESC, cand_id) <= 3
+           |ORDER BY probe_id, pqcosine DESC, cand_id""".stripMargin
+      }) { (s, dir) =>
+      LlmOps.annTopKIvfPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeFilter = _ < 20, topK = 3, kCells = 8, iters = 0, nprobe = 1,
+        residual = true, trainIters = 2)
+        .orderBy(col("probe_id"), col("pqcosine").desc, col("cand_id"))
+    },
+
     // ----- PQ quantization-error report: seeded vs TRAINED codebooks ---
     // Per vector, relative reconstruction error against the seeded
     // codebook and against 2 rounds of per-subspace k-means — the
