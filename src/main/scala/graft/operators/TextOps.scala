@@ -377,12 +377,18 @@ object TextOps {
         pmod((lit(LlmOps.SeedA(r)) * col("h") + lit(LlmOps.SeedB(r)))
           % LlmOps.P31, lit(width.toLong)))
     }
+    // LEFT joins: the sketch stores only OBSERVED cells, so a caller-
+    // supplied candidate absent from the counted stream can hit an
+    // empty cell — its correct CM point estimate is min(..., 0) = 0,
+    // not a silent drop. Candidates drawn from the stream always hit
+    // their own increments, so this is output-identical there.
     val est = (0 until depth).foldLeft(withCells) { (acc, r) =>
       acc.join(broadcast(sketch.filter(col("r") === r)
           .select(col("p").as(s"__p$r"), col("cnt").as(s"__c$r"))),
-        Seq(s"__p$r"))
+        Seq(s"__p$r"), "left")
     }.withColumn("est",
-      (0 until depth).map(r => col(s"__c$r")).reduce(least(_, _)))
+      (0 until depth).map(r => coalesce(col(s"__c$r"), lit(0L)))
+        .reduce(least(_, _)))
     est.select(col("h") +: col("est") +: carried: _*)
       .orderBy(col("est").desc, col("h"))
       .limit(k)
@@ -1301,11 +1307,31 @@ object TextOps {
     * Output: struct(n_tokens, w_sum, score). The per-row HOF fold is
     * ~tokens·k interpreted node evals (the quantize-class envelope,
     * fine off the pair-hot path); a native expression is the upgrade
-    * slot if ingest CPU ever binds. */
+    * slot if ingest CPU ever binds.
+    *
+    * NULL TEXT: a null text column yields a struct with null fields,
+    * while the batch [[classifierScore]] drops the row entirely (the
+    * explode of a null token array emits no rows) — so "batch and
+    * streaming scores agree bit-for-bit" holds for non-null text, and
+    * the two forms agree as FILTERS (a `score >= τ` gate drops
+    * null-text rows in both: null comparisons are never true), but a
+    * consumer reading the struct itself sees a null-field row here vs
+    * row absence there.
+    *
+    * WEIGHT-TABLE BOUND: the map is serialized INTO the plan (that is
+    * what makes the form shuffle-free), so its size is a plan-size
+    * bomb, not a data-scale knob — a real fastText-sized table
+    * (millions of buckets) must use the broadcast-join
+    * [[classifierScore]] instead. Hard-capped at 65536 entries, the
+    * distilled-gate envelope the form was built for. */
   def classifierScoreRow(textCol: Column, weights: Map[Long, Long],
       nBuckets: Int, scale: Double = 1000.0, bias: Double = 0.0): Column = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     require(scale > 0, s"scale must be positive: $scale")
+    require(weights.size <= 65536,
+      s"classifierScoreRow ships its ${weights.size}-entry weight table " +
+        "as a plan literal; beyond 65536 entries use the broadcast-join " +
+        "classifierScore form (same arithmetic, corpus-scale table)")
     val wmap = typedLit(weights)
     val ws = LlmOps.words(textCol)
     val wSum = aggregate(ws, lit(0L), (acc, w) => acc +

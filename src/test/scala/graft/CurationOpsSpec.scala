@@ -406,6 +406,35 @@ class CurationOpsSpec extends AnyFunSuite {
       s"CM estimates are one-sided: $narrow vs $exact")
   }
 
+  test("cmsHeavyHitters: a caller-supplied candidate absent from the " +
+    "counted stream estimates 0 (empty cell), not a silent drop") {
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    // one real gram hash + one hash no gram maps to: the wide sketch
+    // has empty cells for the phantom, whose CM point estimate is 0
+    val realH = graft.operators.LlmOps.shingleHashes(
+      docs, "doc_id", "text", 2, dedup = false)
+      .select("h").head.getLong(0)
+    val cand = Seq(realH, 999999999L).toDF("h")
+    val est = TextOps.cmsHeavyHitters(docs, "doc_id", "text",
+      n = 2, k = 10, depth = 4, width = 4096, candidates = Some(cand))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === Set(realH, 999999999L),
+      "both candidates must survive the sketch lookup")
+    assert(est(999999999L) === 0L, s"phantom gram estimates 0: $est")
+    assert(est(realH) >= 1L)
+  }
+
+  test("classifierScoreRow: rejects a weight table too large to ship " +
+    "as a plan literal, naming the broadcast-join form") {
+    val big = (0L until 65537L).map(b => b -> 1L).toMap
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.classifierScoreRow(lit("some text"), big, nBuckets = 1 << 20)
+    }
+    assert(ex.getMessage.contains("classifierScore"), ex.getMessage)
+    // the documented envelope still constructs fine
+    TextOps.classifierScoreRow(lit("x"), Map(0L -> 1L), nBuckets = 16)
+  }
+
   // ----- in-engine classifier training --------------------------------
 
   private val clsPos = (1L to 8L).map(i =>
