@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,6 +58,58 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =
     copy(child = newChild)
+}
+
+/** One BPE TRAINING step applied to a symbol array: merge every
+  * left-to-right non-overlapping occurrence of the adjacent pair
+  * (a, b) in a single pass — the "apply the newly learned merge to
+  * the vocabulary" half of each training round (the other half, the
+  * weighted pair-count argmax, is a plain groupBy). Scan semantics:
+  * i=0; if s[i]=a and s[i+1]=b emit a||b and skip 2, else emit s[i]
+  * and skip 1 — equivalently, within each run of consecutive matches
+  * only even offsets merge, which is exactly what the DuckDB oracle
+  * replays with a run-parity window (llm_bpe_train). The pair is a
+  * constructor field like [[BpeTokens]]' table: driver-side constants,
+  * zero per-row traffic. Null array or null element → null.
+  * CodegenFallback is fine here: the expression runs on the DISTINCT-
+  * WORD (vocabulary) frame during training, never on a corpus-sized
+  * path. */
+case class BpeApplyMerge(child: Expression, a: String, b: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_apply requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[ArrayData]
+    val n = s.numElements()
+    var i = 0
+    while (i < n) { if (s.isNullAt(i)) return null; i += 1 }
+    val out = new java.util.ArrayList[Any](n)
+    i = 0
+    while (i < n) {
+      if (i < n - 1 && s.getUTF8String(i).equals(ua) &&
+          s.getUTF8String(i + 1).equals(ub)) {
+        out.add(UTF8String.concat(ua, ub))
+        i += 2
+      } else {
+        out.add(s.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeApplyMerge = copy(child = newChild)
 }
 
 object BpeTokens {

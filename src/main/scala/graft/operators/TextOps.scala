@@ -182,6 +182,84 @@ object TextOps {
       lit(0L), (a, x) => a + x)
   }
 
+  /** TRAIN a BPE merge table in-engine — the missing half of
+    * [[bpeTokenCount]]'s fixed-vocabulary inference slot, exactly as
+    * [[classifierTrain]] closed [[classifierScore]]'s: learn `nMerges`
+    * merges by ITERATED ARGMAX over frequency-weighted adjacent-pair
+    * counts (the Sennrich et al. 2016 construction):
+    *
+    *  1. vocabulary = the corpus's distinct lowercased whitespace
+    *     words with occurrence counts — ONE corpus scan, then every
+    *     round works on the bounded vocab frame (this is why real BPE
+    *     trainers run on word-frequency dictionaries);
+    *  2. per round: count adjacent symbol pairs weighted by word
+    *     frequency (explode + one keyed agg), pick the max with the
+    *     deterministic (count desc, pair asc) tie-break — a ONE-ROW
+    *     collect, the training loop's only driver traffic;
+    *  3. apply the merge to every vocab word left-to-right
+    *     non-overlapping (the native [[graft.functions.BpeApplyMerge]]
+    *     pass), localCheckpoint (constant-size lineage, superseded
+    *     blocks released — the kmeansCentroids discipline), repeat.
+    *
+    * Integer pair counts are order-free, so training is partition-
+    * invariant and rerun-identical; the DuckDB oracle replays every
+    * round verbatim (llm_bpe_train — pair counts, argmax, and the
+    * run-parity merge application). Stops early if the vocabulary
+    * runs out of pairs. Returns the ranked merge list, directly
+    * feedable to [[bpeTokenCount]] / [[bpeTokenCountCol]]. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be positive: $nMerges")
+    val wf = df.select(explode(LlmOps.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = wf.select(col("word"), col("freq"),
+        when(col("word") === "", array().cast("array<string>"))
+          .otherwise(split(col("word"), "")).as("s"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var r = 0
+      var exhausted = false
+      while (r < nMerges && !exhausted) {
+        val top = syms.filter(size(col("s")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(0), size(col("s")) - 2),
+            i => struct(
+              element_at(col("s"), (i + 1).cast("int")).as("x"),
+              element_at(col("s"), (i + 2).cast("int")).as("y")))).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("x"), col("y"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          learned += ((a, b))
+          val merged = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.BpeApplyMerge(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                col("s")), a, b))
+          val next = syms.withColumn("s", merged).localCheckpoint(true)
+          LlmOps.releaseCheckpoint(syms)
+          syms = next
+        }
+        r += 1
+      }
+    } finally LlmOps.releaseCheckpoint(syms)
+    learned.toSeq
+  }
+
+  /** [[bpeTrain]] as a harness frame: the learned table as
+    * (rank, x, y) rows — the artifact a tokenizer build step persists. */
+  def bpeTrainTable(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTrain(df, idCol, textCol, nMerges).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "x", "y")
+  }
+
   /** Stopword removal: drop listed tokens from the text, preserving the
     * order and single-space joining of the survivors. Per-row lambda,
     * shuffle-free; the words array is projected before the filter

@@ -397,6 +397,80 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- BPE merge-table TRAINING (the missing half of LT20) ---------
+    // 6 merges learned by iterated argmax over frequency-weighted
+    // adjacent-pair counts on the distinct-word vocabulary (Sennrich
+    // et al. 2016), tie-break (count desc, pair asc). The oracle
+    // replays EVERY round: pair counts -> argmax -> left-to-right
+    // non-overlapping merge application, the latter as a run-parity
+    // window (within each run of consecutive pair matches, odd
+    // row_numbers merge — exactly the native scan's skip-2 semantics).
+    QDef.sql(
+      "llm_bpe_train", {
+        def round_(r: Int): String =
+          s"""px$r AS (
+             |  SELECT word, freq, i, s[i + 1] AS x, s[i + 2] AS y FROM (
+             |    SELECT word, freq, s,
+             |           unnest(generate_series(0, len(s) - 2)) AS i
+             |    FROM sy${r - 1} WHERE len(s) >= 2
+             |  )
+             |),
+             |pc$r AS (SELECT x, y, sum(freq) AS cnt FROM px$r GROUP BY x, y),
+             |bm$r AS (SELECT x, y FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+             |mk$r AS (
+             |  SELECT p.word, p.i, (p.x = b.x AND p.y = b.y) AS m,
+             |    CASE WHEN p.x = b.x AND p.y = b.y
+             |         THEN p.i - row_number() OVER (
+             |           PARTITION BY p.word, (p.x = b.x AND p.y = b.y)
+             |           ORDER BY p.i) END AS runk
+             |  FROM px$r p, bm$r b
+             |),
+             |mg$r AS (
+             |  SELECT word, i,
+             |    m AND (row_number() OVER (PARTITION BY word, runk
+             |                              ORDER BY i)) % 2 = 1 AS dm
+             |  FROM mk$r
+             |),
+             |sy$r AS (
+             |  SELECT e.word, e.freq,
+             |    list(CASE WHEN coalesce(mm.dm, false) THEN e.sym || e.nxt
+             |              ELSE e.sym END ORDER BY e.i) AS s
+             |  FROM (
+             |    SELECT word, freq, i, s[i + 1] AS sym, s[i + 2] AS nxt FROM (
+             |      SELECT word, freq, s,
+             |             unnest(generate_series(0, len(s) - 1)) AS i
+             |      FROM sy${r - 1}
+             |    )
+             |  ) e
+             |  LEFT JOIN mg$r mm ON mm.word = e.word AND mm.i = e.i
+             |  LEFT JOIN mg$r pm ON pm.word = e.word AND pm.i = e.i - 1
+             |  WHERE NOT coalesce(pm.dm, false)
+             |  GROUP BY e.word, e.freq
+             |)""".stripMargin
+        val rounds = (1 to 6).map(round_).mkString(",\n")
+        val out = (1 to 6)
+          .map(r => s"SELECT $r AS rank, x, y FROM bm$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH wf AS (
+           |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY w
+           |),
+           |sy0 AS (
+           |  SELECT word, freq,
+           |    CASE WHEN word = '' THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split(word, '') END AS s
+           |  FROM wf
+           |),
+           |$rounds
+           |$out
+           |ORDER BY rank""".stripMargin
+      }) { (s, dir) =>
+      TextOps.bpeTrainTable(t(s, dir, "documents"), "doc_id", "text",
+        nMerges = 6).orderBy("rank")
+    },
+
     // ----- Document fingerprint (exact-dedup key) ----------------------
     QDef.sql(
       "llm_fingerprint",

@@ -725,6 +725,61 @@ class OpsSpec extends AnyFunSuite {
       s"BPE counting must be per-row, no shuffle:\n$plan")
   }
 
+  test("BpeApplyMerge: left-to-right non-overlapping single pass — runs " +
+    "of matches merge at even offsets only") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def apply_(s: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(s)).toDF("s").select(ColumnBridge.column(
+        graft.functions.BpeApplyMerge(
+          ColumnBridge.expression(col("s")), a, b)).as("o"))
+        .collect()(0).getSeq[String](0)
+    assert(apply_(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(apply_(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(apply_(Seq("x", "a", "b", "a", "b"), "a", "b") ===
+      Seq("x", "ab", "ab"))
+    assert(apply_(Seq("a", "b"), "b", "a") === Seq("a", "b"))
+    assert(apply_(Seq.empty[String], "a", "b") === Seq.empty)
+  }
+
+  test("bpeTrain: iterated argmax learns the hand-computed merge " +
+    "sequence with the (count desc, pair asc) tie-break") {
+    import graft.operators.TextOps
+    // corpus: "aaab" x2, "ab" x1
+    //  round 1: (a,a)=4 beats (a,b)=3         -> merge (a,a)
+    //  round 2: [aa,a,b]x2 [a,b]: (a,b)=3 beats (aa,a)=2 -> (a,b)
+    //  round 3: [aa,ab]x2 [ab]: (aa,ab)=2     -> (aa,ab)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val learned = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+    assert(learned === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // exhaustion: asking for more merges than the vocab supports stops
+    // early instead of looping
+    val more = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 50)
+    assert(more.take(3) === learned && more.size < 50)
+  }
+
+  test("bpeTrain: deterministic and invariant to input partitioning; " +
+    "learned merges compress a held-out corpus better than the " +
+    "hand-written BpeMergesEn at the same table size") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val heldOut = docs.filter(col("doc_id") % 2 === 1)
+    val n = TextOps.BpeMergesEn.size
+    val learned = TextOps.bpeTrain(train, "doc_id", "text", nMerges = n)
+    assert(learned === TextOps.bpeTrain(
+      train.repartition(7), "doc_id", "text", nMerges = n),
+      "training must not depend on partitioning")
+    def total(merges: Seq[(String, String)]): Long =
+      TextOps.bpeTokenCount(heldOut, "doc_id", "text", merges)
+        .agg(sum("bpe_tokens")).collect()(0).getLong(0)
+    val tLearned = total(learned)
+    val tHand = total(TextOps.BpeMergesEn)
+    info(s"held-out tokens: learned=$tLearned hand-written=$tHand")
+    assert(tLearned < tHand,
+      s"$n learned merges must compress held-out text better than the " +
+        s"hand-written table: $tLearned vs $tHand")
+  }
+
   test("classifierScore: integer w_sum is exact, unseen buckets weigh 0, " +
     "mean-pooled sigmoid matches the closed form, weight table broadcasts") {
     import graft.operators.TextOps
