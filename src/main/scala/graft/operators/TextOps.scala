@@ -1535,7 +1535,8 @@ object TextOps {
       df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, minSegWords: Int = 5, minSegs: Int = 3,
       blacklist: Seq[String] =
-        Seq("lorem", "ipsum", "javascript", "{", "}")): DataFrame = {
+        Seq("lorem", "ipsum", "javascript", "{", "}"),
+      carry: Seq[String] = Nil): DataFrame = {
     require(window > 0, s"segment window must be positive: $window")
     require(minSegWords >= 1 && minSegWords <= window,
       s"minSegWords must be in [1, window]: $minSegWords")
@@ -1548,13 +1549,15 @@ object TextOps {
       least(lit(window.toLong), n - i * window) >= minSegWords &&
         !exists(slice(wsl, (i * window + 1L).cast("int"), lit(window)),
           w => array_contains(blk, w)))
-    df.select(col(idCol), ws.as("__ws"), nseg.as("n_total"),
-        keptIdx.as("__keep"))
-      .select(col(idCol), col("n_total"),
-        size(col("__keep")).cast("long").as("n_kept"),
+    // `carry` threads extra columns (event time, provenance) through —
+    // the streaming ingest composition needs the timestamp to survive
+    df.select(col(idCol) +: carry.map(col) :+ ws.as("__ws") :+
+        nseg.as("n_total") :+ keptIdx.as("__keep"): _*)
+      .select(col(idCol) +: carry.map(col) :+ col("n_total") :+
+        size(col("__keep")).cast("long").as("n_kept") :+
         array_join(transform(col("__keep"), i =>
           array_join(slice(col("__ws"), (i * window + 1L).cast("int"),
-            lit(window)), " ")), " ").as("text_clean"))
+            lit(window)), " ")), " ").as("text_clean"): _*)
       .filter(col("n_kept") >= minSegs)
   }
 

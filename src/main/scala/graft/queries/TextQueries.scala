@@ -1629,6 +1629,119 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- STREAMING curation ingest, batch twin -----------------------
+    // The EXACT Streams.curationIngest composition the streaming path
+    // runs per micro-batch (StreamingSpec drives the MemoryStream +
+    // upsertSink version incl. restart): C4 segment cleaning -> Gopher
+    // rule gate on the CLEANED text -> per-row classifier gate
+    // (score >= 0.5 — engine-exact: the sigmoid crosses 0.5 exactly at
+    // integer w_sum = 0, replayed here as w_sum >= 0) -> fingerprint
+    // dedup (batch: deterministic earliest-id wins; streaming:
+    // first-arrival-within-watermark, the same answer when arrival
+    // follows event time).
+    QDef.sql(
+      "ext_stream_curation",
+      s"""WITH cl0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |         string_split(lower(text), ' ') AS wsl
+         |  FROM documents
+         |),
+         |cl1 AS (
+         |  SELECT doc_id, ws, wsl, CAST(len(ws) AS BIGINT) AS n,
+         |         CAST(ceil(len(ws) / 10.0) AS BIGINT) AS nseg
+         |  FROM cl0
+         |),
+         |cl2 AS (
+         |  SELECT doc_id, ws, nseg AS n_total,
+         |    list_filter(generate_series(0, nseg - 1), i ->
+         |      least(10, n - i * 10) >= 5 AND
+         |      len(list_filter(wsl[i * 10 + 1 : i * 10 + 10], w ->
+         |        list_contains(['lorem','ipsum','javascript','{','}'], w)
+         |      )) = 0) AS keep_idx
+         |  FROM cl1
+         |),
+         |cl AS (
+         |  SELECT doc_id, CAST(len(keep_idx) AS BIGINT) AS n_kept,
+         |    array_to_string(list_transform(keep_idx, i ->
+         |      array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ')), ' ')
+         |      AS tc
+         |  FROM cl2 WHERE len(keep_idx) >= 3
+         |),
+         |gk AS (
+         |  SELECT doc_id, n_kept, tc FROM (
+         |    SELECT doc_id, n_kept, tc,
+         |      CAST(len(ws) AS BIGINT) AS n_words,
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+         |        (a, x) -> a + x) AS sum_len,
+         |      length(tc) - length(replace(tc, '#', '')) AS n_hash,
+         |      (length(tc) - length(replace(tc, '...', ''))) / 3 AS n_ell,
+         |      CAST(len(lines) AS BIGINT) AS n_lines,
+         |      len(list_filter(lines, l -> starts_with(l, '- ')
+         |        OR starts_with(l, '* ') OR starts_with(l, '• '))) AS n_bul,
+         |      len(list_filter(lines, l -> ends_with(l, '...'))) AS n_end,
+         |      len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+         |        AS n_al,
+         |      CAST(len(list_filter(
+         |        ['the','be','to','of','and','that','have','with'],
+         |        t -> list_contains(wsl, t))) AS BIGINT) AS n_stop
+         |    FROM (
+         |      SELECT doc_id, n_kept, tc, string_split(tc, ' ') AS ws,
+         |             string_split(lower(tc), ' ') AS wsl,
+         |             string_split(tc, chr(10)) AS lines
+         |      FROM cl
+         |    )
+         |  )
+         |  WHERE coalesce(n_words >= 40 AND n_words <= 100000
+         |    AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+         |    AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+         |    AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
+         |    AND CAST(n_bul AS DOUBLE) / n_lines <= 0.9
+         |    AND CAST(n_end AS DOUBLE) / n_lines <= 0.3
+         |    AND CAST(n_al AS DOUBLE) / n_words >= 0.8
+         |    AND n_stop >= 1, false)
+         |),
+         |wt AS (
+         |  SELECT CAST(i AS BIGINT) AS bucket,
+         |         CAST((i * 1103515245 + 12345) % 2001 - 1000 AS BIGINT) AS w
+         |  FROM generate_series(0, 1023) t(i)
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS w_sum
+         |  FROM (
+         |    SELECT doc_id, ${duckHash("tok")} % 1024 AS bucket
+         |    FROM (SELECT doc_id, unnest(string_split(lower(tc), ' ')) AS tok
+         |          FROM gk)
+         |  ) hb
+         |  LEFT JOIN wt USING (bucket) GROUP BY 1
+         |),
+         |sc AS (
+         |  SELECT gk.doc_id, gk.n_kept,
+         |    1.0 / (1.0 + exp(-(CAST(a.w_sum AS DOUBLE) / 1000.0
+         |                       / a.n_tokens))) AS score,
+         |    ${duckHash("regexp_replace(trim(lower(gk.tc)), '\\s+', ' ', 'g')")}
+         |      AS fp
+         |  FROM gk JOIN agg a USING (doc_id)
+         |  WHERE a.w_sum >= 0
+         |)
+         |SELECT doc_id, n_kept, round(score, 6) AS score, fp
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val weights = (0 until 1024).map(i =>
+        i.toLong -> ((i.toLong * 1103515245L + 12345L) % 2001L - 1000L))
+        .toMap
+      graft.streaming.Streams.curationIngest(
+        t(s, dir, "documents").withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + col("doc_id"))),
+        "doc_id", "text", "ts", weights, nBuckets = 1024, minScore = 0.5,
+        minWords = 40, minStopwords = 1)
+        .select(col("doc_id"), col("n_kept"),
+          round(col("score"), 6).as("score"), col("fp"))
+        .orderBy("doc_id")
+    },
+
     // ----- TRAINED classifier: in-engine GD + inference (closed loop) --
     // Train the hashed-presence logistic model on seed sets (pos =
     // src0, neg = src1) with 3 rounds of full-batch hard-sigmoid

@@ -370,6 +370,73 @@ object Streams {
       }
       .start()
 
+  /** END-TO-END streaming curation ingest — the proven per-row pieces
+    * composed into the ONE pipeline a pretraining corpus actually runs
+    * at the door: C4 segment cleaning → Gopher rule gate →
+    * classifier-score gate → exact dedup, in curation order (cheap
+    * structural cuts first, the model gate on CLEANED text, dedup last
+    * so near-identical boilerplate variants canonicalize to one
+    * fingerprint before the uniqueness check).
+    *
+    * Every stage is per-row and stateless except the final dedup:
+    *  - [[graft.operators.TextOps.c4Clean]] (with the timestamp
+    *    carried through), [[graft.operators.TextOps.gopherKeep]], and
+    *    [[graft.operators.TextOps.classifierScoreRow]] (literal
+    *    weight table, zero shuffles) all fuse with the scan;
+    *  - dedup keys on the normalized-text fingerprint: STREAMING =
+    *    watermark-bounded `dropDuplicatesWithinWatermark` (first
+    *    ARRIVAL wins, state reclaimed past the horizon); BATCH = the
+    *    deterministic earliest-(ts, id)-wins window — the same answer
+    *    when arrival order follows event time, which is what makes
+    *    the batch run the oracle-checkable twin (ext_stream_curation)
+    *    of the streaming plan.
+    *
+    * The classifier gate `score >= minScore` is engine-exact at the
+    * default 0.5: the sigmoid is monotone and crosses 0.5 exactly at
+    * integer w_sum = 0, so libm noise can never flip the decision.
+    * Compose with [[upsertSink]] for exactly-once-effect table
+    * maintenance (StreamingSpec drives the full chain incl. restart).
+    *
+    * 100 TB shape: zero shuffles before the dedup; the dedup state is
+    * one fingerprint per unique doc inside the watermark horizon. */
+  def curationIngest(
+      df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      weights: Map[Long, Long], nBuckets: Int, minScore: Double = 0.5,
+      watermarkDelay: String = "10 minutes",
+      minWords: Long = 50, minStopwords: Int = 2,
+      window: Int = 10, minSegWords: Int = 5, minSegs: Int = 3,
+      scale: Double = 1000.0, bias: Double = 0.0): DataFrame = {
+    import graft.operators.{LlmOps, TextOps}
+    require(minScore > 0.0 && minScore < 1.0,
+      s"minScore must be inside (0, 1): $minScore")
+    // gate on the UNROUNDED logit, not the struct's rounded score: the
+    // sigmoid is monotone, so score >= minScore ⟺ logit >= logit(min),
+    // and at the 0.5 default the threshold is logit 0.0 — an integer-
+    // exact w_sum sign test no rounding or libm noise can flip
+    val logitMin = math.log(minScore / (1.0 - minScore))
+    val gated = TextOps.c4Clean(df, idCol, textCol, window, minSegWords,
+        minSegs, carry = Seq(tsCol))
+      .filter(TextOps.gopherKeep(col("text_clean"),
+        minWords = minWords, minStopwords = minStopwords))
+      .withColumn("__c", TextOps.classifierScoreRow(col("text_clean"),
+        weights, nBuckets, scale, bias))
+      .filter(lit(bias) + col("__c.w_sum").cast("double") / lit(scale) /
+        col("__c.n_tokens") >= lit(logitMin))
+      .withColumn("fp", LlmOps.strHash(
+        regexp_replace(trim(lower(col("text_clean"))), "\\s+", " ")))
+      .select(col(idCol), col(tsCol), col("n_kept"),
+        col("__c.score").as("score"), col("fp"), col("text_clean"))
+    if (gated.isStreaming)
+      gated.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark("fp")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col(tsCol), col(idCol))
+      gated.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
   /** Streaming exact dedup with BOUNDED state: duplicates arriving
     * within the watermark horizon are dropped; state for older keys is
     * reclaimed. (The streaming twin of the batch D1/D2 operators.) */

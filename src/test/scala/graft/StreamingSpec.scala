@@ -639,4 +639,59 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming per-row scores must equal the batch agg: $out vs $batch")
     } finally q.stop()
   }
+
+  test("curationIngest e2e: clean -> gate -> dedup -> upsert sink runs as " +
+    "ONE streaming pipeline, dedup state survives a restart, and the " +
+    "batch twin of the same rows agrees") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_cur_t").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cur_cp").toString
+    val good = (Seq("the", "report", "that", "we", "have", "shared",
+      "with") ++ (1 to 53).map(i => s"word${i % 7}x")).mkString(" ")
+    val good2 = (Seq("the", "other", "report", "that", "she", "has",
+      "written", "with") ++ (1 to 52).map(i => s"item${i % 5}y"))
+      .mkString(" ")
+    val short = "the short one that we have with"
+    val weights = Map(0L -> 1L)
+    def ingest(df: org.apache.spark.sql.DataFrame) =
+      Streams.curationIngest(df, "doc_id", "text", "ts",
+        weights, nBuckets = 64, minScore = 0.5,
+        watermarkDelay = "30 minutes", minWords = 40, minStopwords = 1)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val curated = ingest(input.toDF().toDF("doc_id", "ts", "text"))
+      .withColumn("part", pmod(col("doc_id"), lit(2)))
+    def start() = Streams.upsertSink(curated, table, cp,
+      keys = Seq("doc_id"), tsCol = "ts", partitionCol = "part")
+    def kept() = spark.read.parquet(table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val q1 = start()
+    try {
+      input.addData((1L, ts(0), good), (2L, ts(1), short))
+      q1.processAllAvailable()
+      assert(kept() === Set(1L),
+        "good doc passes every gate; the short one dies at c4Clean")
+    } finally q1.stop() // kill
+
+    val q2 = start()
+    try {
+      // doc 3 is a verbatim duplicate of doc 1 INSIDE the watermark
+      // horizon: only the restored dedup state can know to drop it;
+      // doc 4 is new and must land
+      input.addData((3L, ts(2), good), (4L, ts(3), good2))
+      q2.processAllAvailable()
+      assert(kept() === Set(1L, 4L),
+        "restart-restored dedup state drops the duplicate, new doc lands")
+    } finally q2.stop()
+
+    // batch twin: the SAME composition over the same rows as one batch
+    // frame picks the same survivors (earliest-per-fingerprint)
+    val batch = ingest(Seq(
+      (1L, ts(0), good), (2L, ts(1), short),
+      (3L, ts(2), good), (4L, ts(3), good2))
+      .toDF("doc_id", "ts", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch === Set(1L, 4L), "batch twin agrees with the stream")
+  }
 }
