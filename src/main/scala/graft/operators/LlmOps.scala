@@ -820,7 +820,7 @@ object LlmOps {
   private def checkedPqCodebook(
       cb: DataFrame, ksub: Int, what: String): DataFrame = {
     val c = cb.localCheckpoint(true)
-    val n = c.select(size(col("cb"))).head.getInt(0)
+    val n = c.select(size(col("cb"))).head().getInt(0)
     require(n >= 1,
       s"$what PQ codebook is empty — no vectors in the seed id range " +
         s"(the kmeansCentroids convention needs ids dense from 0)")
@@ -832,7 +832,7 @@ object LlmOps {
 
   /** Actual entry count of a checkpointed one-row codebook. */
   private def codebookLen(cb: DataFrame): Int =
-    cb.select(size(col("cb"))).head.getInt(0)
+    cb.select(size(col("cb"))).head().getInt(0)
 
   /** TRAIN the per-subspace PQ codebooks: `iters` rounds of k-means in
     * each of the m sub-spaces independently — assignment is the native

@@ -1096,6 +1096,118 @@ object TextOps {
           .as("lm_score"))
   }
 
+  /** Stupid-backoff trigram LM, trained in-engine on a reference
+    * subset and applied as a perplexity gate over the whole corpus —
+    * the REAL n-gram LM that [[unigramLogFreq]]'s docstring reserves
+    * the slot for, in the CCNet position (Wenzek et al. 2020 train a
+    * KenLM on Wikipedia and threshold CommonCrawl on its perplexity).
+    *
+    * The model is Brants et al. 2007's stupid backoff ("Large Language
+    * Models in Machine Translation") — chosen BECAUSE it is the
+    * distributable n-gram LM: no discounting or normalization pass,
+    * the model IS the raw count tables, so training is three keyed
+    * aggregations and nothing else. Score of a trigram (w1 w2 w3):
+    *
+    *   c(w1 w2 w3) > 0 :  log2 c(w1w2w3) − log2 c(w1w2)
+    *   c(w2 w3)    > 0 :  log2 α + log2 c(w2w3) − log2 c(w2)
+    *   otherwise       :  2·log2 α + log2(c(w3)+1) − log2(N+V)
+    *
+    * with the floor add-one-smoothed over the train unigrams (N =
+    * train tokens, V = distinct train unigram hashes) so unseen words
+    * get a finite cost. α is pinned to 1/2 — the paper's 0.4 is an
+    * untuned constant ("different values work almost equally well"),
+    * and a power of two keeps every term in [[log2Fixed]] integer
+    * fixed point: per-gram scores are INTEGERS, the per-doc sum is
+    * order-free, and both engines agree bit-for-bit (the one float op
+    * is the final display division). Grams are keyed by the engine's
+    * [[LlmOps.strHash]]; hash collisions merge counts identically in
+    * both engines. Docs with fewer than 3 words have no trigrams and
+    * drop from the output (mirrored by the oracle).
+    *
+    * Output: (idCol, n_grams, bits_per_gram = −mean score / 2^20 —
+    * log2 of the doc's stupid-backoff "perplexity", lower = more
+    * fluent under the reference corpus — and kept = the gate). The
+    * gate compares UNROUNDED integers (−Σscore ≤ n·threshBits·2^20),
+    * never the rounded float — the knife-edge discipline
+    * ext_stream_curation established.
+    *
+    * Scale shape (the Brants construction): the three count tables are
+    * one explode + keyed agg each over the TRAIN split (a small
+    * reference corpus — CCNet's is Wikipedia), output bounded by
+    * distinct-gram count; [[log2Fixed]] runs once per distinct COUNT
+    * ROW, never per corpus token. The score side is one explode fused
+    * with the scan (shingle structs built per position, hashes scalar
+    * codegen after the explode — the [[LlmOps.shingleHashes]]
+    * discipline) and five left joins against the count tables — head
+    * tables broadcast, tail keyed, exactly the sharded count-table
+    * lookup of the paper — then ONE doc-keyed agg of integer sums. */
+  def lmStupidBackoff(
+      df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column, threshBits: Int = 8): DataFrame = {
+    require(threshBits >= 1, s"threshBits must be positive: $threshBits")
+    val F = 1L << 20
+
+    def counts(n: Int): DataFrame = {
+      val base = df.filter(trainPred)
+        .select(LlmOps.words(col(textCol)).as("__ws"))
+      val grams =
+        if (n == 1) base.select(explode(col("__ws")).as("__g"))
+        else base.select(explode(LlmOps.shinglesOf(col("__ws"), n)).as("__g"))
+      grams.select(LlmOps.strHash(col("__g")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+    }
+    val uni = counts(1).select(col("h"), col("c"),
+      log2Fixed(col("c")).as("f"), log2Fixed(col("c") + 1L).as("fp"))
+    val bi = counts(2).select(col("h"), log2Fixed(col("c")).as("f"))
+    val tri = counts(3).select(col("h"), log2Fixed(col("c")).as("f"))
+    // the unigram floor's add-one denominator: one row, broadcast
+    val tot = counts(1).agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+      .select(log2Fixed(col("__n") + col("__v")).as("__ft"))
+
+    val pos = df
+      .select(col(idCol), LlmOps.words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__ws")) - 3),
+        i => {
+          val ws = col("__ws")
+          struct(
+            concat_ws(" ", ws(i), ws(i + 1), ws(i + 2)).as("s3"),
+            concat_ws(" ", ws(i), ws(i + 1)).as("s2c"),
+            concat_ws(" ", ws(i + 1), ws(i + 2)).as("s2"),
+            ws(i + 1).as("s1c"),
+            ws(i + 2).as("s1"))
+        })).as("__g"))
+      .select(col(idCol),
+        LlmOps.strHash(col("__g.s3")).as("h3"),
+        LlmOps.strHash(col("__g.s2c")).as("h2c"),
+        LlmOps.strHash(col("__g.s2")).as("h2"),
+        LlmOps.strHash(col("__g.s1c")).as("h1c"),
+        LlmOps.strHash(col("__g.s1")).as("h1"))
+
+    pos
+      .join(tri.select(col("h").as("h3"), col("f").as("f3")), Seq("h3"), "left")
+      .join(bi.select(col("h").as("h2c"), col("f").as("f2c")), Seq("h2c"), "left")
+      .join(bi.select(col("h").as("h2"), col("f").as("f2")), Seq("h2"), "left")
+      .join(uni.select(col("h").as("h1c"), col("f").as("f1c")), Seq("h1c"), "left")
+      .join(uni.select(col("h").as("h1"), col("fp").as("f1p")), Seq("h1"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        // c3>0 implies its prefix bigram occurred (f2c defined), and
+        // c2>0 implies w2 occurred (f1c defined) — no null leaks
+        when(col("f3").isNotNull, col("f3") - col("f2c"))
+          .when(col("f2").isNotNull, col("f2") - col("f1c") - lit(F))
+          .otherwise(coalesce(col("f1p"), lit(0L)) - col("__ft") - lit(2L * F))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"), sum(col("__s")).as("__sum"))
+      .select(col(idCol), col("n_grams"),
+        round(-col("__sum").cast("double") / (col("n_grams") * lit(F)), 6)
+          .as("bits_per_gram"),
+        (-col("__sum") <= col("n_grams") * lit(threshBits.toLong * F))
+          .cast("long").as("kept"))
+  }
+
   /** Document fingerprint: polynomial hash of the normalized text
     * (lowercase, trimmed, whitespace collapsed) — the exact-dedup key.
     * `n_same` counts documents sharing the fingerprint (keyed window,

@@ -1550,6 +1550,102 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Stupid-backoff trigram LM perplexity gate (LT28) ------------
+    // The real n-gram LM in the CCNet position: train Brants et al.
+    // stupid-backoff count tables on the src0 reference split, score
+    // every doc's trigrams with backoff (alpha = 1/2 so every term is
+    // log2Fixed-integer), gate on the UNROUNDED integer sum. The
+    // oracle replays training (three gram-count CTEs), the fixed-point
+    // log2 table over every distinct count, and the five-way backoff
+    // join end-to-end.
+    QDef.sql(
+      "llm_sb3_ppl", {
+        val F = 1L << 20
+        s"""WITH trn AS (
+           |  SELECT string_split(lower(text), ' ') AS ws
+           |  FROM documents WHERE source = 'src0'
+           |),
+           |u0 AS (
+           |  SELECT ${DuckSql.duckHash("w")} AS h,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(ws) AS w FROM trn) GROUP BY 1
+           |),
+           |b0 AS (
+           |  SELECT ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1]")} AS h,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+           |        FROM trn WHERE len(ws) >= 2)
+           |  GROUP BY 1
+           |),
+           |t0 AS (
+           |  SELECT
+           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
+           |      AS h,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           |        FROM trn WHERE len(ws) >= 3)
+           |  GROUP BY 1
+           |),
+           |tot AS (
+           |  SELECT (SELECT sum(c) FROM u0) + (SELECT count(*) FROM u0) AS n
+           |),
+           |args AS (
+           |  SELECT c AS n FROM u0
+           |  UNION SELECT c + 1 FROM u0
+           |  UNION SELECT c FROM b0
+           |  UNION SELECT c FROM t0
+           |  UNION SELECT n FROM tot
+           |),
+           |${DuckSql.duckLog2FixedCtes("args")},
+           |uni AS (
+           |  SELECT u0.h, l1.f AS f, l2.f AS fp
+           |  FROM u0 JOIN lg l1 ON l1.n = u0.c JOIN lg l2 ON l2.n = u0.c + 1
+           |),
+           |bi AS (SELECT b0.h, lg.f FROM b0 JOIN lg ON lg.n = b0.c),
+           |tri AS (SELECT t0.h, lg.f FROM t0 JOIN lg ON lg.n = t0.c),
+           |ft AS (SELECT lg.f AS ft FROM tot JOIN lg ON lg.n = tot.n),
+           |d AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+           |  FROM documents
+           |),
+           |g AS (
+           |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           |  FROM d WHERE len(ws) >= 3
+           |),
+           |k AS (
+           |  SELECT doc_id,
+           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
+           |      AS h3,
+           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1]")} AS h2c,
+           |    ${DuckSql.duckHash("ws[i+1] || ' ' || ws[i+2]")} AS h2,
+           |    ${DuckSql.duckHash("ws[i+1]")} AS h1c,
+           |    ${DuckSql.duckHash("ws[i+2]")} AS h1
+           |  FROM g
+           |),
+           |s AS (
+           |  SELECT doc_id,
+           |    CASE WHEN t.f IS NOT NULL THEN t.f - bc.f
+           |         WHEN b.f IS NOT NULL THEN b.f - uc.f - $F
+           |         ELSE coalesce(up.fp, 0) - ft.ft - ${2 * F} END AS sc
+           |  FROM k
+           |  LEFT JOIN tri t ON t.h = k.h3
+           |  LEFT JOIN bi bc ON bc.h = k.h2c
+           |  LEFT JOIN bi b ON b.h = k.h2
+           |  LEFT JOIN uni uc ON uc.h = k.h1c
+           |  LEFT JOIN uni up ON up.h = k.h1
+           |  CROSS JOIN ft
+           |)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  round(CAST(-sum(sc) AS DOUBLE) / (count(*) * $F), 6)
+           |    AS bits_per_gram,
+           |  CAST(-sum(sc) <= count(*) * ${8 * F} AS BIGINT) AS kept
+           |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextOps.lmStupidBackoff(t(s, dir, "documents"), "doc_id", "text",
+        trainPred = col("source") === "src0", threshBits = 8)
+        .orderBy("doc_id")
+    },
+
     // ----- Hashed-linear classifier inference (fastText-style filter) --
     // Logistic regression over a hashed bag-of-words with mean pooling:
     // score = sigmoid((Σ w[polyhash(tok) % 1024]) / 1000 / n_tokens).

@@ -494,4 +494,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  // ----- stupid-backoff trigram LM (LT28) ----------------------------
+
+  private val sbCorpus = Seq(
+    // the reference split: "a b c d e" x3 — every adjacent trigram of
+    // the cycle is in the count tables
+    (1L, "a b c d e a b c d e a b c d e", "ref"),
+    (2L, "a b c d e", "web"),   // all trigrams seen: cost 0
+    (3L, "b c e a b", "web"),   // one floor, one bigram backoff, one hit
+    (4L, "z q x w v", "web"),   // every word unseen: pure smoothed floor
+    (5L, "a b", "web"))         // < 3 words: no trigrams, drops
+    .toDF("doc_id", "text", "source")
+
+  private def sbRun(thresh: Int) =
+    TextOps.lmStupidBackoff(sbCorpus, "doc_id", "text",
+      trainPred = col("source") === "ref", threshBits = thresh)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("lmStupidBackoff: backoff levels order the docs — seen trigrams " +
+    "cost 0 bits, bigram backoff sits between, the unseen floor is " +
+    "worst; short docs drop") {
+    val out = sbRun(2)
+    assert(!out.contains(5L), "a 2-word doc has no trigrams")
+    assert(out(2L).getLong(1) === 3L, "5 words -> 3 trigrams")
+    assert(out(2L).getDouble(2) === 0.0,
+      "all-seen trigrams: lg c3 - lg c2ctx = 0 for every gram")
+    val bits = (d: Long) => out(d).getDouble(2)
+    assert(bits(2L) < bits(3L) && bits(3L) < bits(4L),
+      s"backoff depth must order the costs: ${bits(2L)}, ${bits(3L)}, ${bits(4L)}")
+    assert(out(2L).getLong(3) === 1L && out(4L).getLong(3) === 0L,
+      "the 2-bit gate keeps the fluent doc and drops the unseen-floor doc")
+  }
+
+  test("lmStupidBackoff: integer fixed-point scores are partition-" +
+    "invariant — 1 vs 8 partitions produce identical rows") {
+    def rows(parts: Int) =
+      TextOps.lmStupidBackoff(sbCorpus.repartition(parts), "doc_id",
+        "text", trainPred = col("source") === "ref")
+        .orderBy("doc_id").collect().toSeq
+    assert(rows(1) === rows(8))
+  }
 }
