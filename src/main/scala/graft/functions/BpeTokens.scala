@@ -112,7 +112,75 @@ case class BpeApplyMerge(child: Expression, a: String, b: String)
       newChild: Expression): BpeApplyMerge = copy(child = newChild)
 }
 
+/** [[BpeTokens]]' encode loop, emitting VOCABULARY IDS instead of
+  * symbol strings — the step a training pipeline actually ships: the
+  * per-word symbol segmentation mapped through a fixed (symbol → id)
+  * table. Both tables are constructor fields (driver-side vocabulary,
+  * zero per-row traffic, reached by generated code through reference
+  * objects). Symbols outside the vocabulary map to id 0 (UNK) — with a
+  * vocabulary built by [[graft.operators.TextOps.bpeVocab]] over the
+  * same corpus that only happens for out-of-corpus characters.
+  * Returns ARRAY<INT>. */
+case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
+    vocab: Map[String, Int])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_ids requires STRING input, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_ids"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i + 1))
+    }
+    m
+  }
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (s, i) => m.putIfAbsent(s, Integer.valueOf(i)) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeTokens.encodeIds(input.asInstanceOf[UTF8String], ranks, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    val idsRef = ctx.addReferenceObj("bpeIds", ids,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeTokens.encodeIds($c, $ranksRef, $idsRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeIds = copy(child = newChild)
+}
+
 object BpeTokens {
+  /** [[encode]] then map each symbol through the id table (absent →
+    * 0 = UNK); static forwarder for generated code. */
+  def encodeIds(word: UTF8String,
+      ranks: java.util.HashMap[String, Integer],
+      ids: java.util.HashMap[String, Integer]): ArrayData = {
+    val syms = encode(word, ranks)
+    val n = syms.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val id = ids.get(syms.getUTF8String(i).toString)
+      out(i) = if (id == null) 0 else id.intValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The per-word merge loop (static forwarder for generated code). */
   def encode(word: UTF8String,
       ranks: java.util.HashMap[String, Integer]): ArrayData = {

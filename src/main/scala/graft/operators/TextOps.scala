@@ -260,6 +260,103 @@ object TextOps {
       .toDF("rank", "x", "y")
   }
 
+  /** Build the (symbol → id) vocabulary for [[bpeEncodeIds]]: id 0 is
+    * reserved for UNK, ids 1..nBase are the corpus's distinct single
+    * code points in codepoint order (one distinct agg + an alphabet-
+    * bounded collect — the same bounded driver traffic as a k-means
+    * codebook), and each merge's output symbol takes nBase + rank.
+    * First writer wins on duplicate strings (two merges can compose
+    * the same output; they're the same token). This is the tokenizer
+    * artifact a training job persists next to the merge table. */
+  def bpeVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val base = df
+      .select(explode(split(lower(col(textCol)), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .distinct().orderBy("ch")
+      .collect().map(_.getString(0))
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.zipWithIndex.foreach { case (s, i) => out.getOrElseUpdate(s, i + 1) }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      out.getOrElseUpdate(a + b, base.length + i + 1)
+    }
+    out.toSeq
+  }
+
+  /** Encode every document to VOCABULARY IDS — the tokenize step a
+    * pretraining pipeline actually ships, upgrading [[bpeTokenCount]]
+    * from "how many tokens" to the tokens themselves. Each lowercased
+    * whitespace word runs the native [[graft.functions.BpeEncodeIds]]
+    * kernel (the [[graft.functions.BpeTokens]] merge loop mapped
+    * through the vocab table; out-of-vocabulary symbols → 0 = UNK) and
+    * the per-word id arrays concatenate in word order.
+    *
+    * Output is the LONG FORM (idCol, pos, tid) with pos the 0-based
+    * token position within the document — one row per token, the
+    * columnar layout downstream packing consumes directly; a sink
+    * that wants array-per-doc groups on idCol. Scale shape: both
+    * tables ride inside the expression to every executor once; the
+    * encode fuses with the scan and the only row growth is the explode
+    * to token granularity — no shuffle, no driver involvement. */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = BpeMergesEn,
+      vocab: Seq[(String, Int)] = Nil): DataFrame = {
+    val v = if (vocab.nonEmpty) vocab else bpeVocab(df, textCol, merges)
+    def ids(w: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BpeEncodeIds(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(w),
+          merges, v.toMap))
+    df.select(col(idCol), LlmOps.words(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        posexplode(flatten(transform(col("__ws"), w => ids(w))))
+          .as(Seq("pos", "tid")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("tid").cast("long").as("tid"))
+  }
+
+  /** Concat-and-chunk packing of REAL token ids — the GPT-style last
+    * mile to the trainer: documents are [[bpeEncodeIds]]-encoded,
+    * laid end-to-end in deterministic (shard, doc-id) order, and the
+    * token stream is cut every `budget` tokens, so sequences are
+    * token-exact and documents straddle cuts exactly as in production
+    * sequence packing (contrast [[packSequences]], which bins WHOLE
+    * docs by cumulative offset and lets a bin overflow its budget).
+    *
+    * Plan: the encode explode (per-row, shuffle-free) feeds a per-doc
+    * count agg; ONE window cumsum per shard turns counts into doc
+    * start offsets; the token rows join their doc's offset back (doc-
+    * keyed broadcast-or-shuffle join) and the cut is pure arithmetic:
+    * global position g = offset + pos, seq_no = g div budget,
+    * seq_pos = g mod budget. At 100 TB shards bound the window's sort
+    * (grow nShards with the corpus — they're the output shard files;
+    * compose with [[epochShuffle]] for a shuffled epoch order), and
+    * no sequence array ever materializes — the long form IS the
+    * columnar layout a Parquet/Arrow sink writes.
+    *
+    * Output: (shard, seq_no, seq_pos, idCol, tid), one row per token. */
+  def packTokenIds(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, nShards: Int,
+      merges: Seq[(String, String)] = BpeMergesEn): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"token budget must be >= 1: $budget")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val enc = bpeEncodeIds(df, idCol, textCol, merges)
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = enc.groupBy(col("shard"), col(idCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("shard"), col(idCol), col("__off"))
+    enc.join(offsets, Seq("shard", idCol))
+      .select(col("shard"),
+        floor((col("__off") + col("pos")) / lit(budget.toDouble))
+          .cast("long").as("seq_no"),
+        pmod(col("__off") + col("pos"), lit(budget)).as("seq_pos"),
+        col(idCol), col("tid"))
+  }
+
   /** Stopword removal: drop listed tokens from the text, preserving the
     * order and single-space joining of the survivors. Per-row lambda,
     * shuffle-free; the words array is projected before the filter

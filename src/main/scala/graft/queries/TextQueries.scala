@@ -39,6 +39,87 @@ object TextQueries {
   private def duckStopCount(list: Seq[String]): String =
     s"len(list_filter(ws, x -> list_contains(${duckList(list)}, x)))"
 
+  /** BPE encode-to-ids CTE chain — the llm_bpe_tokens recursion
+    * carried through to ids, ending in `enc(doc_id, pos, tid)`.
+    * Mirrors [[graft.operators.TextOps.bpeEncodeIds]] /
+    * [[graft.operators.TextOps.bpeVocab]] exactly: same merge ranks,
+    * same codepoint-ordered base vocabulary from id 1, merge outputs
+    * at nBase + rank with first-writer-wins (min id), UNK = 0. */
+  private def duckBpeEncodeCtes(): String = {
+    val keys = TextOps.BpeMergesEn
+      .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+    val vals = TextOps.BpeMergesEn.indices
+      .map(_ + 1).mkString("[", ",", "]")
+    val mergeRows = TextOps.BpeMergesEn.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a$b')" }.mkString(", ")
+    val bestJ = "(list_sort(list_filter(list_transform(" +
+      "generate_series(1, len(syms)-1), " +
+      "i -> {'r': m[syms[i] || ' ' || syms[i+1]][1], 'i': i}), " +
+      "x -> x.r IS NOT NULL)))[1].i"
+    s"""RECURSIVE mm AS (
+       |  SELECT map($keys, $vals) AS m
+       |),
+       |w0 AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+       |),
+       |wds AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+       |  FROM w0
+       |),
+       |binit AS (
+       |  SELECT doc_id, wi,
+       |    CASE WHEN ws[wi] = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split(ws[wi], '') END AS syms
+       |  FROM wds
+       |),
+       |bst AS (
+       |  SELECT doc_id, wi, syms FROM binit
+       |  UNION ALL
+       |  SELECT doc_id, wi,
+       |         syms[1:bj-1] || [syms[bj] || syms[bj+1]] || syms[bj+2:]
+       |  FROM (
+       |    SELECT doc_id, wi, syms, $bestJ AS bj FROM bst, mm
+       |  ) WHERE bj IS NOT NULL
+       |),
+       |bfin AS (
+       |  SELECT doc_id, wi, syms FROM (
+       |    SELECT doc_id, wi, syms, $bestJ AS bj FROM bst, mm
+       |  ) WHERE bj IS NULL
+       |),
+       |vb AS (
+       |  SELECT ch, CAST(row_number() OVER (ORDER BY ch) AS BIGINT) AS tid
+       |  FROM (
+       |    SELECT DISTINCT ch FROM (
+       |      SELECT unnest(string_split(lower(text), '')) AS ch
+       |      FROM documents
+       |    ) WHERE ch <> ''
+       |  )
+       |),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vb),
+       |mv(mrank, sym) AS (VALUES $mergeRows),
+       |vocab AS (
+       |  SELECT sym, min(tid) AS tid FROM (
+       |    SELECT ch AS sym, tid FROM vb
+       |    UNION ALL
+       |    SELECT mv.sym, CAST(mv.mrank + nb.n AS BIGINT) FROM mv, nb
+       |  ) GROUP BY sym
+       |),
+       |etok AS (
+       |  SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS si,
+       |         syms
+       |  FROM bfin
+       |),
+       |enc AS (
+       |  SELECT e.doc_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY e.doc_id ORDER BY e.wi, e.si) - 1 AS BIGINT)
+       |      AS pos,
+       |    CAST(coalesce(v.tid, 0) AS BIGINT) AS tid
+       |  FROM (SELECT doc_id, wi, si, syms[si] AS sym FROM etok) e
+       |  LEFT JOIN vocab v ON v.sym = e.sym
+       |)""".stripMargin
+  }
+
   /** Winnowing fingerprint CTE chain (normalize → k-gram hashes →
     * window-min with rightmost-tie selection → distinct (fp, pos)),
     * ending in `fps(doc_id, fp, pos)`. Mirrors
@@ -469,6 +550,52 @@ object TextQueries {
       }) { (s, dir) =>
       TextOps.bpeTrainTable(t(s, dir, "documents"), "doc_id", "text",
         nMerges = 6).orderBy("rank")
+    },
+
+    // ----- BPE encode-to-ids (the tokenize step itself) ----------------
+    // The llm_bpe_tokens recursive-CTE encode, carried through to the
+    // actual token ids: final symbol lists unnest in (word, symbol)
+    // order and map through the replayed vocabulary (corpus code
+    // points in codepoint order from id 1, then merge outputs at
+    // nBase + rank, first writer wins, 0 = UNK).
+    QDef.sql(
+      "llm_bpe_encode",
+      s"""WITH ${duckBpeEncodeCtes()}
+         |SELECT doc_id, pos, tid FROM enc
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      TextOps.bpeEncodeIds(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    },
+
+    // ----- Concat-and-chunk packing of real token ids ------------------
+    // The GPT-style last mile: encoded docs lie end-to-end per shard
+    // in doc-id order and the token stream is cut every `budget`
+    // tokens — documents straddle cuts, sequences are token-exact.
+    // The oracle replays encode -> per-doc counts -> window-cumsum
+    // offsets -> the integer div/mod cut.
+    QDef.sql(
+      "llm_pack_ids",
+      s"""WITH ${duckBpeEncodeCtes()},
+         |cnt AS (
+         |  SELECT doc_id, doc_id % 4 AS shard,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM enc GROUP BY 1, 2
+         |),
+         |off AS (
+         |  SELECT doc_id, shard,
+         |    CAST(coalesce(sum(n) OVER (
+         |      PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS o
+         |  FROM cnt
+         |)
+         |SELECT o.shard, (o.o + e.pos) // 512 AS seq_no,
+         |       (o.o + e.pos) % 512 AS seq_pos, e.doc_id, e.tid
+         |FROM enc e JOIN off o ON o.doc_id = e.doc_id
+         |ORDER BY shard, seq_no, seq_pos""".stripMargin) { (s, dir) =>
+      TextOps.packTokenIds(t(s, dir, "documents"), "doc_id", "text",
+        budget = 512L, nShards = 4)
+        .orderBy("shard", "seq_no", "seq_pos")
     },
 
     // ----- Document fingerprint (exact-dedup key) ----------------------

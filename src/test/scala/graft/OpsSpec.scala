@@ -741,6 +741,54 @@ class OpsSpec extends AnyFunSuite {
     assert(apply_(Seq.empty[String], "a", "b") === Seq.empty)
   }
 
+  test("bpeEncodeIds: codepoint-ordered base vocab + merge ids, " +
+    "word-order concatenation, UNK = 0, and the encode is shuffle-free") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "the thing"), (2L, "xq the")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    // base chars of lower(text) incl. the space, codepoint order:
+    // ' '=1 e=2 g=3 h=4 i=5 n=6 q=7 t=8 x=9; merges: th=10 the=11
+    assert(TextOps.bpeVocab(docs, "text", merges) === Seq(
+      " " -> 1, "e" -> 2, "g" -> 3, "h" -> 4, "i" -> 5, "n" -> 6,
+      "q" -> 7, "t" -> 8, "x" -> 9, "th" -> 10, "the" -> 11))
+    val q = TextOps.bpeEncodeIds(docs, "doc_id", "text", merges)
+    val rows = q.orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      (1L, 0L, 11L), (1L, 1L, 10L), (1L, 2L, 5L), (1L, 3L, 6L),
+      (1L, 4L, 3L),
+      (2L, 0L, 9L), (2L, 1L, 7L), (2L, 2L, 11L)))
+    val plan = TextOps.bpeEncodeIds(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"encode must fuse with the scan, no shuffle:\n$plan")
+    // out-of-vocabulary symbol maps to UNK = 0 (explicit short vocab)
+    val unk = TextOps.bpeEncodeIds(Seq((1L, "ta")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq.empty, vocab = Seq("t" -> 1))
+      .orderBy("pos").collect().map(_.getLong(2)).toSeq
+    assert(unk === Seq(1L, 0L))
+  }
+
+  test("packTokenIds: token-exact concat-and-chunk cuts — documents " +
+    "straddle sequence boundaries, shards are independent") {
+    import graft.operators.TextOps
+    val docs = Seq((0L, "aa a"), (1L, "a"), (2L, "a aa a"))
+      .toDF("doc_id", "text")
+    // vocab: ' '=1, a=2; no merges -> doc0 = [2,2,2], doc1 = [2],
+    // doc2 = [2,2,2,2]; shard = doc_id % 2; budget 3: doc2's four
+    // tokens start at global offset 3 and straddle seq 1 into seq 2
+    val rows = TextOps.packTokenIds(docs, "doc_id", "text",
+      budget = 3L, nShards = 2, merges = Seq.empty)
+      .orderBy("shard", "seq_no", "seq_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (0L, 0L, 0L, 0L, 2L), (0L, 0L, 1L, 0L, 2L), (0L, 0L, 2L, 0L, 2L),
+      (0L, 1L, 0L, 2L, 2L), (0L, 1L, 1L, 2L, 2L), (0L, 1L, 2L, 2L, 2L),
+      (0L, 2L, 0L, 2L, 2L),
+      (1L, 0L, 0L, 1L, 2L)))
+  }
+
   test("bpeTrain: iterated argmax learns the hand-computed merge " +
     "sequence with the (count desc, pair asc) tie-break") {
     import graft.operators.TextOps
