@@ -323,13 +323,15 @@ object TextOps {
     * sequence packing (contrast [[packSequences]], which bins WHOLE
     * docs by cumulative offset and lets a bin overflow its budget).
     *
-    * Plan: the encode explode (per-row, shuffle-free) feeds a per-doc
-    * count agg; ONE window cumsum per shard turns counts into doc
-    * start offsets; the token rows join their doc's offset back (doc-
-    * keyed broadcast-or-shuffle join) and the cut is pure arithmetic:
-    * global position g = offset + pos, seq_no = g div budget,
-    * seq_pos = g mod budget. At 100 TB shards bound the window's sort
-    * (grow nShards with the corpus — they're the output shard files;
+    * Plan: doc start offsets come from the COUNT-ONLY kernel
+    * ([[bpeTokenCountCol]] — per-row over the doc frame, no explode,
+    * no id materialization: the full encode must not run twice) plus
+    * ONE window cumsum per shard; the token rows from the one real
+    * encode pass join their doc's offset back (a doc-sized frame —
+    * broadcast-or-keyed join) and the cut is pure arithmetic: global
+    * position g = offset + pos, seq_no = g div budget, seq_pos =
+    * g mod budget. At 100 TB shards bound the window's sort (grow
+    * nShards with the corpus — they're the output shard files;
     * compose with [[epochShuffle]] for a shuffled epoch order), and
     * no sequence array ever materializes — the long form IS the
     * columnar layout a Parquet/Arrow sink writes.
@@ -341,12 +343,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"token budget must be >= 1: $budget")
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
-    val enc = bpeEncodeIds(df, idCol, textCol, merges)
+    val vocab = bpeVocab(df, textCol, merges)
+    val enc = bpeEncodeIds(df, idCol, textCol, merges, vocab)
       .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = enc.groupBy(col("shard"), col(idCol))
-      .agg(count(lit(1)).as("__n"))
+    val offsets = df.select(col(idCol),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        bpeTokenCountCol(col(textCol), merges).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
       .select(col("shard"), col(idCol), col("__off"))
     enc.join(offsets, Seq("shard", idCol))
