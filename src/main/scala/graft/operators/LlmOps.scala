@@ -67,6 +67,24 @@ object LlmOps {
   /** Lowercased whitespace tokens of a text column. */
   def words(textCol: Column): Column = split(lower(textCol), " ")
 
+  /** Full-avalanche 32-bit finalizer (degski/Wang xor-shift-multiply,
+    * two rounds of `x ^= x>>16; x *= 0x45d9f3b` plus a final fold) —
+    * for consumers that need UNIFORM BITS from [[strHash]]'s
+    * polynomial (HLL leading-zero payloads; the single multiplicative
+    * scramble that fixes mixBucket's ordering problem is NOT enough
+    * there — measured 0.53× cardinality bias vs ±3% with this mix).
+    * The constant is < 2^27 so every product stays under 2^59: plain
+    * BIGINT arithmetic, no overflow, replayable verbatim in any
+    * engine (`xor`, integer div by 65536, mod 2^32). Input must be a
+    * non-negative value < 2^32; output is in [0, 2^32). */
+  def mix32(c: Column): Column = {
+    val w32 = lit(4294967296L)
+    def round_(x: Column): Column =
+      pmod(x.bitwiseXOR(shiftright(x, 16)) * lit(0x45d9f3bL), w32)
+    val a = round_(round_(c))
+    a.bitwiseXOR(shiftright(a, 16))
+  }
+
   /** n-word shingles from an ALREADY-MATERIALIZED words-array column.
     * The array must be a plain column reference, not the split
     * expression itself: a lambda that embeds `split(...)` re-evaluates

@@ -573,6 +573,101 @@ object TextOps {
       .limit(k)
   }
 
+  /** HyperLogLog registers over the corpus's token hashes, keyed by
+    * `keyCol` — the bounded-memory DISTINCT-count sibling of
+    * [[countMinSketch]]'s bounded-memory frequency: per key the agg
+    * output is AT MOST 2^p rows no matter the corpus, where exact
+    * `count(distinct)` shuffles the full per-key token space. Flajolet
+    * et al. 2007, with every step deterministic integer arithmetic so
+    * both engines reproduce the registers bit-for-bit: the token hash
+    * ([[LlmOps.strHash]]) passes the [[LlmOps.mix32]] full-avalanche
+    * finalizer into k ∈ [0, 2^32) (leading-zero payloads need uniform
+    * HIGH bits — the single multiplicative scramble measured a 0.53×
+    * cardinality bias here), bucket j = k mod 2^p,
+    * payload w = k div 2^p (a 32−p-bit word), and the register is
+    * max over the bucket of rho(w) = leading zeros of w + 1
+    * (= 32−p − bitlength(w) + 1; w = 0 → 32−p+1), bitlength as
+    * `length(bin(w))` — the [[unigramLogFreq]] bit-length trick.
+    *
+    * Registers are MERGEABLE (max): shard registers union across
+    * snapshots/sources with a 2^p-row max-agg — the property that
+    * makes HLL the 100 TB cardinality report (per-source vocab size,
+    * cross-snapshot distinct growth) without ever paying the exact
+    * distinct shuffle. Output: (keyCol, j, mj). */
+  def hllRegisters(df: DataFrame, idCol: String, textCol: String,
+      keyCol: String, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16]: $p")
+    val m = 1L << p
+    val toks = df
+      .select(col(keyCol), explode(LlmOps.words(col(textCol))).as("__w"))
+      .select(col(keyCol),
+        LlmOps.mix32(LlmOps.strHash(col("__w"))).as("__k"))
+    val w = expr(s"__k div ${m}L")
+    toks
+      .select(col(keyCol), pmod(col("__k"), lit(m)).as("j"),
+        when(w === 0L, lit(32L - p + 1L))
+          .otherwise(lit(32L - p + 1L) - length(bin(w)).cast("long"))
+          .as("__rho"))
+      .groupBy(col(keyCol), col("j")).agg(max(col("__rho")).as("mj"))
+  }
+
+  /** The HLL estimate from [[hllRegisters]], next to the exact
+    * distinct count for calibration — with EVERY float deterministic:
+    *
+    *  - the harmonic-mean denominator Σ 2^−Mj is summed as exact
+    *    dyadic integers (Σ 2^(Wmax−Mj) in BIGINT, Wmax = 32−p+1,
+    *    absent buckets contributing 2^Wmax each) — order-free, so the
+    *    raw estimate alpha·m²·2^Wmax / S is ONE division of identical
+    *    doubles in both engines (alpha_m = 0.7213/(1+1.079/m), the
+    *    published bias constant, rendered as the same literal);
+    *  - the small-range linear-counting correction m·ln(m/V) (V =
+    *    never-hit buckets) avoids libm entirely via [[log2Fixed]]:
+    *    m·ln2·(p·2^20 − log2Fixed(V)) / 2^20, with m·ln2 a rendered
+    *    literal — bit-equal across engines like every other fixed-
+    *    point path;
+    *  - the standard regime switch (zeros present AND raw < 2.5m)
+    *    compares doubles both engines computed identically, so it
+    *    cannot knife-edge.
+    *
+    * Per key the sketch side is ONE 2^p-bounded agg + one row; the
+    * exact `n_exact` column beside it is the calibration cost a
+    * production caller deletes. Output: (keyCol, n_exact, hll_est,
+    * hll_raw, zeros). */
+  def hllDistinct(df: DataFrame, idCol: String, textCol: String,
+      keyCol: String, p: Int = 10): DataFrame = {
+    val m = 1L << p
+    val wmax = 32 - p + 1
+    val F = 1L << 20
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val rawNum = alpha * m.toDouble * m.toDouble * (1L << wmax).toDouble
+    val lcc = m.toDouble * math.log(2.0)
+    val regs = hllRegisters(df, idCol, textCol, keyCol, p)
+    val est = regs.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__present"),
+      sum(pow(lit(2.0), lit(wmax.toLong) - col("mj")).cast("long"))
+        .as("__s1"))
+      .select(col(keyCol),
+        (lit(m) - col("__present")).as("zeros"),
+        (col("__s1") + (lit(m) - col("__present")) * lit(1L << wmax))
+          .as("__s"))
+      .select(col(keyCol), col("zeros"),
+        (lit(rawNum) / col("__s").cast("double")).as("__raw"))
+      .select(col(keyCol), col("zeros"), round(col("__raw"), 6).as("hll_raw"),
+        round(
+          when(col("zeros") > 0L && col("__raw") < lit(2.5 * m.toDouble),
+            lit(lcc) * (lit(p.toLong * F) - log2Fixed(col("zeros")))
+              / lit(F.toDouble))
+            .otherwise(col("__raw")), 6).as("hll_est"))
+    val exact = df
+      .select(col(keyCol), explode(LlmOps.words(col(textCol))).as("__w"))
+      .select(col(keyCol), LlmOps.strHash(col("__w")).as("h"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("h")).as("n_exact"))
+    est.join(exact, Seq(keyCol))
+      .select(col(keyCol), col("n_exact"), col("hll_est"), col("hll_raw"),
+        col("zeros"))
+  }
+
   /** PII regexes shared by the engine and the DuckDB oracle rendering:
     * plain ERE features only (classes, +, bounded reps, \b, \d) so the
     * same pattern string is valid for Java's regex and RE2. */

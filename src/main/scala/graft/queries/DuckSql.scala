@@ -15,6 +15,27 @@ object DuckSql {
        |    list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
+  /** DuckDB rendering of LlmOps.mix32 (degski/Wang full-avalanche
+    * 32-bit finalizer): two rounds of `x ^= x>>16; x *= 0x45d9f3b`
+    * mod 2^32, plus the final xor-fold — staged as CTEs so the input
+    * expression is evaluated once per row, not once per textual
+    * reference. Shift-right of a non-negative value renders as
+    * integer division by 65536 — identical in both engines. Produces
+    * a CTE `mx($keyCols, k)` reading `$hCol` from `$src`. */
+  def duckMix32Ctes(src: String, keyCols: String, hCol: String): String =
+    s"""__mx1 AS (
+       |  SELECT $keyCols,
+       |    (xor($hCol, $hCol // 65536) * 73244475) % 4294967296 AS __x
+       |  FROM $src
+       |),
+       |__mx2 AS (
+       |  SELECT $keyCols,
+       |    (xor(__x, __x // 65536) * 73244475) % 4294967296 AS __x
+       |  FROM __mx1
+       |),
+       |mx AS (SELECT $keyCols, xor(__x, __x // 65536) AS k FROM __mx2)"""
+      .stripMargin
+
   /** Sequential left-fold double sum (mirrors LlmOps' aggregate order). */
   def duckFold(terms: String): String =
     s"list_reduce(list_prepend(0.0, $terms), (a, x) -> a + x)"

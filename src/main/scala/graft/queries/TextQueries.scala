@@ -1773,6 +1773,65 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- HyperLogLog per-source distinct tokens (LT30) ---------------
+    // Engine-exact HLL: scrambled token hash -> bucket/leading-zero
+    // registers (all integer), exact-dyadic harmonic sum, raw
+    // estimator + the linear-counting small-range correction via
+    // log2Fixed (no libm ln). Exact count(distinct) sits beside it as
+    // calibration. The oracle replays registers, the dyadic sum, the
+    // fixed-point ln, and the regime switch.
+    QDef.sql(
+      "llm_hll_card", {
+        val p = 10
+        val m = 1L << p
+        val wmax = 32 - p + 1
+        val F = 1L << 20
+        val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+        val rawNum = alpha * m.toDouble * m.toDouble * (1L << wmax).toDouble
+        val lcc = m.toDouble * math.log(2.0)
+        s"""WITH toks AS (
+           |  SELECT source, ${DuckSql.duckHash("w")} AS h
+           |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM documents)
+           |),
+           |${DuckSql.duckMix32Ctes("toks", "source", "h")},
+           |regs AS (
+           |  SELECT source, k % $m AS j,
+           |    max(CASE WHEN k // $m = 0 THEN $wmax
+           |             ELSE $wmax - length(bin(k // $m)) END) AS mj
+           |  FROM mx GROUP BY 1, 2
+           |),
+           |agg AS (
+           |  SELECT source, CAST($m - count(*) AS BIGINT) AS zeros,
+           |    CAST(sum(CAST(power(2.0, $wmax - mj) AS BIGINT))
+           |         + ($m - count(*)) * ${1L << wmax} AS BIGINT) AS s
+           |  FROM regs GROUP BY 1
+           |),
+           |args AS (SELECT DISTINCT zeros AS n FROM agg WHERE zeros > 0),
+           |${DuckSql.duckLog2FixedCtes("args")},
+           |est AS (
+           |  SELECT a.source, a.zeros,
+           |    round($rawNum / CAST(a.s AS DOUBLE), 6) AS hll_raw,
+           |    CASE WHEN a.zeros > 0
+           |              AND $rawNum / CAST(a.s AS DOUBLE) < ${2.5 * m}
+           |         THEN round($lcc * (${p.toLong * F} - lg.f)
+           |                    / ${F.toDouble}, 6)
+           |         ELSE round($rawNum / CAST(a.s AS DOUBLE), 6) END
+           |      AS hll_est
+           |  FROM agg a LEFT JOIN lg ON lg.n = a.zeros
+           |),
+           |ex AS (
+           |  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+           |  FROM toks GROUP BY 1
+           |)
+           |SELECT e.source, x.n_exact, e.hll_est, e.hll_raw, e.zeros
+           |FROM est e JOIN ex x ON x.source = e.source
+           |ORDER BY e.source""".stripMargin
+      }) { (s, dir) =>
+      TextOps.hllDistinct(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source")
+    },
+
     // ----- Hashed-linear classifier inference (fastText-style filter) --
     // Logistic regression over a hashed bag-of-words with mean pooling:
     // score = sigmoid((Σ w[polyhash(tok) % 1024]) / 1000 / n_tokens).

@@ -527,6 +527,48 @@ class CurationOpsSpec extends AnyFunSuite {
       "the 2-bit gate keeps the fluent doc and drops the unseen-floor doc")
   }
 
+  // ----- HyperLogLog distinct sketch (LT30) --------------------------
+
+  test("hllDistinct: linear counting nails the small range, the raw " +
+    "estimator lands within HLL error in the large range") {
+    // small range: 40 distinct words, far below m = 1024
+    val small = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "), "a"))
+      .toDF("doc_id", "text", "source")
+    val s = TextOps.hllDistinct(small, "doc_id", "text", "source")
+      .collect()(0)
+    assert(s.getLong(1) === 40L)
+    assert(math.abs(s.getDouble(2) - 40.0) <= 3.0,
+      s"linear counting should sit near 40: $s")
+    // large range: 20k distinct words >> 2.5m -> raw regime
+    val big = (0 until 40).map(d =>
+      (d.toLong, (0 until 500).map(i => s"tok${d}_$i").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val b = TextOps.hllDistinct(big, "doc_id", "text", "source")
+      .collect()(0)
+    assert(b.getLong(1) === 20000L)
+    assert(b.getDouble(2) === b.getDouble(3),
+      "large range must report the raw estimator")
+    assert(math.abs(b.getDouble(2) / 20000.0 - 1.0) <= 0.10,
+      s"raw HLL should land within ~3 std errors of 20k: $b")
+  }
+
+  test("hllRegisters merge by max: sharded registers union to exactly " +
+    "the whole-corpus registers") {
+    val docs = (0 until 30).map(d =>
+      (d.toLong, (0 until 100).map(i => s"m${d}_$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val whole = TextOps.hllRegisters(docs, "doc_id", "text", "source")
+      .orderBy("j").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val h1 = TextOps.hllRegisters(docs.filter(col("doc_id") < 15),
+      "doc_id", "text", "source")
+    val h2 = TextOps.hllRegisters(docs.filter(col("doc_id") >= 15),
+      "doc_id", "text", "source")
+    val merged = h1.unionByName(h2)
+      .groupBy("source", "j").agg(max("mj").as("mj"))
+      .orderBy("j").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === whole)
+  }
+
   test("lmStupidBackoff: integer fixed-point scores are partition-" +
     "invariant — 1 vs 8 partitions produce identical rows") {
     def rows(parts: Int) =
