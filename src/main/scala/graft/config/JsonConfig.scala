@@ -233,6 +233,15 @@ object JsonConfig {
                 else 4096L,
         min = num("min", 0.5)))
     } else None,
+    lmFilter = if (n.path("lm_filter").isObject) {
+      val lm = n.path("lm_filter")
+      Some(LmFilterDef(
+        idField = str(lm.path("id_field")).getOrElse(sys.error("lm_filter missing id_field")),
+        textField = str(lm.path("text_field")).getOrElse(sys.error("lm_filter missing text_field")),
+        srcField = str(lm.path("src_field")).getOrElse(sys.error("lm_filter missing src_field")),
+        trainSource = str(lm.path("train_source")).getOrElse(sys.error("lm_filter missing train_source")),
+        threshBits = int(lm.path("thresh_bits")).getOrElse(8)))
+    } else None,
     gopherFilter = if (n.path("gopher_filter").isObject) {
       val gf = n.path("gopher_filter")
       def num(key: String, dflt: Double): Double =

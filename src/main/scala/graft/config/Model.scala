@@ -145,6 +145,12 @@ final case class TransformDef(
       * seed sources, then gate on the trained score (LT26; see
       * TextOps.classifierTrain). */
     classifierTrain: Option[ClassifierTrainDef] = None,
+    /** LLM-extension: stupid-backoff trigram LM perplexity gate
+      * (LT28; see TextOps.lmStupidBackoff) — TRAIN the count tables
+      * on this frame's `trainSource` reference split, keep docs whose
+      * bits-per-trigram clears the integer gate. Docs with fewer than
+      * 3 words have no trigrams and drop. */
+    lmFilter: Option[LmFilterDef] = None,
     /** LLM-extension: keep only docs passing the Gopher rule set
       * (LT21; see TextOps.gopherRules). */
     gopherFilter: Option[GopherFilterDef] = None,
@@ -289,6 +295,19 @@ final case class ClassifierTrainDef(
     iters: Int = 3,
     lrDen: Long = 4096L,
     min: Double = 0.5)
+
+/** LLM-extension: stupid-backoff trigram LM perplexity gate inside a
+  * pipeline's transform (the CCNet position): count tables train on
+  * the rows whose `srcField` equals `trainSource`, every row's
+  * trigrams score with backoff, and rows whose −Σscore exceeds
+  * `threshBits` bits/gram (compared as UNROUNDED integers) drop —
+  * as do sub-trigram rows (see TextOps.lmStupidBackoff). */
+final case class LmFilterDef(
+    idField: String,
+    textField: String,
+    srcField: String,
+    trainSource: String,
+    threshBits: Int = 8)
 
 /** LLM-extension: Gopher rule-set quality gate inside a pipeline's
   * transform — keep rows whose `textField` passes every rule (see

@@ -213,7 +213,7 @@ object TomlConfig {
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
     * `lang_filter`, `quality_filter`, `classifier_filter`,
-    * `classifier_train`, `gopher_filter`, `c4_clean`, `dsir_select`,
+    * `classifier_train`, `lm_filter`, `gopher_filter`, `c4_clean`, `dsir_select`,
     * `repetition_filter`,
     * `sample` — reference-style TOML
     * configs get the full LLM-curation transform surface too. */
@@ -227,6 +227,7 @@ object TomlConfig {
     val qf = tbl(n.get("quality_filter"))
     val cf = tbl(n.get("classifier_filter"))
     val ct = tbl(n.get("classifier_train"))
+    val lm = tbl(n.get("lm_filter"))
     val gf = tbl(n.get("gopher_filter"))
     val cc = tbl(n.get("c4_clean"))
     val ds = tbl(n.get("dsir_select"))
@@ -325,6 +326,14 @@ object TomlConfig {
           iters = long(ct.get("iters")).getOrElse(3L).toInt,
           lrDen = long(ct.get("lr_den")).getOrElse(4096L),
           min = dbl(ct.get("min")).getOrElse(0.5))),
+      lmFilter =
+        if (!declared("lm_filter", lm)) None
+        else Some(LmFilterDef(
+          idField = str(lm.get("id_field")).getOrElse(sys.error("lm_filter missing id_field")),
+          textField = str(lm.get("text_field")).getOrElse(sys.error("lm_filter missing text_field")),
+          srcField = str(lm.get("src_field")).getOrElse(sys.error("lm_filter missing src_field")),
+          trainSource = str(lm.get("train_source")).getOrElse(sys.error("lm_filter missing train_source")),
+          threshBits = long(lm.get("thresh_bits")).getOrElse(8L).toInt)),
       gopherFilter =
         if (!declared("gopher_filter", gf)) None
         else Some(GopherFilterDef(

@@ -563,6 +563,13 @@ object Orchestrator {
       df = df.join(scores, Seq(ct.idField))
         .filter(col("classifier_score") >= ct.min)
     }
+    t.lmFilter.foreach { lf =>
+      val keep = graft.operators.TextOps.lmStupidBackoff(
+        df, lf.idField, lf.textField,
+        trainPred = col(lf.srcField) === lf.trainSource, lf.threshBits)
+        .filter(col("kept") === 1L).select(col(lf.idField))
+      df = df.join(keep, Seq(lf.idField), "left_semi")
+    }
     t.gopherFilter.foreach { gf =>
       val keep = graft.operators.TextOps.gopherRules(
         df, gf.idField, gf.textField,

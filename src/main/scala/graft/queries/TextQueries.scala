@@ -45,19 +45,92 @@ object TextQueries {
     * [[graft.operators.TextOps.bpeVocab]] exactly: same merge ranks,
     * same codepoint-ordered base vocabulary from id 1, merge outputs
     * at nBase + rank with first-writer-wins (min id), UNK = 0. */
-  private def duckBpeEncodeCtes(): String = {
+  /** BPE TRAINING CTE chain (Sennrich iterated argmax, one unrolled
+    * block per round: pair counts → (count desc, pair asc) argmax →
+    * run-parity-window merge application), ending with `bm1..bmN`
+    * (the learned merges) and `syN` (the merged vocabulary state).
+    * Mirrors [[graft.operators.TextOps.bpeTrain]] round for round;
+    * shared by llm_bpe_train and llm_tokenize_e2e. */
+  private def duckBpeTrainCtes(nRounds: Int): String = {
+    def round_(r: Int): String =
+      s"""px$r AS (
+         |  SELECT word, freq, i, s[i + 1] AS x, s[i + 2] AS y FROM (
+         |    SELECT word, freq, s,
+         |           unnest(generate_series(0, len(s) - 2)) AS i
+         |    FROM sy${r - 1} WHERE len(s) >= 2
+         |  )
+         |),
+         |pc$r AS (SELECT x, y, sum(freq) AS cnt FROM px$r GROUP BY x, y),
+         |bm$r AS (SELECT x, y FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+         |mk$r AS (
+         |  SELECT p.word, p.i, (p.x = b.x AND p.y = b.y) AS m,
+         |    CASE WHEN p.x = b.x AND p.y = b.y
+         |         THEN p.i - row_number() OVER (
+         |           PARTITION BY p.word, (p.x = b.x AND p.y = b.y)
+         |           ORDER BY p.i) END AS runk
+         |  FROM px$r p, bm$r b
+         |),
+         |mg$r AS (
+         |  SELECT word, i,
+         |    m AND (row_number() OVER (PARTITION BY word, runk
+         |                              ORDER BY i)) % 2 = 1 AS dm
+         |  FROM mk$r
+         |),
+         |sy$r AS (
+         |  SELECT e.word, e.freq,
+         |    list(CASE WHEN coalesce(dm0.dm, false) THEN e.sym || e.nxt
+         |              ELSE e.sym END ORDER BY e.i) AS s
+         |  FROM (
+         |    SELECT word, freq, i, s[i + 1] AS sym, s[i + 2] AS nxt FROM (
+         |      SELECT word, freq, s,
+         |             unnest(generate_series(0, len(s) - 1)) AS i
+         |      FROM sy${r - 1}
+         |    )
+         |  ) e
+         |  LEFT JOIN mg$r dm0 ON dm0.word = e.word AND dm0.i = e.i
+         |  LEFT JOIN mg$r pm ON pm.word = e.word AND pm.i = e.i - 1
+         |  WHERE NOT coalesce(pm.dm, false)
+         |  GROUP BY e.word, e.freq
+         |)""".stripMargin
+    val rounds = (1 to nRounds).map(round_).mkString(",\n")
+    s"""wf AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY w
+       |),
+       |sy0 AS (
+       |  SELECT word, freq,
+       |    CASE WHEN word = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split(word, '') END AS s
+       |  FROM wf
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** `mmBody` must select one row with a `m` MAP('pair a b' → rank);
+    * `mvCte` must be a full CTE defining `mv(mrank, sym)` — the merge
+    * outputs with their candidate-id ranks. Defaults render the
+    * static `TextOps.BpeMergesEn` table; llm_tokenize_e2e passes
+    * fragments built from its own replayed TRAINING rounds. The
+    * caller's WITH must say RECURSIVE. */
+  private def duckBpeEncodeCtes(
+      mmBody: Option[String] = None,
+      mvCte: Option[String] = None): String = {
     val keys = TextOps.BpeMergesEn
       .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
     val vals = TextOps.BpeMergesEn.indices
       .map(_ + 1).mkString("[", ",", "]")
     val mergeRows = TextOps.BpeMergesEn.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '$a$b')" }.mkString(", ")
+    val mm = mmBody.getOrElse(s"SELECT map($keys, $vals) AS m")
+    val mv = mvCte.getOrElse(s"mv(mrank, sym) AS (VALUES $mergeRows)")
     val bestJ = "(list_sort(list_filter(list_transform(" +
       "generate_series(1, len(syms)-1), " +
       "i -> {'r': m[syms[i] || ' ' || syms[i+1]][1], 'i': i}), " +
       "x -> x.r IS NOT NULL)))[1].i"
-    s"""RECURSIVE mm AS (
-       |  SELECT map($keys, $vals) AS m
+    s"""mm AS (
+       |  $mm
        |),
        |w0 AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
@@ -96,7 +169,7 @@ object TextQueries {
        |  )
        |),
        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vb),
-       |mv(mrank, sym) AS (VALUES $mergeRows),
+       |$mv,
        |vocab AS (
        |  SELECT sym, min(tid) AS tid FROM (
        |    SELECT ch AS sym, tid FROM vb
@@ -109,7 +182,7 @@ object TextQueries {
        |         syms
        |  FROM bfin
        |),
-       |enc AS (
+       |enc AS MATERIALIZED (
        |  SELECT e.doc_id,
        |    CAST(row_number() OVER (
        |      PARTITION BY e.doc_id ORDER BY e.wi, e.si) - 1 AS BIGINT)
@@ -488,68 +561,63 @@ object TextQueries {
     // row_numbers merge — exactly the native scan's skip-2 semantics).
     QDef.sql(
       "llm_bpe_train", {
-        def round_(r: Int): String =
-          s"""px$r AS (
-             |  SELECT word, freq, i, s[i + 1] AS x, s[i + 2] AS y FROM (
-             |    SELECT word, freq, s,
-             |           unnest(generate_series(0, len(s) - 2)) AS i
-             |    FROM sy${r - 1} WHERE len(s) >= 2
-             |  )
-             |),
-             |pc$r AS (SELECT x, y, sum(freq) AS cnt FROM px$r GROUP BY x, y),
-             |bm$r AS (SELECT x, y FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
-             |mk$r AS (
-             |  SELECT p.word, p.i, (p.x = b.x AND p.y = b.y) AS m,
-             |    CASE WHEN p.x = b.x AND p.y = b.y
-             |         THEN p.i - row_number() OVER (
-             |           PARTITION BY p.word, (p.x = b.x AND p.y = b.y)
-             |           ORDER BY p.i) END AS runk
-             |  FROM px$r p, bm$r b
-             |),
-             |mg$r AS (
-             |  SELECT word, i,
-             |    m AND (row_number() OVER (PARTITION BY word, runk
-             |                              ORDER BY i)) % 2 = 1 AS dm
-             |  FROM mk$r
-             |),
-             |sy$r AS (
-             |  SELECT e.word, e.freq,
-             |    list(CASE WHEN coalesce(mm.dm, false) THEN e.sym || e.nxt
-             |              ELSE e.sym END ORDER BY e.i) AS s
-             |  FROM (
-             |    SELECT word, freq, i, s[i + 1] AS sym, s[i + 2] AS nxt FROM (
-             |      SELECT word, freq, s,
-             |             unnest(generate_series(0, len(s) - 1)) AS i
-             |      FROM sy${r - 1}
-             |    )
-             |  ) e
-             |  LEFT JOIN mg$r mm ON mm.word = e.word AND mm.i = e.i
-             |  LEFT JOIN mg$r pm ON pm.word = e.word AND pm.i = e.i - 1
-             |  WHERE NOT coalesce(pm.dm, false)
-             |  GROUP BY e.word, e.freq
-             |)""".stripMargin
-        val rounds = (1 to 6).map(round_).mkString(",\n")
         val out = (1 to 6)
           .map(r => s"SELECT $r AS rank, x, y FROM bm$r")
           .mkString("\nUNION ALL\n")
-        s"""WITH wf AS (
-           |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
-           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-           |        FROM documents)
-           |  GROUP BY w
-           |),
-           |sy0 AS (
-           |  SELECT word, freq,
-           |    CASE WHEN word = '' THEN CAST([] AS VARCHAR[])
-           |         ELSE string_split(word, '') END AS s
-           |  FROM wf
-           |),
-           |$rounds
+        s"""WITH ${duckBpeTrainCtes(6)}
            |$out
            |ORDER BY rank""".stripMargin
       }) { (s, dir) =>
       TextOps.bpeTrainTable(t(s, dir, "documents"), "doc_id", "text",
         nMerges = 6).orderBy("rank")
+    },
+
+    // ----- Tokenizer closed loop: train -> vocab -> encode -> pack -----
+    // The LT20/LT29 loop closed IN ONE QUERY, the way classifier and
+    // PQ training closed theirs: 6 merges learned in-engine feed the
+    // vocabulary and the encode, and the encoded stream packs into
+    // budget-256 sequences. The oracle replays training (the
+    // llm_bpe_train rounds verbatim), builds the merge MAP and the
+    // vocabulary's merge rows FROM ITS OWN bm1..bm6 output
+    // (min-rank dedup = the engine's putIfAbsent), then runs the
+    // encode recursion and the pack arithmetic end-to-end.
+    QDef.sql(
+      "llm_tokenize_e2e", {
+        val mgd = (1 to 6)
+          .map(r => s"SELECT $r AS mrank0, x, y FROM bm$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE ${duckBpeTrainCtes(6)},
+           |mgd AS MATERIALIZED (
+           |  SELECT x, y, CAST(min(mrank0) AS BIGINT) AS mrank
+           |  FROM ($mgd) GROUP BY x, y
+           |),
+           |${duckBpeEncodeCtes(
+              mmBody = Some("SELECT map(list(x || ' ' || y ORDER BY mrank)," +
+                " list(mrank ORDER BY mrank)) AS m FROM mgd"),
+              mvCte = Some("mv AS (SELECT mrank, x || y AS sym FROM mgd)"))},
+           |cnt2 AS (
+           |  SELECT doc_id, doc_id % 4 AS shard,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM enc GROUP BY 1, 2
+           |),
+           |off2 AS (
+           |  SELECT doc_id, shard,
+           |    CAST(coalesce(sum(n) OVER (
+           |      PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS o
+           |  FROM cnt2
+           |)
+           |SELECT o.shard, (o.o + e.pos) // 256 AS seq_no,
+           |       (o.o + e.pos) % 256 AS seq_pos, e.doc_id, e.tid
+           |FROM enc e JOIN off2 o ON o.doc_id = e.doc_id
+           |ORDER BY shard, seq_no, seq_pos""".stripMargin
+      }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val learned = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 6)
+      TextOps.packTokenIds(docs, "doc_id", "text",
+        budget = 256L, nShards = 4, merges = learned)
+        .orderBy("shard", "seq_no", "seq_pos")
     },
 
     // ----- BPE encode-to-ids (the tokenize step itself) ----------------
@@ -560,7 +628,7 @@ object TextQueries {
     // nBase + rank, first writer wins, 0 = UNK).
     QDef.sql(
       "llm_bpe_encode",
-      s"""WITH ${duckBpeEncodeCtes()}
+      s"""WITH RECURSIVE ${duckBpeEncodeCtes()}
          |SELECT doc_id, pos, tid FROM enc
          |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
       TextOps.bpeEncodeIds(t(s, dir, "documents"), "doc_id", "text")
@@ -575,7 +643,7 @@ object TextQueries {
     // offsets -> the integer div/mod cut.
     QDef.sql(
       "llm_pack_ids",
-      s"""WITH ${duckBpeEncodeCtes()},
+      s"""WITH RECURSIVE ${duckBpeEncodeCtes()},
          |cnt AS (
          |  SELECT doc_id, doc_id % 4 AS shard,
          |         CAST(count(*) AS BIGINT) AS n

@@ -474,6 +474,31 @@ class OrchestratorSpec extends AnyFunSuite {
     assert((11L to 16L).forall(i => !out.contains(i)), "neg seeds drop")
   }
 
+  test("lm_filter transform trains the backoff LM on the reference " +
+    "source and gates every row on bits-per-trigram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmf").toString
+    val rows = Seq(
+      (1L, "ref", "a b c d e a b c d e a b c d e"),
+      (2L, "web", "a b c d e"),   // all trigrams seen in training
+      (3L, "web", "z q x w v"),   // every word unseen: pure floor
+      (4L, "web", "a b"))         // sub-trigram: no score, drops
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("lm"), Seq(
+      PipelineDef("lm", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          lmFilter = Some(LmFilterDef(
+            idField = "doc_id", textField = "text",
+            srcField = "source", trainSource = "ref",
+            threshBits = 2))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("lm").df.get.collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(out === Set(1L, 2L),
+      s"fluent docs survive, the unseen-floor and sub-trigram docs drop: $out")
+  }
+
   test("gopher_filter transform keeps only rows passing every rule") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gph").toString

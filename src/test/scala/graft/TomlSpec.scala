@@ -662,6 +662,12 @@ class TomlSpec extends AnyFunSuite {
         |iters = 2
         |lr_den = 64
         |min = 0.6
+        |[pipelines.transform.lm_filter]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |src_field = "source"
+        |train_source = "wiki"
+        |thresh_bits = 6
         |[pipelines.transform.gopher_filter]
         |id_field = "doc_id"
         |text_field = "text"
@@ -698,6 +704,9 @@ class TomlSpec extends AnyFunSuite {
     assert(t.nearDedupRegistry.exists(r => r.historyPath == "/tmp/hist"
       && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
     assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
+    assert(t.lmFilter.exists(lm => lm.srcField == "source"
+      && lm.trainSource == "wiki" && lm.threshBits == 6
+      && lm.idField == "doc_id" && lm.textField == "text"))
     assert(t.qualityFilter.exists(_.min == 0.4))
     assert(t.classifierTrain.exists(c => c.posSource == "curated"
       && c.negSource == "crawl" && c.srcField == "source"
