@@ -340,20 +340,38 @@ object TextOps {
   def packTokenIds(df: DataFrame, idCol: String, textCol: String,
       budget: Long, nShards: Int,
       merges: Seq[(String, String)] = BpeMergesEn): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    packTokenIdsBy(df, idCol, textCol, budget,
+      df.select(col(idCol),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        col(idCol).as("pos")),
+      merges)
+  }
+
+  /** [[packTokenIds]] with a CALLER-SUPPLIED layout: `order` is an
+    * (idCol, shard, pos) frame — pass [[epochShuffle]]'s output and
+    * the packed sequences land in shuffled, rerun-identical epoch
+    * order; pass a curriculum ranking and they land by difficulty.
+    * Docs absent from `order` don't pack (inner join). Same plan as
+    * [[packTokenIds]]: count-only kernel + one window cumsum per
+    * shard + a doc-sized offset join against the one real encode
+    * pass — zero corpus-sized shuffles beyond the layout's own. */
+  def packTokenIdsBy(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, order: DataFrame,
+      merges: Seq[(String, String)] = BpeMergesEn): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"token budget must be >= 1: $budget")
-    require(nShards >= 1, s"nShards must be >= 1: $nShards")
     val vocab = bpeVocab(df, textCol, merges)
-    val enc = bpeEncodeIds(df, idCol, textCol, merges, vocab)
-      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val ord = order.select(col(idCol), col("shard"), col("pos").as("__dpos"))
+    val w = Window.partitionBy("shard").orderBy(col("__dpos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = df.select(col(idCol),
-        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         bpeTokenCountCol(col(textCol), merges).as("__n"))
+      .join(ord, Seq(idCol))
       .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
       .select(col("shard"), col(idCol), col("__off"))
-    enc.join(offsets, Seq("shard", idCol))
+    bpeEncodeIds(df, idCol, textCol, merges, vocab)
+      .join(offsets, Seq(idCol))
       .select(col("shard"),
         floor((col("__off") + col("pos")) / lit(budget.toDouble))
           .cast("long").as("seq_no"),

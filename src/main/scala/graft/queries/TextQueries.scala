@@ -116,7 +116,8 @@ object TextQueries {
     * caller's WITH must say RECURSIVE. */
   private def duckBpeEncodeCtes(
       mmBody: Option[String] = None,
-      mvCte: Option[String] = None): String = {
+      mvCte: Option[String] = None,
+      src: String = "documents"): String = {
     val keys = TextOps.BpeMergesEn
       .map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
     val vals = TextOps.BpeMergesEn.indices
@@ -133,7 +134,7 @@ object TextQueries {
        |  $mm
        |),
        |w0 AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src
        |),
        |wds AS (
        |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
@@ -164,7 +165,7 @@ object TextQueries {
        |  FROM (
        |    SELECT DISTINCT ch FROM (
        |      SELECT unnest(string_split(lower(text), '')) AS ch
-       |      FROM documents
+       |      FROM $src
        |    ) WHERE ch <> ''
        |  )
        |),
@@ -663,6 +664,96 @@ object TextQueries {
          |ORDER BY shard, seq_no, seq_pos""".stripMargin) { (s, dir) =>
       TextOps.packTokenIds(t(s, dir, "documents"), "doc_id", "text",
         budget = 512L, nShards = 4)
+        .orderBy("shard", "seq_no", "seq_pos")
+    },
+
+    // ----- Epoch assembly: gate -> mix -> shuffle -> tokenize -> pack --
+    // The training-data endgame in ONE dataflow: a quality gate
+    // (gopher-lite: word floor + stopword presence; the full LT21/LT23
+    // batteries compose identically — proven in llm_curation2_e2e),
+    // temperature mixing at tau=2 over the gated corpus, the
+    // deterministic epoch shuffle, and token-exact packing of the BPE
+    // ids IN SHUFFLED ORDER via packTokenIdsBy. The oracle replays
+    // all five stages — the vocabulary builds from the SELECTED
+    // subset, exactly as the engine's bpeVocab sees it.
+    QDef.sql(
+      "llm_epoch_assembly",
+      s"""WITH RECURSIVE g0 AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 40
+         |    AND len(list_filter(
+         |          ['the','be','to','of','and','that','have','with'],
+         |          t -> list_contains(string_split(lower(text), ' '), t)))
+         |        >= 1
+         |),
+         |tokm AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM g0
+         |),
+         |totm AS (
+         |  SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS total,
+         |         sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS w
+         |  FROM tokm GROUP BY 1
+         |),
+         |swm AS (
+         |  SELECT ${DuckSql.duckFold(
+             "list_transform(list_sort(list(struct_pack(lang := lang, w := w))), x -> x.w)")}
+         |    AS sum_w
+         |  FROM totm
+         |),
+         |rm AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0, 3000.0 * w / swm.sum_w / total) * 10000)
+         |         AS BIGINT) AS rate_e4
+         |  FROM totm, swm
+         |),
+         |seld AS MATERIALIZED (
+         |  SELECT g0.doc_id, g0.text FROM g0 JOIN rm USING (lang)
+         |  WHERE ${duckMixBucket("g0.lang || ':' || CAST(g0.doc_id AS VARCHAR)")}
+         |        < rm.rate_e4
+         |),
+         |shf AS (
+         |  SELECT doc_id,
+         |    ${duckHash("'epoch1:' || CAST(doc_id AS VARCHAR)")}
+         |      * 2654435761 % 4294967296 AS sk
+         |  FROM seld
+         |),
+         |shf2 AS (
+         |  SELECT doc_id, CAST(sk * 4 // 4294967296 AS BIGINT) AS shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY CAST(sk * 4 // 4294967296 AS BIGINT)
+         |      ORDER BY sk, doc_id) AS BIGINT) AS dpos
+         |  FROM shf
+         |),
+         |${duckBpeEncodeCtes(src = "seld")},
+         |cnt3 AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY 1
+         |),
+         |off3 AS (
+         |  SELECT s.doc_id, s.shard,
+         |    CAST(coalesce(sum(c.n) OVER (
+         |      PARTITION BY s.shard ORDER BY s.dpos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS o
+         |  FROM shf2 s JOIN cnt3 c USING (doc_id)
+         |)
+         |SELECT o.shard, (o.o + e.pos) // 128 AS seq_no,
+         |       (o.o + e.pos) % 128 AS seq_pos, e.doc_id, e.tid
+         |FROM enc e JOIN off3 o ON o.doc_id = e.doc_id
+         |ORDER BY shard, seq_no, seq_pos""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def ws = LlmOps.words(col("text"))
+      val gated = docs.filter(size(ws) >= 40 &&
+        size(filter(array(TextOps.GopherStops.map(lit): _*),
+          w => array_contains(ws, w))) >= 1)
+      val picked = TextOps.temperatureMix(gated, "doc_id", "text",
+        col("lang"), budgetTokens = 3000L, temperature = 2.0)
+      val sel = gated.join(picked.select("doc_id"), Seq("doc_id"))
+      val order = TextOps.epochShuffle(sel.select("doc_id"),
+        "doc_id", salt = "epoch1", nShards = 4)
+      TextOps.packTokenIdsBy(sel, "doc_id", "text",
+        budget = 128L, order = order)
         .orderBy("shard", "seq_no", "seq_pos")
     },
 

@@ -789,6 +789,25 @@ class OpsSpec extends AnyFunSuite {
       (1L, 0L, 0L, 1L, 2L)))
   }
 
+  test("packTokenIdsBy: a caller-supplied layout reorders the token " +
+    "stream — epoch-shuffled packing is doc order by (shard, pos)") {
+    import graft.operators.TextOps
+    val docs = Seq((0L, "aa a"), (2L, "a aa a")).toDF("doc_id", "text")
+    // both docs in shard 0, REVERSED order: doc2 (4 tokens) first,
+    // then doc0 (3 tokens); budget 3 -> doc2 fills seq0 + seq1[0],
+    // doc0 takes seq1[1..2] + seq2[0]
+    val order = Seq((2L, 0L, 1L), (0L, 0L, 2L))
+      .toDF("doc_id", "shard", "pos")
+    val rows = TextOps.packTokenIdsBy(docs, "doc_id", "text",
+      budget = 3L, order = order, merges = Seq.empty)
+      .orderBy("seq_no", "seq_pos")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      (0L, 0L, 2L), (0L, 1L, 2L), (0L, 2L, 2L),
+      (1L, 0L, 2L), (1L, 1L, 0L), (1L, 2L, 0L),
+      (2L, 0L, 0L)))
+  }
+
   test("bpeTrain: iterated argmax learns the hand-computed merge " +
     "sequence with the (count desc, pair asc) tie-break") {
     import graft.operators.TextOps
