@@ -497,6 +497,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lmStupidBackoff (LT28): count-table lookups stay keyed or " +
+    "broadcast — no cartesian; the only nested-loop join is the " +
+    "1-row totals broadcast") {
+    val df = spark.read.parquet(docs)
+    val plan = graft.operators.TextOps.lmStupidBackoff(
+      df, "doc_id", "text", trainPred = col("source") === "src0")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"only the 1-row totals may cross-join:\n$plan")
+  }
+
+  test("hllRegisters (LT30): the whole sketch is ONE keyed exchange — " +
+    "scan -> per-row hash/mix -> (key, bucket) agg") {
+    val df = spark.read.parquet(docs)
+    val plan = graft.operators.TextOps.hllRegisters(
+      df, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"HLL registers must cost exactly one shuffle:\n$plan")
+  }
+
   test("curationIngest (ST14) pins the cleaned text before the gates: " +
     "the optimized plan carries the C4 reassembly at most once, never " +
     "inlined per gate reference") {
