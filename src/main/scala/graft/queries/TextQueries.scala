@@ -194,6 +194,96 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** Stupid-backoff trigram LM CTE chain (train counts on the src0
+    * split, fixed-point log table, five-way backoff join, integer
+    * gate), ending in `sb(doc_id, n_grams, bits_per_gram, kept)`.
+    * Mirrors [[graft.operators.TextOps.lmStupidBackoff]] term for
+    * term; shared by llm_sb3_ppl and llm_curriculum_pack. */
+  private def duckSb3Ctes(): String = {
+    val F = 1L << 20
+    s"""trn AS (
+           |  SELECT string_split(lower(text), ' ') AS ws
+           |  FROM documents WHERE source = 'src0'
+           |),
+           |u0 AS (
+           |  SELECT ${DuckSql.duckHash("w")} AS h,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(ws) AS w FROM trn) GROUP BY 1
+           |),
+           |b0 AS (
+           |  SELECT ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1]")} AS h,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+           |        FROM trn WHERE len(ws) >= 2)
+           |  GROUP BY 1
+           |),
+           |t0 AS (
+           |  SELECT
+           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
+           |      AS h,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           |        FROM trn WHERE len(ws) >= 3)
+           |  GROUP BY 1
+           |),
+           |tot AS (
+           |  SELECT (SELECT sum(c) FROM u0) + (SELECT count(*) FROM u0) AS n
+           |),
+           |args AS (
+           |  SELECT c AS n FROM u0
+           |  UNION SELECT c + 1 FROM u0
+           |  UNION SELECT c FROM b0
+           |  UNION SELECT c FROM t0
+           |  UNION SELECT n FROM tot
+           |),
+           |${DuckSql.duckLog2FixedCtes("args")},
+           |uni AS (
+           |  SELECT u0.h, l1.f AS f, l2.f AS fp
+           |  FROM u0 JOIN lg l1 ON l1.n = u0.c JOIN lg l2 ON l2.n = u0.c + 1
+           |),
+           |bi AS (SELECT b0.h, lg.f FROM b0 JOIN lg ON lg.n = b0.c),
+           |tri AS (SELECT t0.h, lg.f FROM t0 JOIN lg ON lg.n = t0.c),
+           |ft AS (SELECT lg.f AS ft FROM tot JOIN lg ON lg.n = tot.n),
+           |d AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+           |  FROM documents
+           |),
+           |g AS (
+           |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           |  FROM d WHERE len(ws) >= 3
+           |),
+           |k AS (
+           |  SELECT doc_id,
+           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
+           |      AS h3,
+           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1]")} AS h2c,
+           |    ${DuckSql.duckHash("ws[i+1] || ' ' || ws[i+2]")} AS h2,
+           |    ${DuckSql.duckHash("ws[i+1]")} AS h1c,
+           |    ${DuckSql.duckHash("ws[i+2]")} AS h1
+           |  FROM g
+           |),
+           |s AS (
+           |  SELECT doc_id,
+           |    CASE WHEN t.f IS NOT NULL THEN t.f - bc.f
+           |         WHEN b.f IS NOT NULL THEN b.f - uc.f - $F
+           |         ELSE coalesce(up.fp, 0) - ft.ft - ${2 * F} END AS sc
+           |  FROM k
+           |  LEFT JOIN tri t ON t.h = k.h3
+           |  LEFT JOIN bi bc ON bc.h = k.h2c
+           |  LEFT JOIN bi b ON b.h = k.h2
+           |  LEFT JOIN uni uc ON uc.h = k.h1c
+           |  LEFT JOIN uni up ON up.h = k.h1
+           |  CROSS JOIN ft
+           |),
+           |sb AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |    round(CAST(-sum(sc) AS DOUBLE) / (count(*) * $F), 6)
+           |      AS bits_per_gram,
+           |    CAST(-sum(sc) <= count(*) * ${8 * F} AS BIGINT) AS kept
+           |  FROM s GROUP BY doc_id
+           |)""".stripMargin
+  }
+
   /** Winnowing fingerprint CTE chain (normalize → k-gram hashes →
     * window-min with rightmost-tie selection → distinct (fp, pos)),
     * ending in `fps(doc_id, fp, pos)`. Mirrors
@@ -1845,91 +1935,62 @@ object TextQueries {
     // log2 table over every distinct count, and the five-way backoff
     // join end-to-end.
     QDef.sql(
-      "llm_sb3_ppl", {
-        val F = 1L << 20
-        s"""WITH trn AS (
-           |  SELECT string_split(lower(text), ' ') AS ws
-           |  FROM documents WHERE source = 'src0'
-           |),
-           |u0 AS (
-           |  SELECT ${DuckSql.duckHash("w")} AS h,
-           |         CAST(count(*) AS BIGINT) AS c
-           |  FROM (SELECT unnest(ws) AS w FROM trn) GROUP BY 1
-           |),
-           |b0 AS (
-           |  SELECT ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1]")} AS h,
-           |         CAST(count(*) AS BIGINT) AS c
-           |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
-           |        FROM trn WHERE len(ws) >= 2)
-           |  GROUP BY 1
-           |),
-           |t0 AS (
-           |  SELECT
-           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
-           |      AS h,
-           |    CAST(count(*) AS BIGINT) AS c
-           |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
-           |        FROM trn WHERE len(ws) >= 3)
-           |  GROUP BY 1
-           |),
-           |tot AS (
-           |  SELECT (SELECT sum(c) FROM u0) + (SELECT count(*) FROM u0) AS n
-           |),
-           |args AS (
-           |  SELECT c AS n FROM u0
-           |  UNION SELECT c + 1 FROM u0
-           |  UNION SELECT c FROM b0
-           |  UNION SELECT c FROM t0
-           |  UNION SELECT n FROM tot
-           |),
-           |${DuckSql.duckLog2FixedCtes("args")},
-           |uni AS (
-           |  SELECT u0.h, l1.f AS f, l2.f AS fp
-           |  FROM u0 JOIN lg l1 ON l1.n = u0.c JOIN lg l2 ON l2.n = u0.c + 1
-           |),
-           |bi AS (SELECT b0.h, lg.f FROM b0 JOIN lg ON lg.n = b0.c),
-           |tri AS (SELECT t0.h, lg.f FROM t0 JOIN lg ON lg.n = t0.c),
-           |ft AS (SELECT lg.f AS ft FROM tot JOIN lg ON lg.n = tot.n),
-           |d AS (
-           |  SELECT doc_id, string_split(lower(text), ' ') AS ws
-           |  FROM documents
-           |),
-           |g AS (
-           |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-           |  FROM d WHERE len(ws) >= 3
-           |),
-           |k AS (
-           |  SELECT doc_id,
-           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
-           |      AS h3,
-           |    ${DuckSql.duckHash("ws[i] || ' ' || ws[i+1]")} AS h2c,
-           |    ${DuckSql.duckHash("ws[i+1] || ' ' || ws[i+2]")} AS h2,
-           |    ${DuckSql.duckHash("ws[i+1]")} AS h1c,
-           |    ${DuckSql.duckHash("ws[i+2]")} AS h1
-           |  FROM g
-           |),
-           |s AS (
-           |  SELECT doc_id,
-           |    CASE WHEN t.f IS NOT NULL THEN t.f - bc.f
-           |         WHEN b.f IS NOT NULL THEN b.f - uc.f - $F
-           |         ELSE coalesce(up.fp, 0) - ft.ft - ${2 * F} END AS sc
-           |  FROM k
-           |  LEFT JOIN tri t ON t.h = k.h3
-           |  LEFT JOIN bi bc ON bc.h = k.h2c
-           |  LEFT JOIN bi b ON b.h = k.h2
-           |  LEFT JOIN uni uc ON uc.h = k.h1c
-           |  LEFT JOIN uni up ON up.h = k.h1
-           |  CROSS JOIN ft
-           |)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-           |  round(CAST(-sum(sc) AS DOUBLE) / (count(*) * $F), 6)
-           |    AS bits_per_gram,
-           |  CAST(-sum(sc) <= count(*) * ${8 * F} AS BIGINT) AS kept
-           |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
+      "llm_sb3_ppl",
+      s"""WITH ${duckSb3Ctes()}
+         |SELECT doc_id, n_grams, bits_per_gram, kept FROM sb
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.lmStupidBackoff(t(s, dir, "documents"), "doc_id", "text",
         trainPred = col("source") === "src0", threshBits = 8)
         .orderBy("doc_id")
+    },
+
+    // ----- Curriculum packing (easiest-first by LM bits) ---------------
+    // packTokenIdsBy's second layout, completing the LT32 claim: the
+    // SAME pack operator consumes a curriculum ranking instead of the
+    // epoch shuffle — docs that survive the LT28 gate order globally
+    // by ascending bits-per-trigram (most fluent first; rounded-float
+    // order is engine-safe because both engines produce the identical
+    // rounded value, ties broken by id) and the token stream cuts
+    // every 256. The oracle replays LM training + scoring, the rank,
+    // the encode (vocabulary from the SELECTED docs), and the cut.
+    QDef.sql(
+      "llm_curriculum_pack",
+      s"""WITH RECURSIVE ${duckSb3Ctes()},
+         |selc AS MATERIALIZED (
+         |  SELECT d2.doc_id, d2.text,
+         |    CAST(row_number() OVER (ORDER BY sb.bits_per_gram, sb.doc_id)
+         |         AS BIGINT) AS dpos
+         |  FROM sb JOIN documents d2 ON d2.doc_id = sb.doc_id
+         |  WHERE sb.kept = 1
+         |),
+         |${duckBpeEncodeCtes(src = "selc")},
+         |cnt4 AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY 1
+         |),
+         |off4 AS (
+         |  SELECT s2.doc_id,
+         |    CAST(coalesce(sum(c.n) OVER (ORDER BY s2.dpos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS o
+         |  FROM selc s2 JOIN cnt4 c USING (doc_id)
+         |)
+         |SELECT CAST(0 AS BIGINT) AS shard, (o.o + e.pos) // 256 AS seq_no,
+         |       (o.o + e.pos) % 256 AS seq_pos, e.doc_id, e.tid
+         |FROM enc e JOIN off4 o ON o.doc_id = e.doc_id
+         |ORDER BY seq_no, seq_pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = TextOps.lmStupidBackoff(docs, "doc_id", "text",
+        trainPred = col("source") === "src0", threshBits = 8)
+        .filter(col("kept") === 1L)
+      val order = scored.select(col("doc_id"), lit(0L).as("shard"),
+        row_number().over(
+          Window.orderBy(col("bits_per_gram"), col("doc_id")))
+          .cast("long").as("pos"))
+      val sel = docs.join(order.select("doc_id"), Seq("doc_id"))
+      TextOps.packTokenIdsBy(sel, "doc_id", "text",
+        budget = 256L, order = order)
+        .orderBy("seq_no", "seq_pos")
     },
 
     // ----- HyperLogLog per-source distinct tokens (LT30) ---------------
