@@ -891,7 +891,12 @@ object LlmOps {
     val vp = if (iters > 0)
       v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else v
-    var prevCp: Option[DataFrame] = None
+    // the seed is itself a checkpoint (checkedPqCodebook pins every
+    // codebook); once round 1 supersedes it, its blocks are released
+    // like every later intermediate — callers never reuse the seed
+    // after training (the trainIters = 0 branch returns it untouched,
+    // and the loop below never runs there).
+    var prevCp: Option[DataFrame] = Some(cb)
     try {
       for (_ <- 1 to iters) {
         val enc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -1278,6 +1283,24 @@ object LlmOps {
   private def hp(j: Column): Column =
     ((lit(1103515245L) * j + 12345L) % 2001L - 1000L).cast("double")
 
+  /** Bucket-space sizing for the hyperplane-LSH ops: planes =
+    * bitlength(n−1) − 1, clamped to [1, 62] (62 keeps the bucket id a
+    * BIGINT) — bucket count 2^planes ≈ n/2, so in-bucket occupancy
+    * stays ~constant as the corpus grows instead of the N²/2^planes
+    * quadratic a FIXED plane count pays (measured: planes=8 read
+    * 25.4×/decade at the r12 sf10 heavy pair). Integer-exact in both
+    * engines: bitlength via binary-string length, which DuckDB renders
+    * as length(bin(n−1)) — n=500 → 8 (the pinned sf0.01 instance),
+    * 2000 → 10, 200k → 17. One extra plane costs one more narrow
+    * hyperplane dot per vector; recall for sub-identical cosine pairs
+    * drops as planes grow (identical-direction duplicates always
+    * collide), so a caller trading recall for work passes `planes`
+    * explicitly. */
+  def autoPlanes(n: Long): Int = {
+    val bitlen = java.lang.Long.toBinaryString(math.max(0L, n - 1)).length
+    math.max(1, math.min(62, bitlen - 1))
+  }
+
   /** Random-hyperplane LSH bucket id: bit h of the bucket = sign of the
     * dot product with hyperplane h. One narrow pass, fully codegen'd.
     *
@@ -1285,7 +1308,8 @@ object LlmOps {
     * fixed — so in-bucket candidate volume is ∝ N²/2^planes; grow
     * `planes` ∝ log2(N) (each extra plane doubles the buckets for one
     * more narrow pass: 8 → 16 planes on 200k vectors halved
-    * embedNearDupPairs' runtime at identical output). */
+    * embedNearDupPairs' runtime at identical output; [[autoPlanes]] is
+    * that law as a default). */
   def lshBucket(vecCol: Column, planes: Int = 8, dims: Int = 64): Column =
     (0 until planes).map { h =>
       val d = foldSum(transform(sequence(lit(0), lit(dims - 1)),
@@ -1325,13 +1349,22 @@ object LlmOps {
     * `keep_id` (the smaller id) survives dedup, `dup_id` is the
     * removable near-duplicate — downstream dedup is an anti-join on
     * dup_id. Bucketed like annTopKLsh: the only shuffle is on the
-    * bucket id; cost scales with bucket occupancy, never n². */
+    * bucket id; cost scales with bucket occupancy — and occupancy
+    * scales with the CORPUS unless the bucket space grows with it, so
+    * the default (`planes` ≤ 0) derives the plane count from one cheap
+    * count of `vecs` via [[autoPlanes]] (the r12 sf10 heavy pair
+    * measured the fixed-8 default at 25.4×/decade — the quadratic this
+    * default removes). Identical-direction duplicates collide at ANY
+    * plane count; pass `planes` explicitly to trade work for recall on
+    * sub-identical pairs, or to skip the count when the corpus size is
+    * already known. */
   def embedNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+      threshold: Double, planes: Int = 0, dims: Int = 64): DataFrame = {
+    val p = if (planes > 0) planes else autoPlanes(vecs.count())
     val v = vecs
       .select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("bucket", lshBucket(col("e"), planes, dims))
+      .withColumn("bucket", lshBucket(col("e"), p, dims))
       .withColumn("nrm", dot(col("e"), col("e")))
       .filter(col("nrm") > 0) // cosine undefined for the zero vector
     val a = v.select(col("vid").as("keep_id"), col("e").as("ea"),

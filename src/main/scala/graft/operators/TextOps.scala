@@ -207,7 +207,7 @@ object TextOps {
     * run-parity merge application). Stops early if the vocabulary
     * runs out of pairs. Returns the ranked merge list, directly
     * feedable to [[bpeTokenCount]] / [[bpeTokenCountCol]]. */
-  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+  def bpeTrain(df: DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be positive: $nMerges")
     val wf = df.select(explode(LlmOps.words(col(textCol))).as("word"))
@@ -251,11 +251,11 @@ object TextOps {
 
   /** [[bpeTrain]] as a harness frame: the learned table as
     * (rank, x, y) rows — the artifact a tokenizer build step persists. */
-  def bpeTrainTable(df: DataFrame, idCol: String, textCol: String,
+  def bpeTrainTable(df: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeTrain(df, idCol, textCol, nMerges).zipWithIndex
+    bpeTrain(df, textCol, nMerges).zipWithIndex
       .map { case ((a, b), i) => (i + 1, a, b) }
       .toDF("rank", "x", "y")
   }
@@ -373,8 +373,10 @@ object TextOps {
     bpeEncodeIds(df, idCol, textCol, merges, vocab)
       .join(offsets, Seq(idCol))
       .select(col("shard"),
-        floor((col("__off") + col("pos")) / lit(budget.toDouble))
-          .cast("long").as("seq_no"),
+        // integer `div`, matching the oracle's `//`: a double quotient
+        // would round across a cut once global offsets reach the 2^53
+        // ulp boundary — exactly the scale this op exists for
+        expr(s"(__off + pos) div ${budget}L").as("seq_no"),
         pmod(col("__off") + col("pos"), lit(budget)).as("seq_pos"),
         col(idCol), col("tid"))
   }
@@ -612,7 +614,7 @@ object TextOps {
     * makes HLL the 100 TB cardinality report (per-source vocab size,
     * cross-snapshot distinct growth) without ever paying the exact
     * distinct shuffle. Output: (keyCol, j, mj). */
-  def hllRegisters(df: DataFrame, idCol: String, textCol: String,
+  def hllRegisters(df: DataFrame, textCol: String,
       keyCol: String, p: Int = 10): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16]: $p")
     val m = 1L << p
@@ -651,7 +653,7 @@ object TextOps {
     * exact `n_exact` column beside it is the calibration cost a
     * production caller deletes. Output: (keyCol, n_exact, hll_est,
     * hll_raw, zeros). */
-  def hllDistinct(df: DataFrame, idCol: String, textCol: String,
+  def hllDistinct(df: DataFrame, textCol: String,
       keyCol: String, p: Int = 10): DataFrame = {
     val m = 1L << p
     val wmax = 32 - p + 1
@@ -659,7 +661,7 @@ object TextOps {
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
     val rawNum = alpha * m.toDouble * m.toDouble * (1L << wmax).toDouble
     val lcc = m.toDouble * math.log(2.0)
-    val regs = hllRegisters(df, idCol, textCol, keyCol, p)
+    val regs = hllRegisters(df, textCol, keyCol, p)
     val est = regs.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__present"),
       sum(pow(lit(2.0), lit(wmax.toLong) - col("mj")).cast("long"))

@@ -466,18 +466,28 @@ object LlmQueries {
 
     // ----- Embedding-cosine near-duplicate dedup pairs -----------------
     // Fifth dedup method: LSH-bucketed cosine threshold; keep_id is the
-    // dedup survivor, dup_id the removable near-duplicate.
+    // dedup survivor, dup_id the removable near-duplicate. The bucket
+    // space SCALES WITH THE CORPUS in both engines (LlmOps.autoPlanes:
+    // planes = bitlength(n-1) - 1 clamped to [1, 62], n = 500 -> 8,
+    // 2000 -> 10): the oracle computes the same integer-exact plane
+    // count from count(*), so the query is green at every sf while the
+    // in-bucket quadratic a fixed plane count pays at scale is gone.
     QDef.sql(
       "llm_embed_neardup",
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings
          |),
+         |pl AS (
+         |  SELECT greatest(1, least(62, length(bin(count(*) - 1)) - 1)) AS p
+         |  FROM v
+         |),
          |dots AS (
          |  SELECT vec_id, h,
          |    ${duckFold("""list_transform(generate_series(1,64),
            |      i -> e[i] * CAST(((1103515245 * (h * 64 + i - 1)) + 12345) % 2001 - 1000 AS DOUBLE))""".stripMargin)} AS d
-         |  FROM v, generate_series(0, 7) g(h)
+         |  FROM v, pl, generate_series(0, 61) g(h)
+         |  WHERE g.h < pl.p
          |),
          |bk AS (
          |  SELECT vec_id,
@@ -500,7 +510,7 @@ object LlmQueries {
          |FROM pairs WHERE cos >= 0.2
          |ORDER BY keep_id, dup_id""".stripMargin) { (s, dir) =>
       LlmOps.embedNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.2, planes = 8)
+        threshold = 0.2)
         .orderBy("keep_id", "dup_id")
     },
 

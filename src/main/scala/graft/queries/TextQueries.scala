@@ -331,6 +331,60 @@ object TextQueries {
   private def duckMixBucket(strExpr: String): String =
     s"${duckHash(strExpr)} * 2654435761 % 4294967296 % 10000"
 
+  /** DuckDB rendering of TextOps.hllDistinct at register precision `p`
+    * (llm_hll_card pins p=10; llm_hll_card_p14 the 16k-register
+    * production precision): scrambled token hash -> 2^p registers,
+    * exact-dyadic harmonic sum, raw estimator + linear-counting
+    * small-range correction via log2Fixed, with every float either a
+    * rendered literal or one division both engines compute
+    * identically. */
+  private def hllCardSql(p: Int): String = {
+    val m = 1L << p
+    val wmax = 32 - p + 1
+    val F = 1L << 20
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val rawNum = alpha * m.toDouble * m.toDouble * (1L << wmax).toDouble
+    val lcc = m.toDouble * math.log(2.0)
+    s"""WITH toks AS (
+       |  SELECT source, ${DuckSql.duckHash("w")} AS h
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |),
+       |${DuckSql.duckMix32Ctes("toks", "source", "h")},
+       |regs AS (
+       |  SELECT source, k % $m AS j,
+       |    max(CASE WHEN k // $m = 0 THEN $wmax
+       |             ELSE $wmax - length(bin(k // $m)) END) AS mj
+       |  FROM mx GROUP BY 1, 2
+       |),
+       |agg AS (
+       |  SELECT source, CAST($m - count(*) AS BIGINT) AS zeros,
+       |    CAST(sum(CAST(power(2.0, $wmax - mj) AS BIGINT))
+       |         + ($m - count(*)) * ${1L << wmax} AS BIGINT) AS s
+       |  FROM regs GROUP BY 1
+       |),
+       |args AS (SELECT DISTINCT zeros AS n FROM agg WHERE zeros > 0),
+       |${DuckSql.duckLog2FixedCtes("args")},
+       |est AS (
+       |  SELECT a.source, a.zeros,
+       |    round($rawNum / CAST(a.s AS DOUBLE), 6) AS hll_raw,
+       |    CASE WHEN a.zeros > 0
+       |              AND $rawNum / CAST(a.s AS DOUBLE) < ${2.5 * m}
+       |         THEN round($lcc * (${p.toLong * F} - lg.f)
+       |                    / ${F.toDouble}, 6)
+       |         ELSE round($rawNum / CAST(a.s AS DOUBLE), 6) END
+       |      AS hll_est
+       |  FROM agg a LEFT JOIN lg ON lg.n = a.zeros
+       |),
+       |ex AS (
+       |  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+       |  FROM toks GROUP BY 1
+       |)
+       |SELECT e.source, x.n_exact, e.hll_est, e.hll_raw, e.zeros
+       |FROM est e JOIN ex x ON x.source = e.source
+       |ORDER BY e.source""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ----- Language ID: stopword-count heuristic -----------------------
@@ -659,7 +713,7 @@ object TextQueries {
            |$out
            |ORDER BY rank""".stripMargin
       }) { (s, dir) =>
-      TextOps.bpeTrainTable(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.bpeTrainTable(t(s, dir, "documents"), "text",
         nMerges = 6).orderBy("rank")
     },
 
@@ -705,7 +759,7 @@ object TextQueries {
            |ORDER BY shard, seq_no, seq_pos""".stripMargin
       }) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val learned = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 6)
+      val learned = TextOps.bpeTrain(docs, "text", nMerges = 6)
       TextOps.packTokenIds(docs, "doc_id", "text",
         budget = 256L, nShards = 4, merges = learned)
         .orderBy("shard", "seq_no", "seq_pos")
@@ -2001,56 +2055,23 @@ object TextQueries {
     // calibration. The oracle replays registers, the dyadic sum, the
     // fixed-point ln, and the regime switch.
     QDef.sql(
-      "llm_hll_card", {
-        val p = 10
-        val m = 1L << p
-        val wmax = 32 - p + 1
-        val F = 1L << 20
-        val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
-        val rawNum = alpha * m.toDouble * m.toDouble * (1L << wmax).toDouble
-        val lcc = m.toDouble * math.log(2.0)
-        s"""WITH toks AS (
-           |  SELECT source, ${DuckSql.duckHash("w")} AS h
-           |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
-           |        FROM documents)
-           |),
-           |${DuckSql.duckMix32Ctes("toks", "source", "h")},
-           |regs AS (
-           |  SELECT source, k % $m AS j,
-           |    max(CASE WHEN k // $m = 0 THEN $wmax
-           |             ELSE $wmax - length(bin(k // $m)) END) AS mj
-           |  FROM mx GROUP BY 1, 2
-           |),
-           |agg AS (
-           |  SELECT source, CAST($m - count(*) AS BIGINT) AS zeros,
-           |    CAST(sum(CAST(power(2.0, $wmax - mj) AS BIGINT))
-           |         + ($m - count(*)) * ${1L << wmax} AS BIGINT) AS s
-           |  FROM regs GROUP BY 1
-           |),
-           |args AS (SELECT DISTINCT zeros AS n FROM agg WHERE zeros > 0),
-           |${DuckSql.duckLog2FixedCtes("args")},
-           |est AS (
-           |  SELECT a.source, a.zeros,
-           |    round($rawNum / CAST(a.s AS DOUBLE), 6) AS hll_raw,
-           |    CASE WHEN a.zeros > 0
-           |              AND $rawNum / CAST(a.s AS DOUBLE) < ${2.5 * m}
-           |         THEN round($lcc * (${p.toLong * F} - lg.f)
-           |                    / ${F.toDouble}, 6)
-           |         ELSE round($rawNum / CAST(a.s AS DOUBLE), 6) END
-           |      AS hll_est
-           |  FROM agg a LEFT JOIN lg ON lg.n = a.zeros
-           |),
-           |ex AS (
-           |  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
-           |  FROM toks GROUP BY 1
-           |)
-           |SELECT e.source, x.n_exact, e.hll_est, e.hll_raw, e.zeros
-           |FROM est e JOIN ex x ON x.source = e.source
-           |ORDER BY e.source""".stripMargin
-      }) { (s, dir) =>
-      TextOps.hllDistinct(t(s, dir, "documents"), "doc_id", "text", "source")
+      "llm_hll_card", hllCardSql(p = 10)) { (s, dir) =>
+      TextOps.hllDistinct(t(s, dir, "documents"), "text", "source")
         .orderBy("source")
     },
+
+    // ----- HLL at PRODUCTION precision (p=14: 16k registers, ~0.8%
+    // standard error — the register count the published deployments
+    // run). Same rendering, parameterized: the oracle replays the
+    // 2^14-bucket registers, the dyadic sum, and the regime switch at
+    // the p=14 constants. Sketch state is 16k rows per key — still
+    // constant-size, still mergeable by max.
+    QDef.sql(
+      "llm_hll_card_p14", hllCardSql(p = 14)) { (s, dir) =>
+      TextOps.hllDistinct(t(s, dir, "documents"), "text", "source", p = 14)
+        .orderBy("source")
+    },
+
 
     // ----- Hashed-linear classifier inference (fastText-style filter) --
     // Logistic regression over a hashed bag-of-words with mean pooling:

@@ -534,7 +534,7 @@ class CurationOpsSpec extends AnyFunSuite {
     // small range: 40 distinct words, far below m = 1024
     val small = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" "), "a"))
       .toDF("doc_id", "text", "source")
-    val s = TextOps.hllDistinct(small, "doc_id", "text", "source")
+    val s = TextOps.hllDistinct(small, "text", "source")
       .collect()(0)
     assert(s.getLong(1) === 40L)
     assert(math.abs(s.getDouble(2) - 40.0) <= 3.0,
@@ -543,7 +543,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val big = (0 until 40).map(d =>
       (d.toLong, (0 until 500).map(i => s"tok${d}_$i").mkString(" "), "b"))
       .toDF("doc_id", "text", "source")
-    val b = TextOps.hllDistinct(big, "doc_id", "text", "source")
+    val b = TextOps.hllDistinct(big, "text", "source")
       .collect()(0)
     assert(b.getLong(1) === 20000L)
     assert(b.getDouble(2) === b.getDouble(3),
@@ -557,16 +557,40 @@ class CurationOpsSpec extends AnyFunSuite {
     val docs = (0 until 30).map(d =>
       (d.toLong, (0 until 100).map(i => s"m${d}_$i").mkString(" "), "s"))
       .toDF("doc_id", "text", "source")
-    val whole = TextOps.hllRegisters(docs, "doc_id", "text", "source")
+    val whole = TextOps.hllRegisters(docs, "text", "source")
       .orderBy("j").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     val h1 = TextOps.hllRegisters(docs.filter(col("doc_id") < 15),
-      "doc_id", "text", "source")
+      "text", "source")
     val h2 = TextOps.hllRegisters(docs.filter(col("doc_id") >= 15),
-      "doc_id", "text", "source")
+      "text", "source")
     val merged = h1.unionByName(h2)
       .groupBy("source", "j").agg(max("mj").as("mj"))
       .orderBy("j").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(merged === whole)
+  }
+
+  test("hll at production precision p=14: registers merge by max and " +
+    "the estimate tightens vs p=10 on a 20k-distinct corpus") {
+    val docs = (0 until 40).map(d =>
+      (d.toLong, (0 until 500).map(i => s"q${d}_$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val whole = TextOps.hllRegisters(docs, "text", "source", p = 14)
+      .orderBy("j").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val h1 = TextOps.hllRegisters(docs.filter(col("doc_id") < 20),
+      "text", "source", p = 14)
+    val h2 = TextOps.hllRegisters(docs.filter(col("doc_id") >= 20),
+      "text", "source", p = 14)
+    val merged = h1.unionByName(h2)
+      .groupBy("source", "j").agg(max("mj").as("mj"))
+      .orderBy("j").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === whole)
+    // 16k registers, ~0.8% standard error: at 20k distinct the p=14
+    // estimate must land well inside p=10's ~3.2% band
+    val e14 = TextOps.hllDistinct(docs, "text", "source", p = 14)
+      .collect()(0)
+    assert(e14.getLong(1) === 20000L)
+    assert(math.abs(e14.getDouble(2) / 20000.0 - 1.0) <= 0.03,
+      s"p=14 should be within ~3 std errors (2.4%) of 20k: $e14")
   }
 
   test("lmStupidBackoff: integer fixed-point scores are partition-" +

@@ -162,6 +162,38 @@ class LlmOpsSpec extends AnyFunSuite {
       "parallel vectors must stay co-bucketed at any plane count")
   }
 
+  test("embedNearDupPairs: auto planes = bitlength(n-1) - 1, and true " +
+    "duplicate pairs are identical at 8 / 16 / auto planes") {
+    // the autoPlanes law itself, integer-exact at the edges
+    assert(LlmOps.autoPlanes(0L) === 1)
+    assert(LlmOps.autoPlanes(1L) === 1)
+    assert(LlmOps.autoPlanes(2L) === 1)   // bin(1)="1" -> 0, clamped
+    assert(LlmOps.autoPlanes(500L) === 8) // the pinned sf0.01 instance
+    assert(LlmOps.autoPlanes(2000L) === 10)
+    assert(LlmOps.autoPlanes(200000L) === 17)
+    assert(LlmOps.autoPlanes(Long.MaxValue) === 62)
+    // duplicate-direction vectors agree on EVERY hyperplane sign, so
+    // growing the bucket space never separates a true duplicate pair:
+    // a fixture of 3 duplicate clusters + pseudo-random fillers yields
+    // the same pairs at planes 8, 16, and auto (n=60 -> 5 planes).
+    val rnd = new scala.util.Random(7)
+    val dups = (0 until 3).flatMap { c =>
+      val proto = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+      Seq((c * 2L, proto), (c * 2L + 1L, proto.map(_ * 1.5f)))
+    }
+    val fillers = (100 until 154).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val vecs = (dups ++ fillers).toDF("vec_id", "embedding")
+    def pairs(planes: Int) = LlmOps.embedNearDupPairs(
+        vecs, "vec_id", "embedding", threshold = 0.999,
+        planes = planes, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((0L, 1L), (2L, 3L), (4L, 5L))
+    assert(pairs(8) === expected)
+    assert(pairs(16) === expected)
+    assert(pairs(0) === expected, "auto planes must find the same dups")
+  }
+
   test("pq adc: codes snap to the nearest sub-centroid, identical and " +
     "code-identical candidates score 1.0, zero vectors excluded") {
     val vecs = Seq(

@@ -816,11 +816,11 @@ class OpsSpec extends AnyFunSuite {
     //  round 2: [aa,a,b]x2 [a,b]: (a,b)=3 beats (aa,a)=2 -> (a,b)
     //  round 3: [aa,ab]x2 [ab]: (aa,ab)=2     -> (aa,ab)
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
-    val learned = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+    val learned = TextOps.bpeTrain(docs, "text", nMerges = 3)
     assert(learned === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
     // exhaustion: asking for more merges than the vocab supports stops
     // early instead of looping
-    val more = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 50)
+    val more = TextOps.bpeTrain(docs, "text", nMerges = 50)
     assert(more.take(3) === learned && more.size < 50)
   }
 
@@ -832,9 +832,9 @@ class OpsSpec extends AnyFunSuite {
     val train = docs.filter(col("doc_id") % 2 === 0)
     val heldOut = docs.filter(col("doc_id") % 2 === 1)
     val n = TextOps.BpeMergesEn.size
-    val learned = TextOps.bpeTrain(train, "doc_id", "text", nMerges = n)
+    val learned = TextOps.bpeTrain(train, "text", nMerges = n)
     assert(learned === TextOps.bpeTrain(
-      train.repartition(7), "doc_id", "text", nMerges = n),
+      train.repartition(7), "text", nMerges = n),
       "training must not depend on partitioning")
     def total(merges: Seq[(String, String)]): Long =
       TextOps.bpeTokenCount(heldOut, "doc_id", "text", merges)

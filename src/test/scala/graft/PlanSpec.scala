@@ -513,7 +513,7 @@ class PlanSpec extends AnyFunSuite {
     "scan -> per-row hash/mix -> (key, bucket) agg") {
     val df = spark.read.parquet(docs)
     val plan = graft.operators.TextOps.hllRegisters(
-      df, "doc_id", "text", "source")
+      df, "text", "source")
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).length === 1,
       s"HLL registers must cost exactly one shuffle:\n$plan")
