@@ -310,6 +310,23 @@ object JsonConfig {
           if (sd.path("default_rate").isNumber) sd.path("default_rate").asDouble()
           else 0.0))
     } else None,
+    epochPack = if (n.path("epoch_pack").isObject) {
+      val ep = n.path("epoch_pack")
+      Some(EpochPackDef(
+        idField = str(ep.path("id_field")).getOrElse(sys.error("epoch_pack missing id_field")),
+        textField = str(ep.path("text_field")).getOrElse(sys.error("epoch_pack missing text_field")),
+        budget = long(ep.path("budget")).getOrElse(512L),
+        nShards = long(ep.path("n_shards")).getOrElse(4L).toInt,
+        salt = str(ep.path("salt")).getOrElse("epoch1"),
+        mixField = str(ep.path("mix_field")),
+        mixBudgetTokens = long(ep.path("mix_budget_tokens")).getOrElse(0L),
+        temperature =
+          if (ep.path("temperature").isNumber) ep.path("temperature").asDouble()
+          else 2.0,
+        mergesPath = str(ep.path("merges_path")),
+        mergesFormat = str(ep.path("merges_format")).getOrElse("parquet"),
+        trainMerges = long(ep.path("train_merges")).getOrElse(0L).toInt))
+    } else None,
     addProcessedFlags = bool(n.path("add_processed_flags")).getOrElse(true),
     intermediate = if (n.path("intermediate").isObject) {
       val i = n.path("intermediate")

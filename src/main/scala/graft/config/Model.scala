@@ -167,6 +167,16 @@ final case class TransformDef(
     repetitionFilter: Option[RepetitionFilterDef] = None,
     /** LLM-extension: deterministic per-stratum hash sampling (LT8). */
     sample: Option[SampleDef] = None,
+    /** LLM-extension: the training-data ENDGAME as a config stage —
+      * optional temperature mixing over the (already gated) frame,
+      * deterministic epoch shuffle into shards, and token-exact
+      * packing of BPE ids. REPLACES the frame with the packed long
+      * form (shard, seq_no, seq_pos, idField, tid) — the columnar
+      * layout a Parquet/CSV sink writes directly; runs after every
+      * gate/sample stage (computed fields and flags, if configured,
+      * apply to the PACKED form). llm_epoch_assembly is the
+      * oracle-replayed twin of this dataflow. */
+    epochPack: Option[EpochPackDef] = None,
     addProcessedFlags: Boolean = true,
     intermediate: Option[IntermediateDef] = None,
     /** Post-transform validation (declared-but-dead in the reference,
@@ -308,6 +318,29 @@ final case class LmFilterDef(
     srcField: String,
     trainSource: String,
     threshBits: Int = 8)
+
+/** LLM-extension: gate→mix→shuffle→tokenize→pack as config (see
+  * TextOps.temperatureMix / epochShuffle / packTokenIdsBy). The
+  * merge table comes from `mergesPath` ((rank, x, y) rows read
+  * rank-ascending — the bpeTrainTable artifact), from in-engine
+  * training (`trainMerges` > 0 runs TextOps.bpeTrainLocal on the
+  * gated frame: one word-frequency agg + a driver-local merge loop),
+  * or defaults to the built-in English table. Mixing runs only when
+  * `mixField` is set (then `mixBudgetTokens` must be positive);
+  * `budget` is tokens per packed sequence, `nShards`/`salt` drive
+  * the deterministic epoch shuffle. */
+final case class EpochPackDef(
+    idField: String,
+    textField: String,
+    budget: Long = 512L,
+    nShards: Int = 4,
+    salt: String = "epoch1",
+    mixField: Option[String] = None,
+    mixBudgetTokens: Long = 0L,
+    temperature: Double = 2.0,
+    mergesPath: Option[String] = None,
+    mergesFormat: String = "parquet",
+    trainMerges: Int = 0)
 
 /** LLM-extension: Gopher rule-set quality gate inside a pipeline's
   * transform — keep rows whose `textField` passes every rule (see

@@ -233,6 +233,7 @@ object TomlConfig {
     val ds = tbl(n.get("dsir_select"))
     val rf = tbl(n.get("repetition_filter"))
     val sa = tbl(n.get("sample"))
+    val epk = tbl(n.get("epoch_pack"))
     // A DECLARED curation table with no keys (e.g. an empty
     // `[pipelines.transform.decontaminate]`) is a config mistake, not an
     // absent stage: parse it anyway so the missing-required-field errors
@@ -392,7 +393,21 @@ object TomlConfig {
             case (k, v: Long) => k -> v.toDouble
             case (k, v: Double) => k -> v
           },
-          defaultRate = dbl(sa.get("default_rate")).getOrElse(0.0))))
+          defaultRate = dbl(sa.get("default_rate")).getOrElse(0.0))),
+      epochPack =
+        if (!declared("epoch_pack", epk)) None
+        else Some(EpochPackDef(
+          idField = str(epk.get("id_field")).getOrElse(sys.error("epoch_pack missing id_field")),
+          textField = str(epk.get("text_field")).getOrElse(sys.error("epoch_pack missing text_field")),
+          budget = long(epk.get("budget")).getOrElse(512L),
+          nShards = long(epk.get("n_shards")).getOrElse(4L).toInt,
+          salt = str(epk.get("salt")).getOrElse("epoch1"),
+          mixField = str(epk.get("mix_field")),
+          mixBudgetTokens = long(epk.get("mix_budget_tokens")).getOrElse(0L),
+          temperature = dbl(epk.get("temperature")).getOrElse(2.0),
+          mergesPath = str(epk.get("merges_path")),
+          mergesFormat = str(epk.get("merges_format")).getOrElse("parquet"),
+          trainMerges = long(epk.get("train_merges")).getOrElse(0L).toInt)))
   }
 
   private def parseTransform(n: Map[String, Any]): TransformDef = {

@@ -610,6 +610,43 @@ object Orchestrator {
       df = graft.operators.TextOps.stratifiedSample(
         df, sd.idField, col(sd.strataField), sd.rates, sd.defaultRate)
     }
+    t.epochPack.foreach { ep =>
+      // merge table: in-engine training > persisted artifact > built-in.
+      // The artifact collect is merge-table-sized (the tokenizer build
+      // step persists rank-ordered (rank, x, y) rows — tens of k), the
+      // same bounded driver traffic as a codebook.
+      val merges: Seq[(String, String)] =
+        if (ep.trainMerges > 0)
+          graft.operators.TextOps.bpeTrainLocal(df, ep.textField,
+            ep.trainMerges)
+        else ep.mergesPath match {
+          case Some(path) =>
+            spark.read.format(ep.mergesFormat)
+              .options(if (ep.mergesFormat == "csv") Map("header" -> "true")
+                       else Map.empty[String, String])
+              .load(path)
+              .select(col("rank").cast("long").as("rank"),
+                col("x").cast("string"), col("y").cast("string"))
+              .orderBy("rank").collect()
+              .map(r => (r.getString(1), r.getString(2))).toSeq
+          case None => graft.operators.TextOps.BpeMergesEn
+        }
+      val sel = ep.mixField match {
+        case Some(f) =>
+          require(ep.mixBudgetTokens > 0,
+            "epoch_pack.mix_budget_tokens must be positive when " +
+              "mix_field is set")
+          val picked = graft.operators.TextOps.temperatureMix(
+            df, ep.idField, ep.textField, col(f),
+            ep.mixBudgetTokens, ep.temperature)
+          df.join(picked.select(ep.idField), Seq(ep.idField))
+        case None => df
+      }
+      val order = graft.operators.TextOps.epochShuffle(
+        sel.select(ep.idField), ep.idField, ep.salt, ep.nShards)
+      df = graft.operators.TextOps.packTokenIdsBy(
+        sel, ep.idField, ep.textField, ep.budget, order, merges)
+    }
     if (t.computedFields.nonEmpty) {
       if (t.computedFields.valuesIterator.contains("record_index")) {
         // zipWithIndex evaluates the upstream twice (sizing pass + data

@@ -249,6 +249,96 @@ object TextOps {
     learned.toSeq
   }
 
+  /** Driver-local BPE training from a Spark-aggregated word-frequency
+    * table — the PRODUCTION tokenizer-training architecture (what the
+    * published tokenizer trainers do): ONE distributed agg computes
+    * the word-frequency table (vocabulary-sized — sublinear in the
+    * corpus, the same bounded driver traffic as [[bpeVocab]]), the
+    * merge loop runs on the driver with incremental pair-count
+    * updates, and the learned table ships back to executors inside
+    * [[graft.functions.BpeEncodeIds]]. [[bpeTrain]] is the
+    * oracle-replayable form (each round is one Spark job — right for
+    * verification, unpayable at 32k merges: 32k jobs); this one
+    * learns a GPT-2-sized table in seconds and produces the IDENTICAL
+    * merge list: same (count desc, x, y) argmax tiebreak (ASCII/BMP
+    * string order — Spark's UTF8 binary order agrees there), same
+    * left-to-right non-overlapping merge application, same
+    * exhaustion rule (stops when no word has two symbols left).
+    * `maxVocab` bounds the driver collect the way the classifier
+    * literal cap does (TextOps.classifierScore): oversized
+    * vocabularies should train on a word-frequency SAMPLE, not blow
+    * the driver. */
+  def bpeTrainLocal(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be positive: $nMerges")
+    val wf = df.select(explode(LlmOps.words(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .collect()
+    require(wf.length <= maxVocab,
+      s"word vocabulary ${wf.length} exceeds maxVocab=$maxVocab — " +
+        "train on a frequency-sampled subset or raise the cap")
+    import scala.collection.mutable
+    val words = wf.map(r => mutable.ArrayBuffer(
+      r.getString(0).split(""): _*))
+    val freqs = wf.map(_.getLong(1))
+    // pair -> weighted count; pair -> word indices containing it
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWord(i: Int): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        cnt.update(p, cnt.getOrElse(p, 0L) + freqs(i))
+        occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    def dropWord(i: Int): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = cnt(p) - freqs(i)
+        if (c == 0L) { cnt.remove(p); occ.remove(p) }
+        else { cnt.update(p, c); occ(p) -= i }
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord)
+    val learned = mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    while (r < nMerges && cnt.nonEmpty) {
+      // argmax (count desc, x asc, y asc) — bpeTrain's orderBy
+      var best: ((String, String), Long) = null
+      for (e <- cnt) {
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+          best = e
+      }
+      val (a, b) = best._1
+      learned += ((a, b))
+      for (i <- occ(best._1).toArray) {
+        dropWord(i)
+        // left-to-right non-overlapping merge (BpeApplyMerge's scan)
+        val s = words(i)
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += s(j); j += 1 }
+        }
+        words(i) = out
+        addWord(i)
+      }
+      r += 1
+    }
+    learned.toSeq
+  }
+
   /** [[bpeTrain]] as a harness frame: the learned table as
     * (rank, x, y) rows — the artifact a tokenizer build step persists. */
   def bpeTrainTable(df: DataFrame, textCol: String,
@@ -1116,6 +1206,59 @@ object TextOps {
       .withColumn("shard",
         expr(s"shuffle_key * ${nShards}L div 4294967296L"))
       .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** PRODUCTION curriculum layout — the banded twin of the
+    * llm_curriculum_pack oracle's single global rank window: shard =
+    * difficulty band, pos = rank within the band. Band boundaries come
+    * from ONE mergeable aggregate (approx_percentile at the `accuracy`
+    * knob) and a bounded (nBands−1)-value collect; band assignment is
+    * a literal comparison chain fused with the scan; the rank window
+    * partitions BY BAND, so the largest sort any task pays is one
+    * band (~N/nBands rows) instead of the whole corpus through one
+    * task — grow nBands with the corpus like pack shards. Ordering
+    * contract (what curriculum training needs, and what the spec
+    * pins): within a band pos ascends by (diffCol, idCol), and bands
+    * are monotone — every doc in band b has diffCol ≤ every doc in
+    * band b+1 (docs equal to a boundary land in the lower band).
+    * Exact boundary PLACEMENT is approximate (band sizes wobble with
+    * the sketch; the oracle query keeps the exact global rank for
+    * that reason) — monotonicity never depends on it. Output
+    * (idCol, shard, pos) feeds [[packTokenIdsBy]] directly.
+    *
+    * The narrow (idCol, diffCol) projection is localCheckpoint-PINNED
+    * inside the helper: the boundary agg, the band assignment, AND
+    * every downstream reuse of the layout (packTokenIdsBy reads the
+    * order twice — offsets + doc selection) replay the checkpoint
+    * instead of recomputing the upstream difficulty scorer — the
+    * first sf10 probe measured the unpinned form paying one EXTRA
+    * full LM-scoring pass, which cost more than the funnel it
+    * removed. The checkpoint is two columns per doc — the same
+    * doc-sized pin every CC/packing path in this repo carries. */
+  def curriculumLayout(
+      scored: DataFrame, idCol: String, diffCol: String,
+      nBands: Int, accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBands >= 1, s"nBands must be >= 1: $nBands")
+    val byBand = Window.partitionBy("shard")
+      .orderBy(col(diffCol), col(idCol))
+    if (nBands == 1)
+      return scored.withColumn("shard", lit(0L))
+        .withColumn("pos", row_number().over(byBand).cast("long"))
+        .select(col(idCol), col("shard"), col("pos"))
+    val narrow = scored.select(col(idCol), col(diffCol))
+      .localCheckpoint(true)
+    val qs = (1 until nBands).map(_.toDouble / nBands)
+    val bounds = narrow
+      .agg(percentile_approx(col(diffCol).cast("double"),
+        array(qs.map(lit): _*), lit(accuracy)).as("b"))
+      .head().getSeq[Double](0)
+    val band = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(diffCol) > lit(b), 1L).otherwise(0L)
+    }
+    narrow.withColumn("shard", band)
+      .withColumn("pos", row_number().over(byBand).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
   }
 
   /** Overlapping word-window chunking — the RAG/indexing prep step:

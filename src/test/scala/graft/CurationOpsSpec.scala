@@ -593,6 +593,38 @@ class CurationOpsSpec extends AnyFunSuite {
       s"p=14 should be within ~3 std errors (2.4%) of 20k: $e14")
   }
 
+  test("curriculumLayout: every doc lands exactly once, pos ascends by " +
+    "(difficulty, id) within a band, and bands are monotone") {
+    // 200 docs, difficulty with deliberate TIES (17 distinct values)
+    val docs = (0 until 200).map(i =>
+      (i.toLong, ((i * 37) % 17).toDouble)).toDF("doc_id", "bits")
+    val out = TextOps.curriculumLayout(docs, "doc_id", "bits", nBands = 4)
+      .join(docs, Seq("doc_id"))
+      .select("doc_id", "shard", "pos", "bits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._1).distinct.length === 200, "every doc exactly once")
+    val byBand = out.groupBy(_._2).toSeq.sortBy(_._1)
+    assert(byBand.length === 4, "4 non-empty bands on a spread corpus")
+    for ((_, rows) <- byBand) {
+      val inPosOrder = rows.sortBy(_._3).map(r => (r._4, r._1))
+      assert(inPosOrder === inPosOrder.sorted,
+        "pos within a band must ascend by (difficulty, id)")
+      assert(rows.map(_._3).sorted === (1L to rows.length).toSeq,
+        "pos must be dense 1..n within the band")
+    }
+    for (Seq((b, lo), (_, hi)) <- byBand.sliding(2).toSeq) {
+      assert(lo.map(_._4).max <= hi.map(_._4).min,
+        s"band $b max difficulty must not exceed the next band's min")
+    }
+    // nBands = 1 degenerates to the oracle's exact global rank
+    val one = TextOps.curriculumLayout(docs, "doc_id", "bits", nBands = 1)
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    val expect = docs.collect().map(r => (r.getDouble(1), r.getLong(0)))
+      .sorted.map(_._2).toSeq
+    assert(one === expect)
+  }
+
   test("lmStupidBackoff: integer fixed-point scores are partition-" +
     "invariant — 1 vs 8 partitions produce identical rows") {
     def rows(parts: Int) =

@@ -847,6 +847,28 @@ class OpsSpec extends AnyFunSuite {
         s"hand-written table: $tLearned vs $tHand")
   }
 
+  test("bpeTrainLocal: the driver-local trainer reproduces bpeTrain's " +
+    "merge list exactly — fixture, exhaustion, and a real corpus") {
+    import graft.operators.TextOps
+    val fixture = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainLocal(fixture, "text", nMerges = 3) ===
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // exhaustion stops at the same table as the distributed trainer
+    assert(TextOps.bpeTrainLocal(fixture, "text", nMerges = 50) ===
+      TextOps.bpeTrain(fixture, "text", nMerges = 50))
+    // tie-break-for-tie-break agreement on real text, past the toy sizes
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 40
+    assert(TextOps.bpeTrainLocal(docs, "text", nMerges = n) ===
+      TextOps.bpeTrain(docs, "text", nMerges = n),
+      "local and distributed training must learn the identical table")
+    // the vocabulary cap fails fast instead of collecting unbounded
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeTrainLocal(docs, "text", nMerges = 1, maxVocab = 10)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("classifierScore: integer w_sum is exact, unseen buckets weigh 0, " +
     "mean-pooled sigmoid matches the closed form, weight table broadcasts") {
     import graft.operators.TextOps

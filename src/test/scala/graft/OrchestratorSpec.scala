@@ -499,6 +499,56 @@ class OrchestratorSpec extends AnyFunSuite {
       s"fluent docs survive, the unseen-floor and sub-trigram docs drop: $out")
   }
 
+  test("epoch_pack transform runs mix -> shuffle -> tokenize -> pack " +
+    "from config and the packed long form reaches the sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_epk").toString
+    val rows = (0 until 8).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de",
+        s"alpha beta gamma delta w$i alpha beta")
+    }
+    rows.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val ep = EpochPackDef(idField = "doc_id", textField = "text",
+      budget = 8L, nShards = 2, salt = "e2e",
+      mixField = Some("lang"), mixBudgetTokens = 100000L,
+      temperature = 2.0, trainMerges = 2)
+    val seq = SequenceDef("s", Seq("ep"), Seq(
+      PipelineDef("ep", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          epochPack = Some(ep)),
+        load = Some(LoadDef(s"$dir/out", formats = Seq("csv"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    // P8 column normalization alphabetizes after the transform chain
+    val got = ctx.results("ep").df.get
+      .select("shard", "seq_no", "seq_pos", "doc_id", "tid")
+    // the config stage must equal the hand-composed dataflow exactly
+    val docs = spark.read.parquet(s"$dir/docs")
+    val merges = graft.operators.TextOps.bpeTrainLocal(docs, "text", 2)
+    val picked = graft.operators.TextOps.temperatureMix(
+      docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang"), 100000L, 2.0)
+    val sel = docs.join(picked.select("doc_id"), Seq("doc_id"))
+    val order = graft.operators.TextOps.epochShuffle(
+      sel.select("doc_id"), "doc_id", "e2e", 2)
+    val expect = graft.operators.TextOps.packTokenIdsBy(
+      sel, "doc_id", "text", 8L, order, merges)
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet === expect)
+    // token-exact packing: each shard's global positions are dense
+    val byShard = got.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        r.getLong(1) * 8L + r.getLong(2)).sorted.toSeq)
+    for ((s, ps) <- byShard)
+      assert(ps === (0L until ps.length).toSeq,
+        s"shard $s token positions must be dense from 0")
+    // and the long form actually landed in the sink (distributed CSV
+    // writes to <out>/<pattern>_csv; default pattern = {name}_output)
+    val sunk = spark.read.option("header", "true")
+      .csv(s"$dir/out/ep_output_csv")
+    assert(sunk.count() === got.count())
+  }
+
   test("gopher_filter transform keeps only rows passing every rule") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gph").toString

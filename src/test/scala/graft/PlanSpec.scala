@@ -509,6 +509,24 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row totals may cross-join:\n$plan")
   }
 
+  test("curriculumLayout: the banded rank window partitions by band — " +
+    "no single-partition exchange funnels the corpus through one task") {
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"), (col("doc_id") % 17).cast("double").as("bits"))
+    val plan = graft.operators.TextOps
+      .curriculumLayout(df, "doc_id", "bits", nBands = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"banded layout must not sort globally through one partition:\n$plan")
+    // the degenerate single-band form IS the global sort (the oracle
+    // layout) — the funnel exists exactly when asked for
+    val one = graft.operators.TextOps
+      .curriculumLayout(df, "doc_id", "bits", nBands = 1)
+      .queryExecution.executedPlan.toString
+    assert(one.contains("SinglePartition"),
+      s"nBands=1 should keep the exact global rank:\n$one")
+  }
+
   test("hllRegisters (LT30): the whole sketch is ONE keyed exchange — " +
     "scan -> per-row hash/mix -> (key, bucket) agg") {
     val df = spark.read.parquet(docs)

@@ -694,6 +694,16 @@ class TomlSpec extends AnyFunSuite {
         |default_rate = 0.1
         |[pipelines.transform.sample.rates]
         |en = 0.5
+        |[pipelines.transform.epoch_pack]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |budget = 128
+        |n_shards = 2
+        |salt = "ep7"
+        |mix_field = "lang"
+        |mix_budget_tokens = 3000
+        |temperature = 2.0
+        |train_merges = 4
         |""".stripMargin)
     val t = seq.pipelines.head.transform
     assert(t.winnowDedup.exists(w => w.k == 5 && w.minOverlap == 0.3
@@ -724,6 +734,11 @@ class TomlSpec extends AnyFunSuite {
       && r.dupThresholds(5) == 0.15))
     assert(t.sample.exists(s => s.rates == Map("en" -> 0.5)
       && s.defaultRate == 0.1))
+    assert(t.epochPack.exists(ep => ep.idField == "doc_id"
+      && ep.textField == "text" && ep.budget == 128L && ep.nShards == 2
+      && ep.salt == "ep7" && ep.mixField.contains("lang")
+      && ep.mixBudgetTokens == 3000L && ep.temperature == 2.0
+      && ep.mergesPath.isEmpty && ep.trainMerges == 4))
   }
 
   test("a non-integral TOML float in an integer slot fails loud instead " +
