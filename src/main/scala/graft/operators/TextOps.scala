@@ -152,6 +152,7 @@ object TextOps {
   def bpeTokenCount(
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)] = BpeMergesEn): DataFrame = {
+    requireBpeTableSize(merges.size, 0)
     val ws = LlmOps.words(col(textCol))
     def bpe(w: Column): Column =
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -166,12 +167,33 @@ object TextOps {
           lit(0L), (a, x) => a + x).as("bpe_tokens"))
   }
 
+  /** Supported BPE table bound, MEASURED not guessed
+    * (`bench_r13_bpe32k_probe.json`, sf1): a GPT-2-sized 32768-merge
+    * table changed the executed-plan string by 16 chars (804 → 820 —
+    * the tables ride as codegen REFERENCE OBJECTS, never literal plan
+    * nodes, so the classifier-literal plan-size bomb does not exist
+    * here) and cost 1.28× encode wall-clock for a 1310× larger table.
+    * The real ceiling is the serialized task binary (the expression —
+    * and its tables — ships once per stage): 2^17 entries ≈ a few MB,
+    * past which a caller should reshape to a join against a broadcast
+    * merge-table FRAME rather than grow the expression. Fails loud at
+    * the bound, naming that alternative. */
+  private def requireBpeTableSize(nMerges: Int, nVocab: Int): Unit = {
+    val cap = 1 << 17
+    require(nMerges <= cap && nVocab <= cap,
+      s"BPE table too large for the in-expression form ($nMerges merges, " +
+        s"$nVocab vocab entries; supported bound $cap each — measured flat " +
+        "to 32k): encode against a broadcast merge-table frame instead of " +
+        "growing the expression-embedded table")
+  }
+
   /** Per-row BPE token count as a plain Column (the [[bpeTokenCount]]
     * kernel without the report frame) — for composition into other
     * operators, e.g. packing by REAL token counts. */
   def bpeTokenCountCol(
       textCol: Column,
       merges: Seq[(String, String)] = BpeMergesEn): Column = {
+    requireBpeTableSize(merges.size, 0)
     def bpe(w: Column): Column =
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.BpeTokens(
@@ -392,6 +414,7 @@ object TextOps {
       merges: Seq[(String, String)] = BpeMergesEn,
       vocab: Seq[(String, Int)] = Nil): DataFrame = {
     val v = if (vocab.nonEmpty) vocab else bpeVocab(df, textCol, merges)
+    requireBpeTableSize(merges.size, v.size)
     def ids(w: Column): Column =
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.BpeEncodeIds(

@@ -869,6 +869,26 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("bpe table bound: oversized merge tables fail loud naming the " +
+    "broadcast-frame alternative (measured flat to 32k in the probe)") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val oversized = (0 to (1 << 17)).map(i => (s"x$i", s"y$i"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeEncodeIds(docs, "doc_id", "text", oversized,
+        vocab = Seq(("a", 1)))
+    }
+    assert(e.getMessage.contains("broadcast"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.bpeTokenCount(docs, "doc_id", "text", oversized)
+    }
+    assert(e2.getMessage.contains("broadcast"))
+    // a GPT-2-sized table is INSIDE the bound (the probe's 32768)
+    val ok = (0 until 32768).map(i => (s"x$i", s"y$i"))
+    assert(TextOps.bpeTokenCount(docs, "doc_id", "text", ok)
+      .collect()(0).getLong(3) === 2L)
+  }
+
   test("classifierScore: integer w_sum is exact, unseen buckets weigh 0, " +
     "mean-pooled sigmoid matches the closed form, weight table broadcasts") {
     import graft.operators.TextOps
