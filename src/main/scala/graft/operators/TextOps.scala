@@ -1284,6 +1284,42 @@ object TextOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** [[curriculumLayout]] with ENGINE-EXACT range boundaries — the
+    * oracle-able banded variant: boundaries split [min, max] of
+    * diffCol evenly (min/max are order-free aggregates; the boundary
+    * arithmetic mn + (mx − mn) · k/nBands is the same IEEE expression
+    * in any engine), so unlike the approx-percentile form this layout
+    * is bit-reproducible and hash-comparable — the
+    * llm_curriculum_pack_banded oracle replays it end-to-end. Bands
+    * are equal-WIDTH, not equal-COUNT: a skewed difficulty
+    * distribution gives uneven band sizes, so the quantile form stays
+    * the balanced-band production default and this is its
+    * verification twin (same pin, same output shape, same no-global-
+    * sort plan). */
+  def curriculumLayoutRange(
+      scored: DataFrame, idCol: String, diffCol: String,
+      nBands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBands >= 1, s"nBands must be >= 1: $nBands")
+    val byBand = Window.partitionBy("shard")
+      .orderBy(col(diffCol), col(idCol))
+    val narrow = scored.select(col(idCol), col(diffCol))
+      .localCheckpoint(true)
+    val mm = narrow.agg(
+      min(col(diffCol).cast("double")).as("mn"),
+      max(col(diffCol).cast("double")).as("mx")).head()
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
+    val band = (1 until nBands).foldLeft(lit(0L)) { (acc, k) =>
+      val bound = mn + (mx - mn) * (k.toDouble / nBands)
+      acc + when(col(diffCol).cast("double") > lit(bound), 1L).otherwise(0L)
+    }
+    narrow.withColumn("shard", band)
+      .withColumn("pos", row_number().over(byBand).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Overlapping word-window chunking — the RAG/indexing prep step:
     * split each document into `window`-word chunks advancing by
     * `stride` words (overlap = window - stride keeps context at chunk

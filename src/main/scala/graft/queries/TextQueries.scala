@@ -2047,6 +2047,76 @@ object TextQueries {
         .orderBy("seq_no", "seq_pos")
     },
 
+    // ----- Curriculum packing, BANDED (the production-shard layout) ----
+    // The banded twin oracle-checked end-to-end: shard = equal-width
+    // difficulty band over [min, max] bits-per-trigram (min/max are
+    // order-free aggs; the boundary arithmetic mn + (mx-mn)*k/4 is the
+    // identical IEEE expression in both engines on identical rounded
+    // doubles), rank WITHIN band, per-band offsets, budget-256 cut.
+    // No global single-task sort anywhere — the plan the 100 TB job
+    // runs (the quantile-boundary curriculumLayout is the balanced-
+    // band production default; range boundaries are its hash-
+    // comparable verification twin).
+    QDef.sql(
+      "llm_curriculum_pack_banded",
+      s"""WITH RECURSIVE ${duckSb3Ctes()},
+         |sbk AS (SELECT doc_id, bits_per_gram FROM sb WHERE kept = 1),
+         |mm2 AS (
+         |  SELECT min(bits_per_gram) AS mn, max(bits_per_gram) AS mx
+         |  FROM sbk
+         |),
+         |bnd AS (
+         |  SELECT s.doc_id, s.bits_per_gram,
+         |    CAST((CASE WHEN s.bits_per_gram
+         |                    > mm2.mn + (mm2.mx - mm2.mn) * 0.25
+         |               THEN 1 ELSE 0 END)
+         |       + (CASE WHEN s.bits_per_gram
+         |                    > mm2.mn + (mm2.mx - mm2.mn) * 0.5
+         |               THEN 1 ELSE 0 END)
+         |       + (CASE WHEN s.bits_per_gram
+         |                    > mm2.mn + (mm2.mx - mm2.mn) * 0.75
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS shard
+         |  FROM sbk s, mm2
+         |),
+         |ordr AS (
+         |  SELECT doc_id, shard,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY shard ORDER BY bits_per_gram, doc_id)
+         |      AS BIGINT) AS dpos
+         |  FROM bnd
+         |),
+         |selc AS MATERIALIZED (
+         |  SELECT d2.doc_id, d2.text
+         |  FROM documents d2 JOIN ordr USING (doc_id)
+         |),
+         |${duckBpeEncodeCtes(src = "selc")},
+         |cnt5 AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY 1
+         |),
+         |off5 AS (
+         |  SELECT o.doc_id, o.shard,
+         |    CAST(coalesce(sum(c.n) OVER (
+         |      PARTITION BY o.shard ORDER BY o.dpos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS o
+         |  FROM ordr o JOIN cnt5 c USING (doc_id)
+         |)
+         |SELECT o.shard, (o.o + e.pos) // 256 AS seq_no,
+         |       (o.o + e.pos) % 256 AS seq_pos, e.doc_id, e.tid
+         |FROM enc e JOIN off5 o ON o.doc_id = e.doc_id
+         |ORDER BY shard, seq_no, seq_pos""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = TextOps.lmStupidBackoff(docs, "doc_id", "text",
+        trainPred = col("source") === "src0", threshBits = 8)
+        .filter(col("kept") === 1L)
+      val order = TextOps.curriculumLayoutRange(
+        scored, "doc_id", "bits_per_gram", nBands = 4)
+      val sel = docs.join(order.select("doc_id"), Seq("doc_id"))
+      TextOps.packTokenIdsBy(sel, "doc_id", "text",
+        budget = 256L, order = order)
+        .orderBy("shard", "seq_no", "seq_pos")
+    },
+
     // ----- HyperLogLog per-source distinct tokens (LT30) ---------------
     // Engine-exact HLL: scrambled token hash -> bucket/leading-zero
     // registers (all integer), exact-dyadic harmonic sum, raw

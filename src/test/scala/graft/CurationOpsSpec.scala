@@ -625,6 +625,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(one === expect)
   }
 
+  test("curriculumLayoutRange: equal-width bands split [min, max], " +
+    "bands are monotone, within-band order is (difficulty, id)") {
+    // difficulties 0..16 over 200 docs: range boundaries at 4, 8, 12
+    val docs = (0 until 200).map(i =>
+      (i.toLong, ((i * 37) % 17).toDouble)).toDF("doc_id", "bits")
+    val out = TextOps.curriculumLayoutRange(docs, "doc_id", "bits",
+        nBands = 4)
+      .join(docs, Seq("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Double]("bits")))
+    assert(out.map(_._1).distinct.length === 200)
+    // exact band law: count of boundaries (4, 8, 12) strictly below
+    for ((_, shard, _, bits) <- out) {
+      val expectBand = Seq(4.0, 8.0, 12.0).count(bits > _)
+      assert(shard === expectBand.toLong,
+        s"bits=$bits must land in equal-width band $expectBand, got $shard")
+    }
+    val byBand = out.groupBy(_._2).toSeq.sortBy(_._1)
+    for (Seq((b, lo), (_, hi)) <- byBand.sliding(2).toSeq)
+      assert(lo.map(_._4).max <= hi.map(_._4).min, s"band $b not monotone")
+    for ((_, rows) <- byBand) {
+      val inPosOrder = rows.sortBy(_._3).map(r => (r._4, r._1))
+      assert(inPosOrder === inPosOrder.sorted)
+    }
+  }
+
   test("lmStupidBackoff: integer fixed-point scores are partition-" +
     "invariant — 1 vs 8 partitions produce identical rows") {
     def rows(parts: Int) =
