@@ -325,7 +325,9 @@ object JsonConfig {
           else 2.0,
         mergesPath = str(ep.path("merges_path")),
         mergesFormat = str(ep.path("merges_format")).getOrElse("parquet"),
-        trainMerges = long(ep.path("train_merges")).getOrElse(0L).toInt))
+        trainMerges = long(ep.path("train_merges")).getOrElse(0L).toInt,
+        layout = str(ep.path("layout")).getOrElse("shuffle"),
+        diffField = str(ep.path("diff_field"))))
     } else None,
     addProcessedFlags = bool(n.path("add_processed_flags")).getOrElse(true),
     intermediate = if (n.path("intermediate").isObject) {

@@ -340,7 +340,17 @@ final case class EpochPackDef(
     temperature: Double = 2.0,
     mergesPath: Option[String] = None,
     mergesFormat: String = "parquet",
-    trainMerges: Int = 0)
+    trainMerges: Int = 0,
+    /** Sequence layout: "shuffle" (deterministic epoch shuffle — the
+      * default), "curriculum" (difficulty bands via quantile
+      * boundaries, TextOps.curriculumLayout), or "curriculum_range"
+      * (equal-width bands, the hash-comparable twin). The curriculum
+      * layouts rank by `diffField` ascending (easiest first) and use
+      * `nShards` as the band count; `diffField` must be a column on
+      * the gated frame (e.g. a quality or LM score computed
+      * upstream). */
+    layout: String = "shuffle",
+    diffField: Option[String] = None)
 
 /** LLM-extension: Gopher rule-set quality gate inside a pipeline's
   * transform — keep rows whose `textField` passes every rule (see

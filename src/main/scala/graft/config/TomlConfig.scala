@@ -407,7 +407,9 @@ object TomlConfig {
           temperature = dbl(epk.get("temperature")).getOrElse(2.0),
           mergesPath = str(epk.get("merges_path")),
           mergesFormat = str(epk.get("merges_format")).getOrElse("parquet"),
-          trainMerges = long(epk.get("train_merges")).getOrElse(0L).toInt)))
+          trainMerges = long(epk.get("train_merges")).getOrElse(0L).toInt,
+          layout = str(epk.get("layout")).getOrElse("shuffle"),
+          diffField = str(epk.get("diff_field")))))
   }
 
   private def parseTransform(n: Map[String, Any]): TransformDef = {

@@ -642,8 +642,24 @@ object Orchestrator {
           df.join(picked.select(ep.idField), Seq(ep.idField))
         case None => df
       }
-      val order = graft.operators.TextOps.epochShuffle(
-        sel.select(ep.idField), ep.idField, ep.salt, ep.nShards)
+      val order = ep.layout match {
+        case "shuffle" =>
+          graft.operators.TextOps.epochShuffle(
+            sel.select(ep.idField), ep.idField, ep.salt, ep.nShards)
+        case l @ ("curriculum" | "curriculum_range") =>
+          val f = ep.diffField.getOrElse(sys.error(
+            s"epoch_pack.layout=$l requires diff_field (a difficulty " +
+              "column on the gated frame)"))
+          if (l == "curriculum")
+            graft.operators.TextOps.curriculumLayout(
+              sel.select(col(ep.idField), col(f)), ep.idField, f, ep.nShards)
+          else
+            graft.operators.TextOps.curriculumLayoutRange(
+              sel.select(col(ep.idField), col(f)), ep.idField, f, ep.nShards)
+        case other => sys.error(
+          s"epoch_pack.layout must be shuffle | curriculum | " +
+            s"curriculum_range: $other")
+      }
       df = graft.operators.TextOps.packTokenIdsBy(
         sel, ep.idField, ep.textField, ep.budget, order, merges)
     }

@@ -549,6 +549,44 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(sunk.count() === got.count())
   }
 
+  test("epoch_pack curriculum layout from config: sequences land in " +
+    "difficulty-band order, equal to the hand-composed range layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_epc").toString
+    val rows = (0 until 12).map { i =>
+      (i.toLong, ((i * 7) % 5).toDouble, s"alpha beta gamma w$i delta")
+    }
+    rows.toDF("doc_id", "difficulty", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("cp"), Seq(
+      PipelineDef("cp", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          epochPack = Some(EpochPackDef(idField = "doc_id",
+            textField = "text", budget = 4L, nShards = 3,
+            layout = "curriculum_range",
+            diffField = Some("difficulty")))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val got = ctx.results("cp").df.get
+      .select("shard", "seq_no", "seq_pos", "doc_id", "tid")
+      .collect().map(_.toSeq).toSet
+    val docs = spark.read.parquet(s"$dir/docs")
+    val order = graft.operators.TextOps.curriculumLayoutRange(
+      docs.select("doc_id", "difficulty"), "doc_id", "difficulty", 3)
+    val expect = graft.operators.TextOps.packTokenIdsBy(
+      docs, "doc_id", "text", 4L, order)
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // a curriculum layout without the difficulty column fails loud
+    val bad = SequenceDef("s", Seq("cp"), Seq(
+      PipelineDef("cp", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          epochPack = Some(EpochPackDef(idField = "doc_id",
+            textField = "text", layout = "curriculum"))))))
+    val e = intercept[RuntimeException](
+      Orchestrator.execute(spark, bad, unpersistOnEnd = false))
+    assert(e.getMessage.contains("diff_field"))
+  }
+
   test("gopher_filter transform keeps only rows passing every rule") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gph").toString

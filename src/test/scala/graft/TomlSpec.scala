@@ -704,6 +704,8 @@ class TomlSpec extends AnyFunSuite {
         |mix_budget_tokens = 3000
         |temperature = 2.0
         |train_merges = 4
+        |layout = "curriculum_range"
+        |diff_field = "quality"
         |""".stripMargin)
     val t = seq.pipelines.head.transform
     assert(t.winnowDedup.exists(w => w.k == 5 && w.minOverlap == 0.3
@@ -738,7 +740,9 @@ class TomlSpec extends AnyFunSuite {
       && ep.textField == "text" && ep.budget == 128L && ep.nShards == 2
       && ep.salt == "ep7" && ep.mixField.contains("lang")
       && ep.mixBudgetTokens == 3000L && ep.temperature == 2.0
-      && ep.mergesPath.isEmpty && ep.trainMerges == 4))
+      && ep.mergesPath.isEmpty && ep.trainMerges == 4
+      && ep.layout == "curriculum_range"
+      && ep.diffField.contains("quality")))
   }
 
   test("a non-integral TOML float in an integer slot fails loud instead " +
