@@ -288,8 +288,15 @@ object LlmOps {
       maxHamming: Int, bits: Int = 16, bands: Int = 2,
       wideTokenHash: Boolean = false): DataFrame = {
     require(bits % bands == 0, s"bits $bits must split into $bands bands")
-    val width = bits / bands
     val codes = simHash(df, idCol, textCol, bits, wideTokenHash)
+    bandedHammingPairs(codes, idCol, maxHamming, bits / bands, bands)
+  }
+
+  /** The banded-Hamming candidate join shared by every SimHash pair
+    * searcher: equi join on (band, slice), popcount(xor) verify. */
+  private def bandedHammingPairs(
+      codes: DataFrame, idCol: String, maxHamming: Int,
+      width: Int, bands: Int): DataFrame = {
     val banded = codes.select(col(idCol), col("simhash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("slice",
@@ -304,6 +311,58 @@ object LlmOps {
         bit_count(expr("sh_a ^ sh_b")).cast("long").as("hamming"))
       .distinct()
     pairs.filter(col("hamming") <= maxHamming)
+  }
+
+  /** Wide (up to 60-bit) SimHash whose token hash is ORACLE-PORTABLE —
+    * the piece [[simHash]]'s `wideTokenHash` escape hatch (xxhash64,
+    * Spark-private) could not verify: two independent avalanched
+    * 32-bit lanes, lane 0 = [[mix32]]([[strHash]](w)) feeding code
+    * bits 0..31 and lane 1 = mix32(strHash("g2:" ∥ w)) feeding bits
+    * 32+, every primitive replayable verbatim in SQL (xor, integer
+    * div, mod 2^32). Same frequency-weighted ±1 vote per bit as
+    * [[simHash]]; one explode + two keyed aggs regardless of width.
+    * Capped at 60 bits so band slices never touch the BIGINT sign bit
+    * (arithmetic vs logical shift differs across engines there). */
+  def simHashWide(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"wide code must be 1..60 bits: $bits")
+    val base = df.select(col(idCol), explode(words(col(textCol))).as("__w"))
+    val lane0 = base.select(col(idCol),
+      mix32(strHash(col("__w"))).as("k"), lit(0L).as("lane"))
+    val toks = if (bits <= 32) lane0 else lane0.unionByName(
+      base.select(col(idCol),
+        mix32(strHash(concat(lit("g2:"), col("__w")))).as("k"),
+        lit(1L).as("lane")))
+    toks
+      .select(col(idCol), col("k"), col("lane"),
+        explode(sequence(lit(0), lit(31))).as("lb"))
+      .withColumn("b", col("lane") * 32 + col("lb"))
+      .filter(col("b") < bits)
+      .groupBy(col(idCol), col("b"))
+      .agg(when(sum(expr("(shiftright(k, CAST(lb AS INT)) & 1) * 2 - 1")) > 0,
+        1L).otherwise(0L).as("bit"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .as("simhash"))
+  }
+
+  /** [[simHashPairs]] with the bucket space SCALED TO THE CORPUS and
+    * every step oracle-portable — the llm_simhash_pairs production
+    * default since r13: slice width w = bitlength(n−1) − 1 clamped to
+    * [4, 15] (per-band bucket count ≈ n/2 keeps occupancy — and the
+    * in-bucket quadratic — flat as the corpus grows; the fixed 8-bit
+    * slices measured 20×+/decade at sf10), code width = bands·w ≤ 60
+    * via [[simHashWide]]'s avalanched two-lane hash. Pigeonhole
+    * exactness is width-independent: any pair within Hamming <
+    * `bands` still agrees on a whole slice. One cheap count derives
+    * the width; pass [[simHashPairs]] explicit parameters to pin it. */
+  def simHashPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands * 15 <= 60, s"bands out of range: $bands")
+    val width = math.max(4, math.min(15, autoPlanes(df.count())))
+    val codes = simHashWide(df, idCol, textCol, bands * width)
+    bandedHammingPairs(codes, idCol, maxHamming, width, bands)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a bounded probe

@@ -21,19 +21,22 @@ object DuckSql {
     * expression is evaluated once per row, not once per textual
     * reference. Shift-right of a non-negative value renders as
     * integer division by 65536 — identical in both engines. Produces
-    * a CTE `mx($keyCols, k)` reading `$hCol` from `$src`. */
-  def duckMix32Ctes(src: String, keyCols: String, hCol: String): String =
-    s"""__mx1 AS (
+    * a CTE `$out($keyCols, k)` reading `$hCol` from `$src` (the `out`
+    * name parameterizes the chain so one query can mix several
+    * independent lanes — e.g. the two-lane wide SimHash code). */
+  def duckMix32Ctes(src: String, keyCols: String, hCol: String,
+      out: String = "mx"): String =
+    s"""__${out}1 AS (
        |  SELECT $keyCols,
        |    (xor($hCol, $hCol // 65536) * 73244475) % 4294967296 AS __x
        |  FROM $src
        |),
-       |__mx2 AS (
+       |__${out}2 AS (
        |  SELECT $keyCols,
        |    (xor(__x, __x // 65536) * 73244475) % 4294967296 AS __x
-       |  FROM __mx1
+       |  FROM __${out}1
        |),
-       |mx AS (SELECT $keyCols, xor(__x, __x // 65536) AS k FROM __mx2)"""
+       |$out AS (SELECT $keyCols, xor(__x, __x // 65536) AS k FROM __${out}2)"""
       .stripMargin
 
   /** Sequential left-fold double sum (mirrors LlmOps' aggregate order). */

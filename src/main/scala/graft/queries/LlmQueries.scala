@@ -711,33 +711,51 @@ object LlmQueries {
     // ----- SimHash near-dup pairs (banded Hamming search) --------------
     // Pigeonhole: ≤3 differing bits across 4 bands leave at least one
     // band identical, so the band join finds EVERY pair within the
-    // threshold — exact, no all-pairs scan. Both engines run the same
-    // banded scheme end to end. 32-bit codes here: 8-bit slices keep
-    // the (band, slice) buckets small (the 16-bit golden code query is
-    // llm_simhash; coarse codes over a whole corpus make everything a
-    // "near-dup" and the buckets quadratic).
+    // threshold — exact, no all-pairs scan, at ANY slice width. r13:
+    // the slice width SCALES WITH THE CORPUS in both engines (w =
+    // bitlength(n-1) - 1 clamped [4, 15]; per-band buckets ≈ n/2 keep
+    // occupancy flat — the fixed 8-bit slices measured 20×+/decade at
+    // sf10), and the code is the ORACLE-PORTABLE wide form: two
+    // avalanched mix32 lanes (lane 0 bits 0..31, lane 1 bits 32+),
+    // every primitive replayed verbatim below. Code width = 4·w ≤ 60
+    // so band slices never touch the BIGINT sign bit.
     QDef.sql(
       "llm_simhash_pairs",
-      s"""WITH toks AS (
+      s"""WITH nn AS (
+         |  SELECT greatest(4, least(15, length(bin(count(*) - 1)) - 1)) AS wd
+         |  FROM documents
+         |),
+         |toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
          |),
-         |hashed AS (
-         |  SELECT doc_id, ${duckHash("w")} AS h FROM toks
+         |l1 AS (SELECT doc_id, ${duckHash("w")} AS h FROM toks),
+         |l2 AS (SELECT doc_id, ${duckHash("'g2:' || w")} AS h FROM toks),
+         |${DuckSql.duckMix32Ctes("l1", "doc_id", "h", "mxa")},
+         |${DuckSql.duckMix32Ctes("l2", "doc_id", "h", "mxb")},
+         |lanes AS (
+         |  SELECT doc_id, k, 0 AS lane FROM mxa
+         |  UNION ALL
+         |  SELECT doc_id, k, 1 AS lane FROM mxb, nn WHERE 4 * nn.wd > 32
          |),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |         CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+         |bitsv AS (
+         |  SELECT doc_id, lane * 32 + lb AS b,
+         |         CASE WHEN sum(((k >> lb) & 1) * 2 - 1) > 0
          |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-         |  FROM hashed, generate_series(0, 31) g(b)
-         |  GROUP BY doc_id, b
+         |  FROM lanes, generate_series(0, 31) g(lb), nn
+         |  WHERE lane * 32 + lb < 4 * nn.wd
+         |  GROUP BY doc_id, lane * 32 + lb
          |),
          |sh AS (
-         |  SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id
+         |  SELECT doc_id,
+         |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT)
+         |      AS simhash
+         |  FROM bitsv GROUP BY doc_id
          |),
          |banded AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS slice
-         |  FROM sh, generate_series(0, 3) g(band)
+         |  SELECT doc_id, simhash, band,
+         |    (simhash >> CAST(band * nn.wd AS INT))
+         |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
+         |  FROM sh, generate_series(0, 3) g(band), nn
          |),
          |p AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -747,8 +765,8 @@ object LlmQueries {
          |)
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      LlmOps.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bits = 32, bands = 4)
+      LlmOps.simHashPairsAuto(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4)
         .orderBy("doc_a", "doc_b")
     },
 

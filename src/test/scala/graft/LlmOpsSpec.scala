@@ -194,6 +194,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs(0) === expected, "auto planes must find the same dups")
   }
 
+  test("simHashPairsAuto: identical docs share the code at any width, " +
+    "the two-lane wide code splits cleanly, widths cap at 60 bits") {
+    val fillers = (10 until 40).map(i =>
+      (i.toLong, s"filler$i unique${i * 7} words${i * 13} here$i"))
+    val corpus = (Seq(
+      (1L, "the exact same duplicated document text"),
+      (2L, "the exact same duplicated document text")) ++ fillers)
+      .toDF("doc_id", "text")
+    // n=32 docs -> auto width 4 (16 buckets/band); identical texts give
+    // identical codes, so the pair survives at hamming 0
+    val auto = LlmOps.simHashPairsAuto(corpus, "doc_id", "text",
+      maxHamming = 0).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(auto.contains((1L, 2L)))
+    // the wide code agrees with itself across widths on duplicates:
+    // lane-1 bits (33+) engage past 32 and stay deterministic
+    for (bits <- Seq(32, 48, 60)) {
+      val codes = LlmOps.simHashWide(
+          corpus.filter(col("doc_id") <= 2), "doc_id", "text", bits)
+        .collect().map(_.getLong(1)).toSeq
+      assert(codes.distinct.size === 1,
+        s"duplicate docs must share the $bits-bit code")
+    }
+    val e = intercept[IllegalArgumentException](
+      LlmOps.simHashWide(corpus, "doc_id", "text", 61))
+    assert(e.getMessage.contains("60"))
+  }
+
   test("pq adc: codes snap to the nearest sub-centroid, identical and " +
     "code-identical candidates score 1.0, zero vectors excluded") {
     val vecs = Seq(
