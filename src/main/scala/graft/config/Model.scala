@@ -348,7 +348,19 @@ final case class EpochPackDef(
       * layouts rank by `diffField` ascending (easiest first) and use
       * `nShards` as the band count; `diffField` must be a column on
       * the gated frame (e.g. a quality or LM score computed
-      * upstream). */
+      * upstream).
+      *
+      * DETERMINISM: "curriculum" derives its band boundaries from
+      * percentile_approx, whose sketch merge is partition-order-
+      * dependent — two otherwise-identical runs (or a repartitioned
+      * rerun) can place a boundary-adjacent document in a different
+      * band, so the packed epoch order is NOT rerun-invariant. Every
+      * other layout is: "shuffle" orders by a salted hash and
+      * "curriculum_range" computes boundaries from min/max (order-free
+      * aggregates) with IEEE-exact arithmetic. Pick curriculum_range
+      * (or shuffle) when the training run must be bit-reproducible;
+      * curriculum buys balanced band SIZES at the cost of reproducible
+      * band PLACEMENT. */
     layout: String = "shuffle",
     diffField: Option[String] = None)
 

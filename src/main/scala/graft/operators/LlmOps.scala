@@ -293,24 +293,37 @@ object LlmOps {
   }
 
   /** The banded-Hamming candidate join shared by every SimHash pair
-    * searcher: equi join on (band, slice), popcount(xor) verify. */
-  private def bandedHammingPairs(
+    * searcher: equi join on (band, slice), popcount(xor) verify. A pair
+    * agreeing on several slices would surface once per agreeing band;
+    * instead of a distinct() (a full shuffle over the candidate set)
+    * each candidate row keeps only its EARLIEST agreeing band — every
+    * earlier slice must differ, checked from the two full codes already
+    * on the row — so the output is duplicate-free with zero extra
+    * exchanges and near-identical pairs (which agree on ALL bands) are
+    * emitted exactly once. `codeCol` parameterizes the fingerprint
+    * column so non-text codes (payload fingerprints) reuse the search. */
+  private[operators] def bandedHammingPairs(
       codes: DataFrame, idCol: String, maxHamming: Int,
-      width: Int, bands: Int): DataFrame = {
-    val banded = codes.select(col(idCol), col("simhash"),
+      width: Int, bands: Int, codeCol: String = "simhash"): DataFrame = {
+    val mask = (1L << width) - 1
+    val banded = codes.select(col(idCol), col(codeCol).as("__code"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("slice",
-        expr(s"shiftright(simhash, band * $width) & ${(1L << width) - 1}"))
-    val pairs = banded.select(col(idCol).as("doc_a"),
-        col("simhash").as("sh_a"), col("band"), col("slice"))
+        expr(s"shiftright(__code, band * $width) & $mask"))
+    def sl(c: String, b: Int) = expr(s"shiftright($c, ${b * width}) & $mask")
+    val earliest = (0 until bands - 1)
+      .map(bp => (col("band") <= bp) || (sl("sh_a", bp) =!= sl("sh_b", bp)))
+      .foldLeft(lit(true))(_ && _)
+    banded.select(col(idCol).as("doc_a"),
+        col("__code").as("sh_a"), col("band"), col("slice"))
       .join(banded.select(col(idCol).as("doc_b"),
-        col("simhash").as("sh_b"), col("band"), col("slice")),
+        col("__code").as("sh_b"), col("band"), col("slice")),
         Seq("band", "slice"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(earliest)
       .select(col("doc_a"), col("doc_b"),
         bit_count(expr("sh_a ^ sh_b")).cast("long").as("hamming"))
-      .distinct()
-    pairs.filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Wide (up to 60-bit) SimHash whose token hash is ORACLE-PORTABLE —
@@ -346,23 +359,48 @@ object LlmOps {
         .as("simhash"))
   }
 
-  /** [[simHashPairs]] with the bucket space SCALED TO THE CORPUS and
-    * every step oracle-portable — the llm_simhash_pairs production
-    * default since r13: slice width w = bitlength(n−1) − 1 clamped to
-    * [4, 15] (per-band bucket count ≈ n/2 keeps occupancy — and the
-    * in-bucket quadratic — flat as the corpus grows; the fixed 8-bit
-    * slices measured 20×+/decade at sf10), code width = bands·w ≤ 60
-    * via [[simHashWide]]'s avalanched two-lane hash. Pigeonhole
-    * exactness is width-independent: any pair within Hamming <
-    * `bands` still agrees on a whole slice. One cheap count derives
-    * the width; pass [[simHashPairs]] explicit parameters to pin it. */
+  /** Slice width for the STABLE-CODE banded search over a fixed 60-bit
+    * fingerprint: the largest divisor of 60 in {4,5,6,10,12,15} that is
+    * ≤ the [[autoPlanes]]-law width clamp(bitlength(n−1)−1, 4, 15), so
+    * per-band bucket count 2^w tracks ~n/2 while bands = 60/w stays
+    * ≥ 4 — pigeonhole exactness for any maxHamming ≤ 3 at EVERY corpus
+    * size. Divisors only: the bands must tile the code exactly or the
+    * leftover bits would be searched by no band. Integer-exact in SQL
+    * as a CASE ladder over length(bin(n−1)). */
+  def stableBandWidth(n: Long): Int = {
+    val p = math.max(4, math.min(15, autoPlanes(n)))
+    Seq(15, 12, 10, 6, 5, 4).find(_ <= p).get
+  }
+
+  /** [[simHashPairs]] with the bucket space SCALED TO THE CORPUS, a
+    * CORPUS-INDEPENDENT near-dup predicate, and every step
+    * oracle-portable — the llm_simhash_pairs production default. The
+    * fingerprint is ALWAYS the full 60-bit [[simHashWide]] code (two
+    * avalanched mix32 lanes), so "hamming(a,b) ≤ maxHamming" is a
+    * stable property of the two documents — the same pair classifies
+    * identically at sf0.01 and sf100 (the r13 form grew the CODE with
+    * the corpus, silently tightening the threshold from 3-of-16 to
+    * 3-of-60 bits as n grew). What scales instead is the SEARCH
+    * geometry: slice width w = [[stableBandWidth]](n) (per-band
+    * buckets ≈ n/2 keep in-bucket occupancy — and the quadratic a
+    * fixed bucket space pays — flat; fixed 8-bit slices measured
+    * 20×+/decade at sf10), bands = 60/w ∈ {4..15}. Pigeonhole
+    * exactness holds at every size: maxHamming ≤ 3 < 4 ≤ bands, so any
+    * pair within the threshold agrees on a whole slice — recall is 1.0
+    * regardless of where the width lands. One cheap count derives the
+    * width; pass `n` when the caller already knows the corpus size (a
+    * computed upstream would otherwise pay one extra lineage pass for
+    * the count), or [[simHashPairs]] explicit parameters to pin the
+    * geometry entirely. */
   def simHashPairsAuto(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, bands: Int = 4): DataFrame = {
-    require(bands >= 1 && bands * 15 <= 60, s"bands out of range: $bands")
-    val width = math.max(4, math.min(15, autoPlanes(df.count())))
-    val codes = simHashWide(df, idCol, textCol, bands * width)
-    bandedHammingPairs(codes, idCol, maxHamming, width, bands)
+      maxHamming: Int, n: Long = -1L): DataFrame = {
+    require(maxHamming <= 3,
+      s"stable banded search is exact only for maxHamming <= 3 " +
+        s"(bands can reach 4 at large corpora): $maxHamming")
+    val width = stableBandWidth(if (n > 0) n else df.count())
+    val codes = simHashWide(df, idCol, textCol, 60)
+    bandedHammingPairs(codes, idCol, maxHamming, width, 60 / width)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a bounded probe
@@ -1404,35 +1442,65 @@ object LlmOps {
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup method):
-    * vectors sharing an LSH bucket whose cosine clears `threshold`.
+    * vectors sharing an LSH band whose exact cosine clears `threshold`.
     * `keep_id` (the smaller id) survives dedup, `dup_id` is the
     * removable near-duplicate — downstream dedup is an anti-join on
-    * dup_id. Bucketed like annTopKLsh: the only shuffle is on the
-    * bucket id; cost scales with bucket occupancy — and occupancy
-    * scales with the CORPUS unless the bucket space grows with it, so
-    * the default (`planes` ≤ 0) derives the plane count from one cheap
-    * count of `vecs` via [[autoPlanes]] (the r12 sf10 heavy pair
-    * measured the fixed-8 default at 25.4×/decade — the quadratic this
-    * default removes). Identical-direction duplicates collide at ANY
-    * plane count; pass `planes` explicitly to trade work for recall on
-    * sub-identical pairs, or to skip the count when the corpus size is
-    * already known. */
+    * dup_id. The only shuffle is on the (band, slice) key; cost scales
+    * with bucket occupancy — and occupancy scales with the CORPUS
+    * unless the bucket space grows with it, so the default (`planes` ≤
+    * 0) derives the PER-BAND plane count from one count of `vecs` via
+    * [[autoPlanes]] (the r12 sf10 heavy pair measured the fixed-8
+    * single-table default at 25.4×/decade — the quadratic this
+    * removes), capped at 62/bands so the code stays a BIGINT; pass `n`
+    * when the corpus size is already known (a computed upstream would
+    * otherwise pay one extra lineage pass for the count).
+    *
+    * RECALL — why `bands` (default 4) hash tables, not one: with a
+    * single table of p planes, two vectors at angle θ collide only if
+    * ALL p plane signs agree — probability (1−θ/π)^p, which decays
+    * toward zero as the auto law grows p with the corpus, so only
+    * identical-direction duplicates would survive at scale (the r13
+    * single-table auto form had exactly this silent recall collapse).
+    * With `bands` independent slices a pair is a candidate if ANY
+    * slice agrees: recall 1−(1−q^w)^bands for q = 1−θ/π, w = planes
+    * per band — e.g. q = 0.95, w = 15: 0.46 single-table → 0.92 at 4
+    * bands — at ~bands× the candidate-generation cost and UNCHANGED
+    * precision (every candidate is verified by exact cosine). A pair
+    * agreeing on several slices is emitted once: each candidate row
+    * keeps only its earliest agreeing band (checked from the two full
+    * codes on the row — no distinct() shuffle). Recall is still < 1
+    * (any LSH is); pass `planes` explicitly for the pinned
+    * single-table form. */
   def embedNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 0, dims: Int = 64): DataFrame = {
-    val p = if (planes > 0) planes else autoPlanes(vecs.count())
+      threshold: Double, planes: Int = 0, dims: Int = 64,
+      bands: Int = 4, n: Long = -1L): DataFrame = {
+    require(bands >= 1 && bands <= 62, s"bands out of range: $bands")
+    val (w, nb) =
+      if (planes > 0) (planes, 1)
+      else (math.max(1, math.min(62 / bands,
+        autoPlanes(if (n > 0) n else vecs.count()))), bands)
+    val mask = (1L << w) - 1
     val v = vecs
       .select(col(idCol).as("vid"), toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("bucket", lshBucket(col("e"), p, dims))
+      .withColumn("code", lshBucket(col("e"), w * nb, dims))
       .withColumn("nrm", dot(col("e"), col("e")))
       .filter(col("nrm") > 0) // cosine undefined for the zero vector
-    val a = v.select(col("vid").as("keep_id"), col("e").as("ea"),
-      col("bucket"), col("nrm").as("na"))
-    val b = v.select(col("vid").as("dup_id"), col("e").as("eb"),
-      col("bucket"), col("nrm").as("nb"))
+    val banded = v.select(col("vid"), col("e"), col("nrm"), col("code"),
+      explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .withColumn("slice", expr(s"shiftright(code, band * $w) & $mask"))
+    def sl(c: String, b: Int) = expr(s"shiftright($c, ${b * w}) & $mask")
+    val earliest = (0 until nb - 1)
+      .map(bp => (col("band") <= bp) || (sl("ca", bp) =!= sl("cb", bp)))
+      .foldLeft(lit(true))(_ && _)
+    val a = banded.select(col("vid").as("keep_id"), col("e").as("ea"),
+      col("band"), col("slice"), col("code").as("ca"), col("nrm").as("na"))
+    val b = banded.select(col("vid").as("dup_id"), col("e").as("eb"),
+      col("band"), col("slice"), col("code").as("cb"), col("nrm").as("nb"))
     val cosine = dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("band", "slice"))
       .filter(col("keep_id") < col("dup_id"))
+      .filter(earliest)
       .withColumn("c", cosine)
       .filter(col("c") >= threshold)
       .select(col("keep_id"), col("dup_id"), round(col("c"), 6).as("cosine"))

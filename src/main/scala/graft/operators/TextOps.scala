@@ -282,8 +282,10 @@ object TextOps {
     * oracle-replayable form (each round is one Spark job — right for
     * verification, unpayable at 32k merges: 32k jobs); this one
     * learns a GPT-2-sized table in seconds and produces the IDENTICAL
-    * merge list: same (count desc, x, y) argmax tiebreak (ASCII/BMP
-    * string order — Spark's UTF8 binary order agrees there), same
+    * merge list: same (count desc, x, y) argmax tiebreak compared in
+    * UNSIGNED UTF-8 BYTE order (Spark's UTF8String binary order — the
+    * in-loop utf8Less comparator, exact for the full code-point range
+    * including non-BMP symbols), same
     * left-to-right non-overlapping merge application, same
     * exhaustion rule (stops when no word has two symbols left).
     * `maxVocab` bounds the driver collect the way the classifier
@@ -301,8 +303,23 @@ object TextOps {
       s"word vocabulary ${wf.length} exceeds maxVocab=$maxVocab — " +
         "train on a frequency-sampled subset or raise the cap")
     import scala.collection.mutable
+    // CODE-POINT segmentation, not String.split(""): Java's split by
+    // the empty pattern cuts surrogate PAIRS into lone halves while
+    // Spark's split("") keeps each supplementary character whole — the
+    // base alphabets would diverge on any non-BMP corpus (and lone
+    // surrogates UTF-8-encode as '?', corrupting the tie-break too)
+    def codePoints(w: String): Seq[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
     val words = wf.map(r => mutable.ArrayBuffer(
-      r.getString(0).split(""): _*))
+      codePoints(r.getString(0)): _*))
     val freqs = wf.map(_.getLong(1))
     // pair -> weighted count; pair -> word indices containing it
     val cnt = mutable.HashMap.empty[(String, String), Long]
@@ -329,6 +346,25 @@ object TextOps {
       }
     }
     words.indices.foreach(addWord)
+    // Tie-break comparator = Spark's UTF8String binary order (unsigned
+    // UTF-8 bytes), NOT Java String `<` (UTF-16 code units) — the two
+    // diverge for supplementary characters (emoji sort below U+E000
+    // privates in UTF-16 but above in UTF-8), which would silently
+    // break the identical-merge-list guarantee vs bpeTrain's orderBy
+    // on non-BMP corpora. Segmentation itself agrees: Java-regex
+    // split("") (both engines' path) never splits a surrogate pair.
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val m = math.min(x.length, y.length)
+      while (i < m) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     val learned = mutable.ArrayBuffer.empty[(String, String)]
     var r = 0
     while (r < nMerges && cnt.nonEmpty) {
@@ -336,8 +372,8 @@ object TextOps {
       var best: ((String, String), Long) = null
       for (e <- cnt) {
         if (best == null || e._2 > best._2 ||
-            (e._2 == best._2 && (e._1._1 < best._1._1 ||
-              (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+            (e._2 == best._2 && (utf8Less(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Less(e._1._2, best._1._2)))))
           best = e
       }
       val (a, b) = best._1
@@ -476,12 +512,17 @@ object TextOps {
     require(budget >= 1, s"token budget must be >= 1: $budget")
     val vocab = bpeVocab(df, textCol, merges)
     val ord = order.select(col(idCol), col("shard"), col("pos").as("__dpos"))
-    val w = Window.partitionBy("shard").orderBy(col("__dpos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.select(col(idCol),
-        bpeTokenCountCol(col(textCol), merges).as("__n"))
-      .join(ord, Seq(idCol))
-      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+    // r14: the per-doc offset is a DISTRIBUTED exclusive prefix sum
+    // (range partition on (shard, __dpos), within-partition window,
+    // per-partition totals broadcast back) — the r13 form's
+    // Window.partitionBy(shard) funneled each shard's ENTIRE doc list
+    // through one task, which is a single-task stage whenever the
+    // layout is a global rank (shard count 1) and a billion-doc wall
+    // at any shard count
+    val offsets = shardPrefixSum(
+      df.select(col(idCol),
+          bpeTokenCountCol(col(textCol), merges).as("__n"))
+        .join(ord, Seq(idCol)))
       .select(col("shard"), col(idCol), col("__off"))
     bpeEncodeIds(df, idCol, textCol, merges, vocab)
       .join(offsets, Seq(idCol))
@@ -492,6 +533,50 @@ object TextOps {
         expr(s"(__off + pos) div ${budget}L").as("seq_no"),
         pmod(col("__off") + col("pos"), lit(budget)).as("seq_pos"),
         col(idCol), col("tid"))
+  }
+
+  /** Distributed EXCLUSIVE prefix sum of `__n` within each `shard` in
+    * `__dpos` order — the scalable replacement for a
+    * Window.partitionBy(shard) running sum, whose largest task holds a
+    * whole shard (and the whole corpus when the layout is a global
+    * rank with one shard). Same two-pass shape as [[rankLayout]]:
+    * range-partition on (shard, __dpos) — __dpos is unique within a
+    * shard, so ranges are disjoint and the order total — prefix-sum
+    * WITHIN each (partition, shard) slice via a partitioned window,
+    * then add the slice's global offset from one bounded collect of
+    * per-(partition, shard) totals (≤ partitions·shards tiny rows,
+    * broadcast back). The localCheckpoint pins the sampled partition
+    * assignment between the totals action and the window pass, and
+    * pins the upstream (the per-doc BPE token count) against double
+    * evaluation. Input (any id columns, shard, __dpos, __n); output
+    * the same rows + `__off`. */
+  private def shardPrefixSum(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs.repartitionByRange(parts, col("shard"), col("__dpos"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val tots = ranged.groupBy("__pid", "shard")
+      .agg(sum("__n").as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1)) // shard, then partition order
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var curShard = Long.MinValue
+    var acc = 0L
+    tots.foreach { case (pid, sh, t) =>
+      if (sh != curShard || offs.isEmpty) { curShard = sh; acc = 0L }
+      offs += ((pid, sh, acc))
+      acc += t
+    }
+    val offDf = spark.createDataFrame(offs.toSeq)
+      .toDF("__pid", "shard", "__poff")
+    val w = Window.partitionBy("__pid", "shard").orderBy(col("__dpos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), Seq("__pid", "shard"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(w), lit(0L)) + col("__poff"))
+      .drop("__pid", "__poff")
   }
 
   /** Stopword removal: drop listed tokens from the text, preserving the
@@ -1258,6 +1343,50 @@ object TextOps {
     * full LM-scoring pass, which cost more than the funnel it
     * removed. The checkpoint is two columns per doc — the same
     * doc-sized pin every CC/packing path in this repo carries. */
+  /** EXACT global curriculum rank with NO single-task sort — the
+    * distributed two-pass rank (the classic zipWithIndex shape,
+    * Spark-first): range-partition the localCheckpoint-pinned narrow
+    * (idCol, diffCol) frame on (diffCol, idCol) — idCol unique makes
+    * the order total, so ranges are disjoint and rank is exact
+    * wherever the sampled boundaries land — then rank WITHIN each
+    * range partition (a partitionBy window, never one task) and add
+    * the partition's global offset from one bounded collect of
+    * per-partition counts (≤ `partitions` rows, broadcast back). The
+    * checkpoint pins BOTH the partition assignment between the counts
+    * action and the rank pass (range boundaries are sampled — unpinned
+    * they could move between actions and mis-rank) AND the upstream
+    * scorer against packTokenIdsBy's double read. Output
+    * (idCol, shard = 0, pos = 1-based global rank by (diffCol,
+    * idCol)) — exactly [[curriculumLayout]](nBands = 1), which
+    * delegates here; the largest per-task sort is one range partition
+    * (~N/partitions rows), so the layout survives a corpus that no
+    * longer fits one task. */
+  def rankLayout(
+      scored: DataFrame, idCol: String, diffCol: String,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = scored.select(col(idCol), col(diffCol))
+      .repartitionByRange(parts, col(diffCol), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o
+    }.toSeq
+    val offDf = spark.createDataFrame(offs).toDF("__pid", "__off")
+    val within = Window.partitionBy("__pid")
+      .orderBy(col(diffCol), col(idCol))
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("pos",
+        (col("__off") + row_number().over(within)).cast("long"))
+      .select(col(idCol), lit(0L).as("shard"), col("pos"))
+  }
+
   def curriculumLayout(
       scored: DataFrame, idCol: String, diffCol: String,
       nBands: Int, accuracy: Int = 10000): DataFrame = {
@@ -1265,10 +1394,7 @@ object TextOps {
     require(nBands >= 1, s"nBands must be >= 1: $nBands")
     val byBand = Window.partitionBy("shard")
       .orderBy(col(diffCol), col(idCol))
-    if (nBands == 1)
-      return scored.withColumn("shard", lit(0L))
-        .withColumn("pos", row_number().over(byBand).cast("long"))
-        .select(col(idCol), col("shard"), col("pos"))
+    if (nBands == 1) return rankLayout(scored, idCol, diffCol)
     val narrow = scored.select(col(idCol), col(diffCol))
       .localCheckpoint(true)
     val qs = (1 until nBands).map(_.toDouble / nBands)
@@ -1301,6 +1427,7 @@ object TextOps {
       nBands: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBands >= 1, s"nBands must be >= 1: $nBands")
+    if (nBands == 1) return rankLayout(scored, idCol, diffCol)
     val byBand = Window.partitionBy("shard")
       .orderBy(col(diffCol), col(idCol))
     val narrow = scored.select(col(idCol), col(diffCol))
@@ -2414,5 +2541,88 @@ object MultimodalOps {
         }
       }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual fingerprint of an opaque binary payload — a 60-bit
+    * blocked-byte-histogram code in PURE INTEGER ARITHMETIC, the
+    * multimodal analogue of aHash/blockhash pooled over the 1-D byte
+    * stream (a real image pipeline would pool decoded luma blocks; the
+    * zero-egress build pools raw bytes, which has the same robustness
+    * law: a local edit moves ONE block's mean slightly, so
+    * near-identical payloads land within a few bits). Bit b (b ∈
+    * 0..59) is 1 iff the mean byte value of stream block b — block of
+    * byte i = ⌊i/4⌋ mod 60, FIXED 4-byte cells folded over the 60
+    * bits, NOT length-scaled cells: scaling the cell size by the
+    * payload length would re-bin every byte when a trailing edit
+    * changes n, flipping most bits between two prefix-identical
+    * payloads (a fixed raster, like an image's, keeps aligned content
+    * in aligned cells) — exceeds the whole payload's mean, compared
+    * integer-exactly as blockSum·n > totalSum·blockCount (no float
+    * division anywhere). Byte values come off the hex rendering of the
+    * payload (two digits per byte via a 16-char index lookup): every
+    * primitive — lower(hex(..)), substring, instr — replays verbatim
+    * in any SQL engine, unlike a raw byte accessor. Plan: split the
+    * hex string into per-byte cells, posexplode, two keyed aggs
+    * ((id, block) sums, then the id-partitioned totals window over ≤60
+    * block rows per doc) — linear in payload bytes, shuffles only on
+    * the id. Empty payloads carry no information and are dropped
+    * (documented: a zero-byte file is dedup'd by exact digest
+    * upstream, not perceptually). Output: (idCol, pcode). */
+  def payloadFingerprint(
+      df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hexDigits = "0123456789abcdef"
+    // "(?<=\\G..)" splits the hex string after every 2nd char — one
+    // cell per payload byte, so exploded rows carry 2 chars, not the
+    // whole hex string.
+    val cells = split(lower(hex(col(payloadCol))), "(?<=\\G..)")
+    val bytes = df
+      // length() on the raw payload, not size() of the split: Java
+      // "".split(..) yields [""], which would fabricate a byte for a
+      // zero-length payload instead of dropping it
+      .filter(length(col(payloadCol)) > 0)
+      .select(col(idCol), cells.as("__hx"))
+      .select(col(idCol), posexplode(col("__hx")).as(Seq("__i", "__hh")))
+      // Spark's split defaults to limit = -1, which KEEPS the trailing
+      // empty string the zero-width (?<=\G..) match produces at
+      // end-of-input — a phantom 0-value "byte" that would drag the
+      // last cell's mean; keep only real 2-digit cells
+      .filter(length(col("__hh")) === 2)
+      .withColumn("__v",
+        (expr(s"instr('$hexDigits', substring(__hh, 1, 1))") - 1) * 16 +
+          expr(s"instr('$hexDigits', substring(__hh, 2, 1))") - 1)
+      .withColumn("__b", expr("(CAST(__i AS BIGINT) DIV 4) % 60"))
+    val perBlock = bytes.groupBy(col(idCol), col("__b"))
+      .agg(sum("__v").as("__bs"), count(lit(1)).as("__bc"))
+    val byDoc = Window.partitionBy(idCol)
+    perBlock
+      .withColumn("__ts", sum("__bs").over(byDoc))
+      .withColumn("__tc", sum("__bc").over(byDoc))
+      .withColumn("__bit",
+        when(col("__bs") * col("__tc") > col("__ts") * col("__bc"), 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(expr("__bit * shiftleft(CAST(1 AS BIGINT), CAST(__b AS INT))"))
+        .as("pcode"))
+  }
+
+  /** Multimodal near-duplicate pairs: [[payloadFingerprint]]'s stable
+    * 60-bit perceptual code + the SAME corpus-scaled banded Hamming
+    * search the text path uses ([[LlmOps.bandedHammingPairs]], slice
+    * width [[LlmOps.stableBandWidth]](n) so per-band buckets ≈ n/2,
+    * bands = 60/width ≥ 4) — pigeonhole-EXACT for maxHamming ≤ 3 at
+    * every corpus size, and the predicate "hamming ≤ maxHamming of 60
+    * bits" is a stable property of the two payloads. One cheap count
+    * sizes the search; pass `n` to skip it when the corpus size is
+    * already known. Output: (doc_a, doc_b, hamming). */
+  def payloadNearDupPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, n: Long = -1L): DataFrame = {
+    require(maxHamming <= 3,
+      s"stable banded search is exact only for maxHamming <= 3: $maxHamming")
+    val width = LlmOps.stableBandWidth(if (n > 0) n else df.count())
+    val codes = payloadFingerprint(df, idCol, payloadCol)
+    LlmOps.bandedHammingPairs(codes, idCol, maxHamming, width, 60 / width,
+      codeCol = "pcode")
   }
 }

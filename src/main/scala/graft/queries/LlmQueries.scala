@@ -465,13 +465,19 @@ object LlmQueries {
     },
 
     // ----- Embedding-cosine near-duplicate dedup pairs -----------------
-    // Fifth dedup method: LSH-bucketed cosine threshold; keep_id is the
+    // Fifth dedup method: LSH-banded cosine threshold; keep_id is the
     // dedup survivor, dup_id the removable near-duplicate. The bucket
-    // space SCALES WITH THE CORPUS in both engines (LlmOps.autoPlanes:
-    // planes = bitlength(n-1) - 1 clamped to [1, 62], n = 500 -> 8,
-    // 2000 -> 10): the oracle computes the same integer-exact plane
-    // count from count(*), so the query is green at every sf while the
-    // in-bucket quadratic a fixed plane count pays at scale is gone.
+    // space SCALES WITH THE CORPUS in both engines (per-band planes w =
+    // bitlength(n-1) - 1 clamped to [1, 15], n = 500 -> 8) and — r14 —
+    // the search runs FOUR independent bands (slices of one 4w-bit
+    // code): a single table's all-planes-agree probability (1-θ/π)^w
+    // decays toward zero as the auto law grows w with the corpus, so
+    // only identical-direction duplicates would survive at scale;
+    // any-band-agrees keeps recall at 1-(1-(1-θ/π)^w)^4 (e.g. 0.46 ->
+    // 0.92 at cos 0.95, w 15) while precision is UNCHANGED — every
+    // candidate is verified by exact cosine ≥ 0.2 before it is
+    // emitted. Recall is still < 1 (any LSH is): pairs agreeing on no
+    // band are not searched, by design, never by a quadratic scan.
     QDef.sql(
       "llm_embed_neardup",
       s"""WITH v AS (
@@ -479,32 +485,39 @@ object LlmQueries {
          |  FROM embeddings
          |),
          |pl AS (
-         |  SELECT greatest(1, least(62, length(bin(count(*) - 1)) - 1)) AS p
+         |  SELECT greatest(1, least(15, length(bin(count(*) - 1)) - 1)) AS p
          |  FROM v
          |),
          |dots AS (
          |  SELECT vec_id, h,
          |    ${duckFold("""list_transform(generate_series(1,64),
            |      i -> e[i] * CAST(((1103515245 * (h * 64 + i - 1)) + 12345) % 2001 - 1000 AS DOUBLE))""".stripMargin)} AS d
-         |  FROM v, pl, generate_series(0, 61) g(h)
-         |  WHERE g.h < pl.p
+         |  FROM v, pl, generate_series(0, 59) g(h)
+         |  WHERE g.h < 4 * pl.p
          |),
          |bk AS (
          |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
+         |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS code
          |  FROM dots GROUP BY vec_id
          |),
          |vn AS (
-         |  SELECT v.vec_id, e, bucket,
+         |  SELECT v.vec_id, e, code,
          |    ${duckFold("list_transform(generate_series(1,64), i -> e[i] * e[i])")} AS nrm
          |  FROM v JOIN bk USING (vec_id)
          |  WHERE nrm > 0
          |),
+         |banded AS (
+         |  SELECT vec_id, e, nrm, code, band,
+         |    (code >> CAST(band * pl.p AS INT))
+         |      & ((CAST(1 AS BIGINT) << pl.p) - 1) AS slice
+         |  FROM vn, pl, generate_series(0, 3) g(band)
+         |),
          |pairs AS (
-         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id,
          |    ${duckFold("list_transform(generate_series(1,64), i -> a.e[i] * b.e[i])")}
          |      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-         |  FROM vn a JOIN vn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.slice = b.slice AND a.vec_id < b.vec_id
          |)
          |SELECT keep_id, dup_id, round(cos, 6) AS cosine
          |FROM pairs WHERE cos >= 0.2
@@ -709,21 +722,27 @@ object LlmQueries {
     },
 
     // ----- SimHash near-dup pairs (banded Hamming search) --------------
-    // Pigeonhole: ≤3 differing bits across 4 bands leave at least one
+    // Pigeonhole: ≤3 differing bits across ≥4 bands leave at least one
     // band identical, so the band join finds EVERY pair within the
-    // threshold — exact, no all-pairs scan, at ANY slice width. r13:
-    // the slice width SCALES WITH THE CORPUS in both engines (w =
-    // bitlength(n-1) - 1 clamped [4, 15]; per-band buckets ≈ n/2 keep
-    // occupancy flat — the fixed 8-bit slices measured 20×+/decade at
-    // sf10), and the code is the ORACLE-PORTABLE wide form: two
-    // avalanched mix32 lanes (lane 0 bits 0..31, lane 1 bits 32+),
-    // every primitive replayed verbatim below. Code width = 4·w ≤ 60
-    // so band slices never touch the BIGINT sign bit.
+    // threshold — exact, no all-pairs scan, at ANY slice width. r14:
+    // the CODE is a fixed 60-bit fingerprint (two avalanched mix32
+    // lanes, every primitive replayed verbatim below), so "hamming ≤ 3"
+    // is a stable property of the two documents at every corpus size —
+    // the r13 form grew the code itself with the corpus, silently
+    // tightening the threshold from 3-of-16 toward 3-of-60 bits. What
+    // scales instead is the SEARCH: slice width wd = the largest
+    // divisor of 60 in {4,5,6,10,12,15} under the bitlength(n-1)-1 law
+    // (per-band buckets ≈ n/2 keep occupancy flat — fixed 8-bit slices
+    // measured 20×+/decade at sf10), bands = 60/wd ≥ 4 > 3, so recall
+    // stays exactly 1.0 wherever the width lands.
     QDef.sql(
       "llm_simhash_pairs",
       s"""WITH nn AS (
-         |  SELECT greatest(4, least(15, length(bin(count(*) - 1)) - 1)) AS wd
-         |  FROM documents
+         |  SELECT CASE WHEN p >= 15 THEN 15 WHEN p >= 12 THEN 12
+         |              WHEN p >= 10 THEN 10 WHEN p >= 6 THEN 6
+         |              WHEN p >= 5 THEN 5 ELSE 4 END AS wd
+         |  FROM (SELECT greatest(4, least(15, length(bin(count(*) - 1)) - 1))
+         |          AS p FROM documents)
          |),
          |toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -735,14 +754,14 @@ object LlmQueries {
          |lanes AS (
          |  SELECT doc_id, k, 0 AS lane FROM mxa
          |  UNION ALL
-         |  SELECT doc_id, k, 1 AS lane FROM mxb, nn WHERE 4 * nn.wd > 32
+         |  SELECT doc_id, k, 1 AS lane FROM mxb
          |),
          |bitsv AS (
          |  SELECT doc_id, lane * 32 + lb AS b,
          |         CASE WHEN sum(((k >> lb) & 1) * 2 - 1) > 0
          |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-         |  FROM lanes, generate_series(0, 31) g(lb), nn
-         |  WHERE lane * 32 + lb < 4 * nn.wd
+         |  FROM lanes, generate_series(0, 31) g(lb)
+         |  WHERE lane * 32 + lb < 60
          |  GROUP BY doc_id, lane * 32 + lb
          |),
          |sh AS (
@@ -755,7 +774,8 @@ object LlmQueries {
          |  SELECT doc_id, simhash, band,
          |    (simhash >> CAST(band * nn.wd AS INT))
          |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
-         |  FROM sh, generate_series(0, 3) g(band), nn
+         |  FROM sh, generate_series(0, 14) g(band), nn
+         |  WHERE band < 60 // nn.wd
          |),
          |p AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -766,7 +786,7 @@ object LlmQueries {
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       LlmOps.simHashPairsAuto(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bands = 4)
+        maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -1725,6 +1725,83 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Multimodal payload near-duplicate pairs ----------------------
+    // Perceptual dedup over the opaque BinaryType payload — the
+    // multimodal analogue of the SimHash text path, replayable END TO
+    // END because the fingerprint is pure integer byte arithmetic
+    // (blockhash over the 1-D byte stream) instead of a codec: 60-bit
+    // code where bit b = [mean byte of cell b > payload mean], cells =
+    // FIXED 4-byte spans folded mod 60 (all 60 bits active past 240 bytes) (a fixed raster — length-scaled
+    // cells would re-bin everything on a trailing edit),
+    // compared integer-exactly (blockSum*n > totalSum*blockCount);
+    // bytes come off the hex rendering so both engines read the
+    // identical values. The pair search is the SAME corpus-scaled
+    // banded Hamming machinery as llm_simhash_pairs (slice width =
+    // largest divisor of 60 under the bitlength law, bands = 60/wd ≥ 4
+    // > maxHamming 3 -> pigeonhole-exact recall at every corpus size,
+    // stable 3-of-60 predicate). Zero-length payloads drop (no
+    // information; exact-digest dedup owns them).
+    QDef.sql(
+      "llm_payload_neardup",
+      """WITH hx AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0
+        |),
+        |by0 AS (
+        |  SELECT doc_id, n, h, unnest(generate_series(0, n - 1)) AS i
+        |  FROM hx
+        |),
+        |byv AS (
+        |  SELECT doc_id, n, CAST((i // 4) % 60 AS BIGINT) AS b,
+        |    CAST((strpos('0123456789abcdef',
+        |            substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+        |       + strpos('0123456789abcdef',
+        |            substr(h, CAST(2 * i + 2 AS INT), 1)) - 1 AS BIGINT) AS v
+        |  FROM by0
+        |),
+        |pb AS (
+        |  SELECT doc_id, b, sum(v) AS bs, CAST(count(*) AS BIGINT) AS bc
+        |  FROM byv GROUP BY 1, 2
+        |),
+        |tt AS (
+        |  SELECT doc_id, sum(bs) AS ts, sum(bc) AS tc FROM pb GROUP BY 1
+        |),
+        |code AS (
+        |  SELECT p.doc_id,
+        |    CAST(sum(CASE WHEN p.bs * t.tc > t.ts * p.bc
+        |                  THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS pcode
+        |  FROM pb p JOIN tt t USING (doc_id) GROUP BY 1
+        |),
+        |nn AS (
+        |  SELECT CASE WHEN p >= 15 THEN 15 WHEN p >= 12 THEN 12
+        |              WHEN p >= 10 THEN 10 WHEN p >= 6 THEN 6
+        |              WHEN p >= 5 THEN 5 ELSE 4 END AS wd
+        |  FROM (SELECT greatest(4, least(15, length(bin(count(*) - 1)) - 1))
+        |          AS p FROM documents)
+        |),
+        |banded AS (
+        |  SELECT doc_id, pcode, band,
+        |    (pcode >> CAST(band * nn.wd AS INT))
+        |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
+        |  FROM code, generate_series(0, 14) g(band), nn
+        |  WHERE band < 60 // nn.wd
+        |),
+        |p2 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.pcode, b.pcode)) AS BIGINT) AS hamming
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.slice = b.slice
+        |                             AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM p2 WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", MultimodalOps.withPayload(col("text")))
+      MultimodalOps.payloadNearDupPairs(docs, "doc_id", "payload")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ----- Overlapping word-window chunking (RAG/indexing prep) --------
     // 32-word chunks, stride 24 (8-word overlap). Chunk-count arithmetic
     // is exact-integer on both sides; DuckDB list slicing ws[a:b] is
@@ -2032,15 +2109,17 @@ object TextQueries {
          |       (o.o + e.pos) % 256 AS seq_pos, e.doc_id, e.tid
          |FROM enc e JOIN off4 o ON o.doc_id = e.doc_id
          |ORDER BY seq_no, seq_pos""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      // r14: the exact global rank comes from TextOps.rankLayout — the
+      // distributed two-pass rank (range partition + per-partition
+      // offsets), IDENTICAL output to the oracle's row_number but with
+      // no single-task WindowExec anywhere in the plan (the r13 form's
+      // global Window.orderBy was the repo's last no-partition window
+      // on a corpus query, and its slowest sf1 entry).
       val docs = t(s, dir, "documents")
       val scored = TextOps.lmStupidBackoff(docs, "doc_id", "text",
         trainPred = col("source") === "src0", threshBits = 8)
         .filter(col("kept") === 1L)
-      val order = scored.select(col("doc_id"), lit(0L).as("shard"),
-        row_number().over(
-          Window.orderBy(col("bits_per_gram"), col("doc_id")))
-          .cast("long").as("pos"))
+      val order = TextOps.rankLayout(scored, "doc_id", "bits_per_gram")
       val sel = docs.join(order.select("doc_id"), Seq("doc_id"))
       TextOps.packTokenIdsBy(sel, "doc_id", "text",
         budget = 256L, order = order)

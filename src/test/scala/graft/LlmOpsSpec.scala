@@ -221,6 +221,118 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("60"))
   }
 
+  test("stableBandWidth: largest divisor of 60 under the bitlength " +
+    "law — bands = 60/w stay >= 4, so maxHamming <= 3 is pigeonhole-" +
+    "exact at every corpus size") {
+    assert(LlmOps.stableBandWidth(1L) === 4)
+    assert(LlmOps.stableBandWidth(32L) === 4)     // p=4
+    assert(LlmOps.stableBandWidth(500L) === 6)    // p=8 -> divisor 6
+    assert(LlmOps.stableBandWidth(5000L) === 12)  // p=12
+    assert(LlmOps.stableBandWidth(50000L) === 15) // p=15 (clamp)
+    assert(LlmOps.stableBandWidth(Long.MaxValue) === 15)
+    Seq(1L, 500L, 5000L, 50000L).foreach { n =>
+      assert(60 % LlmOps.stableBandWidth(n) === 0 &&
+        60 / LlmOps.stableBandWidth(n) >= 4)
+    }
+  }
+
+  test("simHashPairsAuto r14: the near-dup predicate is corpus-" +
+    "independent — the same pair reports the same 60-bit hamming in a " +
+    "small corpus and in a 16x superset (only the search width moves)") {
+    val dup = Seq(
+      (1L, "the exact same duplicated document text"),
+      (2L, "the exact same duplicated document text"))
+    val small = (dup ++ (10 until 40).map(i =>
+      (i.toLong, s"filler$i unique${i * 7} words${i * 13} here$i")))
+      .toDF("doc_id", "text")
+    val big = (dup ++ (10 until 522).map(i =>
+      (i.toLong, s"filler$i unique${i * 7} words${i * 13} here$i")))
+      .toDF("doc_id", "text")
+    def ham(df: org.apache.spark.sql.DataFrame) =
+      LlmOps.simHashPairsAuto(df, "doc_id", "text", maxHamming = 3)
+        .filter(col("doc_a") === 1 && col("doc_b") === 2)
+        .collect().map(_.getLong(2)).toSeq
+    val (hs, hb) = (ham(small), ham(big))
+    assert(hs === Seq(0L) && hb === Seq(0L),
+      s"the duplicate pair must survive at both sizes: $hs vs $hb")
+    // and maxHamming past the exactness bound fails loud
+    val e = intercept[IllegalArgumentException](
+      LlmOps.simHashPairsAuto(small, "doc_id", "text", maxHamming = 4))
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
+  test("embedNearDupPairs r14: the banded search finds a SUPERSET of " +
+    "the single-table pairs over the same code (any-band-agrees vs " +
+    "all-planes-agree), with every candidate still cosine-verified") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      val base = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    // n=60 -> autoPlanes 5 per band, 4 bands = the same 20-bit code
+    // lshBucket(e, 20) computes for the single-table explicit form
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = collect(LlmOps.embedNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.5, planes = 20, dims = 16))
+    val banded = collect(LlmOps.embedNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.5, dims = 16))
+    assert(single.subsetOf(banded),
+      s"banding may only ADD recall: ${single -- banded} lost")
+  }
+
+  test("sizing-count reuse: a supplied n keeps the auto operators " +
+    "fully lazy — no eager count() pass over the upstream") {
+    // a detonating upstream: ANY evaluation throws, so an eager
+    // count() inside the operator would fail construction
+    val boom = udf((s: String) =>
+      { if (s != null) sys.error("eager upstream scan"); s })
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .withColumn("text", boom(col("text")))
+    val p1 = LlmOps.simHashPairsAuto(docs, "doc_id", "text",
+      maxHamming = 0, n = 500L) // no throw = no count
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        udf((a: Seq[Float]) => { sys.error("eager scan"): Seq[Float] })
+          .apply(col("embedding")))
+    val p2 = LlmOps.embedNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, dims = 2, n = 500L)
+    val pay = docs.withColumn("payload",
+      graft.operators.MultimodalOps.withPayload(col("text")))
+    val p3 = graft.operators.MultimodalOps.payloadNearDupPairs(
+      pay, "doc_id", "payload", n = 500L)
+    // the bombs are real: forcing any of the three detonates
+    Seq(p1, p2, p3).foreach { p =>
+      intercept[Exception](p.collect())
+    }
+  }
+
+  test("payloadFingerprint / payloadNearDupPairs: identical payloads " +
+    "share the 60-bit code, a trailing edit stays within hamming 3, " +
+    "empty payloads drop, and the planted pair is found") {
+    import graft.operators.MultimodalOps
+    val base = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ") // ~500 bytes of varied structure
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                  // identical payload
+      (3L, base + " tail"),        // trailing edit: near-dup
+      (4L, ""),                    // empty: dropped
+      (5L, (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val codes = MultimodalOps.payloadFingerprint(docs, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!codes.contains(4L), "empty payloads carry no fingerprint")
+    assert(codes(1L) === codes(2L), "identical payloads share the code")
+    assert(java.lang.Long.bitCount(codes(1L) ^ codes(3L)) <= 3,
+      "a trailing edit must stay within the banded threshold")
+    val pairs = MultimodalOps.payloadNearDupPairs(docs, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)), s"planted near-dups missing from $pairs")
+  }
+
   test("pq adc: codes snap to the nearest sub-centroid, identical and " +
     "code-identical candidates score 1.0, zero vectors excluded") {
     val vecs = Seq(

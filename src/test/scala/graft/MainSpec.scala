@@ -112,6 +112,31 @@ class MainSpec extends AnyFunSuite {
     assert(out.columns.contains("lang")) // partition column round-trips
   }
 
+  test("shipped epoch-pack example TOML runs the gate -> mix -> " +
+    "curriculum -> in-engine-train -> pack recipe verbatim") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("configs/epoch-pack-example.toml")))
+    val seq = graft.config.TomlConfig.loadSequence(text)
+    assert(seq.pipelines.map(_.name) === Seq("pack-epoch"))
+    val ep = seq.pipelines.head.transform.epochPack.get
+    assert(ep.layout === "curriculum_range" && ep.trainMerges === 64 &&
+      ep.mixField.contains("source") && ep.diffField.contains("n_chars"))
+    val code = Main.run(spark, seq,
+      Main.Args("configs/epoch-pack-example.toml",
+        executionId = Some("exec-epoch"),
+        metricsOut = Some("/tmp/graft_epoch_pack_out/metrics.json")))
+    assert(code === 0)
+    val out = spark.read.option("header", "true")
+      .csv("/tmp/graft_epoch_pack_out/epoch_exec-epoch_csv")
+    assert(out.count() > 0)
+    assert(out.columns.toSet ===
+      Set("shard", "seq_no", "seq_pos", "doc_id", "tid"))
+    // the pack respects the budget: every in-sequence position < 256
+    assert(out.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("seq_pos").cast("long")))
+      .head().getLong(0) < 256L)
+  }
+
   test("--monitor samples heap and lands peaks in the metrics file") {
     val (dir, src) = writeFixture()
     import graft.config._

@@ -869,6 +869,21 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("bpeTrainLocal: argmax tie-break is UTF-8 byte order, matching " +
+    "bpeTrain for non-BMP symbols (emoji sort ABOVE U+E000 in UTF-8 " +
+    "but BELOW it in UTF-16 code units)") {
+    import graft.operators.TextOps
+    // ("a", U+E000) and ("a", U+1F600) tie at count 1; UTF-16 order
+    // would pick the emoji (surrogate 0xD83D < 0xE000), UTF-8 byte
+    // order (= Spark's UTF8String orderBy) picks U+E000 (EE.. < F0..)
+    val corpus = Seq((1L, "a a😀")).toDF("doc_id", "text")
+    val local = TextOps.bpeTrainLocal(corpus, "text", nMerges = 2)
+    assert(local.head === ("a", ""),
+      s"first merge must follow UTF-8 byte order, got ${local.head}")
+    assert(local === TextOps.bpeTrain(corpus, "text", nMerges = 2),
+      "local and distributed training must agree beyond the BMP")
+  }
+
   test("bpe table bound: oversized merge tables fail loud naming the " +
     "broadcast-frame alternative (measured flat to 32k in the probe)") {
     import graft.operators.TextOps

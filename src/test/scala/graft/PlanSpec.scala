@@ -518,13 +518,39 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"banded layout must not sort globally through one partition:\n$plan")
-    // the degenerate single-band form IS the global sort (the oracle
-    // layout) — the funnel exists exactly when asked for
+    // r14: the single-band form runs the DISTRIBUTED two-pass exact
+    // rank (rankLayout: range partition + per-partition offsets) — the
+    // EXACT global order with no plan funneling the corpus through one
+    // task; no member of the curriculum family may SinglePartition
     val one = graft.operators.TextOps
       .curriculumLayout(df, "doc_id", "bits", nBands = 1)
       .queryExecution.executedPlan.toString
-    assert(one.contains("SinglePartition"),
-      s"nBands=1 should keep the exact global rank:\n$one")
+    assert(!one.contains("SinglePartition"),
+      s"nBands=1 must use the distributed exact rank:\n$one")
+  }
+
+  test("rankLayout: exact global rank with NO single-task stage, and " +
+    "the pinned llm_curriculum_pack plan carries no SinglePartition " +
+    "window at any corpus size") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"), (col("doc_id") % 17).cast("double").as("bits"))
+    val out = graft.operators.TextOps.rankLayout(df, "doc_id", "bits")
+    assert(!out.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "rankLayout must never funnel the corpus through one task")
+    // output = the global row_number, bit for bit
+    val expect = df.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bits"), col("doc_id")))
+        .cast("long").as("pos"))
+    assert(out.select("doc_id", "pos").except(expect).isEmpty &&
+      expect.except(out.select("doc_id", "pos")).isEmpty,
+      "rankLayout must equal the exact global rank")
+    // and the full pinned corpus query keeps that property end to end
+    val q = graft.SparkEntry.queries("llm_curriculum_pack")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"llm_curriculum_pack must not contain a single-task stage:\n$plan")
   }
 
   test("hllRegisters (LT30): the whole sketch is ONE keyed exchange — " +
