@@ -301,17 +301,29 @@ object CoreQueries {
     },
 
     // ----- S9/J3: lookup-file broadcast join + aggregation (ports.rs:17) -----
+    // Revenue in EXACT integer 1e-4-dollar units (the q1_pricing money
+    // convention): the r13 ROUND(SUM(double), 2) form demanded 1e-12
+    // relative determinism from an order-dependent parallel double sum
+    // once brand groups reached 1e10 magnitude at sf1 — a penny
+    // knife-edge that flipped run to run in EITHER engine. Per-row
+    // cents recovery is exact (prices/discounts have 2-decimal
+    // granularity), the DECIMAL(38,0) internal sum is associative.
     QDef.sql(
       "s9_lookup_join",
-      """SELECT p.p_brand, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      """SELECT p.p_brand,
+        |       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |            AS BIGINT) AS revenue_e4,
         |       CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
       Ops.lookupJoin(part, "l_partkey", "inner")(li)
         .groupBy("p_brand")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(sum(revE4.cast("decimal(38,0)")).cast("long").as("revenue_e4"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     },

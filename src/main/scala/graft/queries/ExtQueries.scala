@@ -50,12 +50,20 @@ object ExtQueries {
     // aggregate by island id). Order-independent aggs only.
     QDef.sql(
       "ext_session_agg",
-      """WITH o AS (
+      // Tie-safe gaps-and-islands: boundaries come from the DISTINCT
+      // (event_type, ts) grid — a ROWS running sum over duplicate
+      // timestamps is order-UNDERDETERMINED (ties split arbitrarily
+      // around a boundary row, and the scaled corpora duplicate ts by
+      // construction) — then every event row joins back to its
+      // timestamp's session. Identical result on tie-free data; the
+      // engines' gap semantics (equal ts ⇒ same session) made exact.
+      """WITH d AS (SELECT DISTINCT event_type, ts FROM events),
+        |o AS (
         |  SELECT event_type, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
+        |  FROM d
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
         |),
         |s AS (
@@ -64,10 +72,12 @@ object ExtQueries {
         |                             ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM o
         |)
-        |SELECT event_type, min(ts) AS session_start,
+        |SELECT e.event_type AS event_type, min(e.ts) AS session_start,
         |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY event_type, sid
-        |ORDER BY event_type, session_start""".stripMargin) { (s, dir) =>
+        |FROM events e
+        |JOIN s ON s.event_type = e.event_type AND s.ts = e.ts
+        |GROUP BY e.event_type, s.sid
+        |ORDER BY 1, session_start""".stripMargin) { (s, dir) =>
       Streams.sessionAgg(
         t(s, dir, "events"),
         tsCol = "ts", watermarkDelay = "10 minutes", gap = "30 minutes",
@@ -83,12 +93,14 @@ object ExtQueries {
     // independent implementations, one answer.
     QDef.sql(
       "ext_sessionize",
-      """WITH o AS (
+      // Same tie-safe distinct-grid form as ext_session_agg (see there).
+      """WITH d AS (SELECT DISTINCT event_type, ts FROM events),
+        |o AS (
         |  SELECT event_type, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
+        |  FROM d
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
         |),
         |s AS (
@@ -97,9 +109,11 @@ object ExtQueries {
         |                             ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM o
         |)
-        |SELECT event_type AS key, min(ts) AS session_start,
+        |SELECT e.event_type AS key, min(e.ts) AS session_start,
         |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY event_type, sid
+        |FROM events e
+        |JOIN s ON s.event_type = e.event_type AND s.ts = e.ts
+        |GROUP BY e.event_type, s.sid
         |ORDER BY key, session_start""".stripMargin) { (s, dir) =>
       val sp = s
       import sp.implicits._
