@@ -49,6 +49,8 @@ def main():
     # exceed RAM at sf >= 1 without a spill directory
     con.sql("SET temp_directory = '/tmp/duck_check_spill'")
     con.sql("SET max_temp_directory_size = '200GB'")
+    con.sql("SET memory_limit = '90GB'")
+    con.sql("SET preserve_insertion_order = false")
     import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
