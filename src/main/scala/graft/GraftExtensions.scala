@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, PolyHash}
+import graft.functions.{DotProduct, PayloadCode, PolyHash}
 
 /** Session extensions: registers the engine's native expressions so they
   * are callable from SQL and `call_function` in any session built with
@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_dot expects exactly 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_payload_code"),
+      new ExpressionInfo(classOf[PayloadCode].getName, "graft_payload_code"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"graft_payload_code expects exactly 1 argument, got ${children.size}")
+        PayloadCode(children.head)
       }))
   }
 }

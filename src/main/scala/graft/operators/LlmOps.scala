@@ -1486,6 +1486,14 @@ object LlmOps {
       .withColumn("code", lshBucket(col("e"), w * nb, dims))
       .withColumn("nrm", dot(col("e"), col("e")))
       .filter(col("nrm") > 0) // cosine undefined for the zero vector
+      // pin the coded vectors: the a/b sides of the self-join have
+      // different projections, so ReusedExchange never fires and the
+      // w·nb hyperplane dots per vector — the dominant
+      // candidate-generation cost — would evaluate TWICE; persist()
+      // (fully lazy, unlike localCheckpoint, which compiles the plan
+      // eagerly) computes them once and the second side reads the
+      // cache (LRU-evictable, spills to disk — never a wall)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = v.select(col("vid"), col("e"), col("nrm"), col("code"),
       explode(sequence(lit(0), lit(nb - 1))).as("band"))
       .withColumn("slice", expr(s"shiftright(code, band * $w) & $mask"))

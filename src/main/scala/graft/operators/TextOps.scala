@@ -351,8 +351,11 @@ object TextOps {
     // diverge for supplementary characters (emoji sort below U+E000
     // privates in UTF-16 but above in UTF-8), which would silently
     // break the identical-merge-list guarantee vs bpeTrain's orderBy
-    // on non-BMP corpora. Segmentation itself agrees: Java-regex
-    // split("") (both engines' path) never splits a surrogate pair.
+    // on non-BMP corpora. Segmentation itself agrees because BOTH
+    // sides segment by code point: this local trainer walks
+    // codePoints(), and Spark's UTF8String.split special-cases the
+    // empty pattern to split between code points (plain Java
+    // String.split("") would NOT — it yields lone surrogate halves).
     def utf8Less(a: String, b: String): Boolean = {
       val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -545,20 +548,26 @@ object TextOps {
     * WITHIN each (partition, shard) slice via a partitioned window,
     * then add the slice's global offset from one bounded collect of
     * per-(partition, shard) totals (≤ partitions·shards tiny rows,
-    * broadcast back). The localCheckpoint pins the sampled partition
-    * assignment between the totals action and the window pass, and
-    * pins the upstream (the per-doc BPE token count) against double
-    * evaluation. Input (any id columns, shard, __dpos, __n); output
-    * the same rows + `__off`. */
+    * broadcast back). The localCheckpoint is LAZY: the totals collect
+    * is the first action, so the SAME job that computes the totals
+    * materializes the checkpoint (r14's eager form paid one extra
+    * full pass just to persist) — after it, the sampled partition
+    * assignment is frozen for the window pass and the upstream (the
+    * per-doc BPE token count) never evaluates twice. `shard` is
+    * normalized to long (callers may pass an IntegerType band) and a
+    * slice whose `__n` is all-null sums to 0, not a driver NPE.
+    * Input (any id columns, shard, __dpos, __n); output the same rows
+    * + `__off`. */
   private def shardPrefixSum(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ranged = docs.repartitionByRange(parts, col("shard"), col("__dpos"))
+    val ranged = docs.withColumn("shard", col("shard").cast("long"))
+      .repartitionByRange(parts, col("shard"), col("__dpos"))
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tots = ranged.groupBy("__pid", "shard")
-      .agg(sum("__n").as("__t"))
+      .agg(coalesce(sum("__n"), lit(0L)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._2, t._1)) // shard, then partition order
     val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -1352,10 +1361,12 @@ object TextOps {
     * range partition (a partitionBy window, never one task) and add
     * the partition's global offset from one bounded collect of
     * per-partition counts (≤ `partitions` rows, broadcast back). The
-    * checkpoint pins BOTH the partition assignment between the counts
-    * action and the rank pass (range boundaries are sampled — unpinned
-    * they could move between actions and mis-rank) AND the upstream
-    * scorer against packTokenIdsBy's double read. Output
+    * LAZY checkpoint is materialized by the counts action itself (one
+    * pass, not eager-persist + collect as in r14) and then pins BOTH
+    * the partition assignment for the rank pass (range boundaries are
+    * sampled — unpinned they could move between actions and mis-rank)
+    * AND the upstream scorer against packTokenIdsBy's double read.
+    * Output
     * (idCol, shard = 0, pos = 1-based global rank by (diffCol,
     * idCol)) — exactly [[curriculumLayout]](nBands = 1), which
     * delegates here; the largest per-task sort is one range partition
@@ -1371,7 +1382,7 @@ object TextOps {
     val ranged = scored.select(col(idCol), col(diffCol))
       .repartitionByRange(parts, col(diffCol), col(idCol))
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -1395,8 +1406,10 @@ object TextOps {
     val byBand = Window.partitionBy("shard")
       .orderBy(col(diffCol), col(idCol))
     if (nBands == 1) return rankLayout(scored, idCol, diffCol)
+    // lazy: the boundary agg below is the first action and
+    // materializes the pin in the same pass (see rankLayout)
     val narrow = scored.select(col(idCol), col(diffCol))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val qs = (1 until nBands).map(_.toDouble / nBands)
     val bounds = narrow
       .agg(percentile_approx(col(diffCol).cast("double"),
@@ -1430,8 +1443,10 @@ object TextOps {
     if (nBands == 1) return rankLayout(scored, idCol, diffCol)
     val byBand = Window.partitionBy("shard")
       .orderBy(col(diffCol), col(idCol))
+    // lazy: the min/max agg is the first action and materializes the
+    // pin in the same pass (see rankLayout)
     val narrow = scored.select(col(idCol), col(diffCol))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val mm = narrow.agg(
       min(col(diffCol).cast("double")).as("mn"),
       max(col(diffCol).cast("double")).as("mx")).head()
@@ -2557,8 +2572,10 @@ object MultimodalOps {
     * changes n, flipping most bits between two prefix-identical
     * payloads (a fixed raster, like an image's, keeps aligned content
     * in aligned cells) — exceeds the whole payload's mean, compared
-    * integer-exactly as blockSum·n > totalSum·blockCount (no float
-    * division anywhere). Byte values come off the hex rendering of the
+    * integer-exactly as blockSum·n > totalSum·blockCount with the
+    * products in decimal(38,0) (no float division anywhere; BIGINT
+    * products would overflow at ~1.5 GB payloads, and the DuckDB
+    * oracle multiplies in HUGEINT). Byte values come off the hex rendering of the
     * payload (two digits per byte via a 16-char index lookup): every
     * primitive — lower(hex(..)), substring, instr — replays verbatim
     * in any SQL engine, unlike a raw byte accessor. Plan: split the
@@ -2599,7 +2616,15 @@ object MultimodalOps {
       .withColumn("__ts", sum("__bs").over(byDoc))
       .withColumn("__tc", sum("__bc").over(byDoc))
       .withColumn("__bit",
-        when(col("__bs") * col("__tc") > col("__ts") * col("__bc"), 1L)
+        // decimal(19,0) × decimal(19,0) → decimal(38,0): the products
+        // are ≈ 4.25·n² and overflow BIGINT for payloads ≳ 1.5 GB
+        // (2^63 < 4.25·n² once n > ~1.47e9); 128-bit decimal matches
+        // the DuckDB oracle's HUGEINT up to any byte count a BIGINT
+        // length can express
+        when(col("__bs").cast("decimal(19,0)") *
+            col("__tc").cast("decimal(19,0)") >
+            col("__ts").cast("decimal(19,0)") *
+            col("__bc").cast("decimal(19,0)"), 1L)
           .otherwise(0L))
       .groupBy(col(idCol))
       .agg(sum(expr("__bit * shiftleft(CAST(1 AS BIGINT), CAST(__b AS INT))"))
@@ -2615,13 +2640,29 @@ object MultimodalOps {
     * bits" is a stable property of the two payloads. One cheap count
     * sizes the search; pass `n` to skip it when the corpus size is
     * already known. Output: (doc_a, doc_b, hamming). */
+  /** [[payloadFingerprint]] as a NATIVE scalar column — the production
+    * path: one codegen'd pass over the BinaryType bytes per row (see
+    * graft.functions.PayloadCode), bit-identical to the hex-rendering
+    * aggregate form above, which stays as the DuckDB-replayable
+    * verification twin (spec-pinned equal in LlmOpsSpec). A
+    * zero-length payload codes to 0L — filter empties upstream exactly
+    * as the hex form does. */
+  def payloadCode(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PayloadCode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(payload)))
+
   def payloadNearDupPairs(
       df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3, n: Long = -1L): DataFrame = {
     require(maxHamming <= 3,
       s"stable banded search is exact only for maxHamming <= 3: $maxHamming")
     val width = LlmOps.stableBandWidth(if (n > 0) n else df.count())
-    val codes = payloadFingerprint(df, idCol, payloadCol)
+    // the native expression: the scan IS the fingerprint pass (the hex
+    // twin would explode ~4 bytes of string per payload byte through
+    // two keyed aggs — right for the oracle, wrong for 100 TB of media)
+    val codes = df.filter(length(col(payloadCol)) > 0)
+      .select(col(idCol), payloadCode(col(payloadCol)).as("pcode"))
     LlmOps.bandedHammingPairs(codes, idCol, maxHamming, width, 60 / width,
       codeCol = "pcode")
   }

@@ -283,15 +283,24 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("sizing-count reuse: a supplied n keeps the auto operators " +
     "fully lazy — no eager count() pass over the upstream") {
-    // a detonating upstream: ANY evaluation throws, so an eager
-    // count() inside the operator would fail construction
+    // a detonating upstream: ANY job that evaluates it throws, so an
+    // eager count() inside the operator would fail construction. The
+    // bombs sit above an RDD-backed frame (LogicalRDD), which
+    // ConvertToLocalRelation can never fold: plan COMPILATION (which
+    // persist()/localCheckpoint trigger, and which constant-evaluates
+    // projections/filters over a LocalRelation — a test-fixture
+    // artifact, not an upstream scan) must stay legal; only a real
+    // executor pass may detonate
+    def rddBacked(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, df.schema)
     val boom = udf((s: String) =>
       { if (s != null) sys.error("eager upstream scan"); s })
-    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val docs = rddBacked(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
       .withColumn("text", boom(col("text")))
     val p1 = LlmOps.simHashPairsAuto(docs, "doc_id", "text",
       maxHamming = 0, n = 500L) // no throw = no count
-    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val vecs = rddBacked(Seq((1L, Array(1.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
       .withColumn("embedding",
         udf((a: Seq[Float]) => { sys.error("eager scan"): Seq[Float] })
           .apply(col("embedding")))
@@ -331,6 +340,50 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
       pairs.contains((2L, 3L)), s"planted near-dups missing from $pairs")
+  }
+
+  test("PayloadCode (native) is bit-identical to the hex-rendering " +
+    "payloadFingerprint oracle twin, and stays inside WholeStageCodegen") {
+    import graft.operators.MultimodalOps
+    // adversarial sizes and shapes: < 1 cell, cell-boundary-straddling,
+    // < 240 bytes (not all 60 blocks fed), exactly 240, not divisible
+    // by 4, well past one fold (block re-fold at i >= 240), all-equal
+    // bytes (no bit ever set), high-bit bytes (signed-byte trap), and
+    // a trailing edit of a large payload
+    val big = (1 to 300).map(i => s"w${i * 7}x${i % 13}").mkString(" ")
+    val payloads = Seq(
+      1L -> "a", 2L -> "abc", 3L -> "abcd", 4L -> "abcde",
+      5L -> "x" * 240, 6L -> "y" * 241, 7L -> big, 8L -> (big + "!"),
+      9L -> new String(Array.tabulate(997)(i => (128 + i % 128).toChar)),
+      10L -> (1 to 59).map(i => s"block$i").mkString("|"))
+    val df = payloads.toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val hex = MultimodalOps.payloadFingerprint(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.select(col("doc_id"),
+      MultimodalOps.payloadCode(col("payload")).as("pcode"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, _) =>
+      assert(native(id) === hex(id),
+        s"doc $id: native ${native(id).toBinaryString} != " +
+          s"hex ${hex(id).toBinaryString}")
+    }
+    // empty payload: the native form codes to 0 (callers filter, as the
+    // near-dup path does); the hex form drops the row
+    val empty = Seq(0L -> "").toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    assert(empty.select(MultimodalOps.payloadCode(col("payload")))
+      .head().getLong(0) === 0L)
+    // production shape: the fingerprint is one codegen'd scan pass
+    // (range input — a LocalRelation would constant-fold the check away)
+    val plan = spark.range(10)
+      .select(MultimodalOps.payloadCode(
+        encode(concat(lit("p"), col("id")), "UTF-8")).as("pcode"))
+      .filter(col("pcode") >= 0)
+      .queryExecution.executedPlan.toString
+    val hits = plan.linesIterator.filter(_.contains("graft_payload_code")).toSeq
+    assert(hits.nonEmpty && hits.forall(_.contains("*(")),
+      s"payload code outside codegen:\n$plan")
   }
 
   test("pq adc: codes snap to the nearest sub-centroid, identical and " +

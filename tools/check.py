@@ -73,28 +73,37 @@ def main():
     verdicts = {}
 
     def record(name, rows_match, schema_match, hash_match,
-               spark_rows, oracle_rows, err):
+               spark_rows, oracle_rows, err, mode="full"):
         verdicts[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": spark_rows,
-            "oracle_rows": oracle_rows, "err": err,
+            "oracle_rows": oracle_rows, "err": err, "mode": mode,
         }
 
     n_pass = n_fail = 0
 
-    # Order-independent in-engine hash for results too large to canon
-    # in Python (sum over per-row hashes of the name-sorted, float-
-    # rounded row struct) — one pass per side, no fetchall.
+    # Order-independent in-engine multiset check for results too large
+    # to canon in Python — one pass per side, no fetchall. Two
+    # independent combiners over the per-row hash of the name-sorted,
+    # float-rounded row struct: the HUGEINT SUM (order-free, but
+    # offsetting per-row differences could cancel) AND the BIT_XOR
+    # (order-free, immune to additive cancellation; a sum+xor pair
+    # cancelling simultaneously needs engineered collisions, not an
+    # engine bug). Verdict rows from this path carry
+    # mode:"in-engine-hash" so they are distinguishable from the full
+    # sorted-rows compare.
     def agghash(src_sql):
         d = con.sql(f"DESCRIBE SELECT * FROM ({src_sql}) q").fetchall()
         cols = sorted((r[0], r[1]) for r in d)
         exprs = [f'round("{c}", 9)' if t in ("DOUBLE", "FLOAT") else f'"{c}"'
                  for c, t in cols]
-        n, h = con.sql(
+        row = f"hash(ROW({', '.join(exprs)}))"
+        n, h, x = con.sql(
             f"SELECT CAST(count(*) AS BIGINT), "
-            f"CAST(sum(CAST(hash(ROW({', '.join(exprs)})) AS HUGEINT)) "
-            f"AS VARCHAR) FROM ({src_sql}) q").fetchone()
-        return [c for c, _ in cols], n, h
+            f"CAST(sum(CAST({row} AS HUGEINT)) AS VARCHAR), "
+            f"CAST(bit_xor({row}) AS VARCHAR) "
+            f"FROM ({src_sql}) q").fetchone()
+        return [c for c, _ in cols], n, (h, x)
 
     BIG = 2_000_000
     for name, sql in sorted(oracles.items()):
@@ -108,13 +117,15 @@ def main():
                 ok = gc == wc and gn == wn and gh == wh
                 if ok:
                     print(f"PASS {name} ({gn} rows, in-engine hash)")
-                    record(name, True, True, True, gn, wn, None)
+                    record(name, True, True, True, gn, wn, None,
+                           mode="in-engine-hash")
                     n_pass += 1
                 else:
                     print(f"FAIL {name}: in-engine hash mismatch "
                           f"cols={gc == wc} rows spark={gn} duck={wn} "
-                          f"hash={gh == wh}")
-                    record(name, gn == wn, gc == wc, False, gn, wn, None)
+                          f"sum/xor={gh == wh}")
+                    record(name, gn == wn, gc == wc, False, gn, wn, None,
+                           mode="in-engine-hash")
                     n_fail += 1
                 continue
             got = con.sql(spark_src)
