@@ -147,6 +147,13 @@ object JsonConfig {
           if (wd.path("min_overlap").isNumber) wd.path("min_overlap").asDouble()
           else 0.5))
     } else None,
+    payloadDedup = if (n.path("payload_dedup").isObject) {
+      val pd = n.path("payload_dedup")
+      Some(PayloadDedupDef(
+        idField = str(pd.path("id_field")).getOrElse(sys.error("payload_dedup missing id_field")),
+        payloadField = str(pd.path("payload_field")).getOrElse(sys.error("payload_dedup missing payload_field")),
+        maxHamming = int(pd.path("max_hamming")).getOrElse(3)))
+    } else None,
     decontaminate = if (n.path("decontaminate").isObject) {
       val dc = n.path("decontaminate")
       Some(DecontaminateDef(

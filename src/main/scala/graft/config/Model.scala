@@ -119,6 +119,14 @@ final case class TransformDef(
     nearDedup: Option[NearDedupDef] = None,
     /** LLM-extension: winnowing local-overlap removal (LD14 + CC). */
     winnowDedup: Option[WinnowDedupDef] = None,
+    /** LLM-extension: multimodal payload near-dedup (LM5) — perceptual
+      * 60-bit blockhash fingerprint over the payload bytes, the SAME
+      * corpus-scaled banded Hamming search as text SimHash, CC
+      * keep-min (mirrors near_dedup's pairs → groups → left-semi
+      * shape). A StringType field is UTF-8-encoded first, so configs
+      * whose records carry base text can exercise the path end-to-end;
+      * a BinaryType field rides as-is. */
+    payloadDedup: Option[PayloadDedupDef] = None,
     /** LLM-extension: drop docs contaminated by an eval-set registry
       * (n-gram overlap screen + winnowing containment verify). */
     decontaminate: Option[DecontaminateDef] = None,
@@ -220,6 +228,18 @@ final case class WinnowDedupDef(
     maxDocsPerFp: Long = 50,
     minShared: Long = 2,
     minOverlap: Double = 0.5)
+
+/** LLM-extension: multimodal payload near-dedup (LM5 + CC keep-min) —
+  * perceptual blockhash fingerprints over the opaque payload bytes,
+  * banded Hamming candidate pairs (pigeonhole-exact for maxHamming ≤ 3
+  * at every corpus size), connected components, keep each cluster's
+  * minimum id. `payloadField` may be BinaryType (rides as-is) or
+  * StringType (UTF-8-encoded — the zero-egress stand-in for decoded
+  * media bytes). */
+final case class PayloadDedupDef(
+    idField: String,
+    payloadField: String,
+    maxHamming: Int = 3)
 
 /** LLM-extension: eval-set decontamination inside a pipeline's
   * transform — documents sharing ≥ minOverlapNgrams distinct word

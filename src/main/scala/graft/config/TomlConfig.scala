@@ -211,6 +211,7 @@ object TomlConfig {
 
   /** Curation-extension tables (graft-specific, same keys as the JSON
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
+    * `payload_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
     * `lang_filter`, `quality_filter`, `classifier_filter`,
     * `classifier_train`, `lm_filter`, `gopher_filter`, `c4_clean`, `dsir_select`,
@@ -220,6 +221,7 @@ object TomlConfig {
   private def parseCuration(n: Map[String, Any]): TransformDef => TransformDef = { base =>
     val nd = tbl(n.get("near_dedup"))
     val wd = tbl(n.get("winnow_dedup"))
+    val pd = tbl(n.get("payload_dedup"))
     val dc = tbl(n.get("decontaminate"))
     val sd = tbl(n.get("strip_dup_spans"))
     val nr = tbl(n.get("near_dedup_registry"))
@@ -257,6 +259,12 @@ object TomlConfig {
           maxDocsPerFp = long(wd.get("max_docs_per_fp")).getOrElse(50L),
           minShared = long(wd.get("min_shared")).getOrElse(2L),
           minOverlap = dbl(wd.get("min_overlap")).getOrElse(0.5))),
+      payloadDedup =
+        if (!declared("payload_dedup", pd)) None
+        else Some(PayloadDedupDef(
+          idField = str(pd.get("id_field")).getOrElse(sys.error("payload_dedup missing id_field")),
+          payloadField = str(pd.get("payload_field")).getOrElse(sys.error("payload_dedup missing payload_field")),
+          maxHamming = long(pd.get("max_hamming")).getOrElse(3L).toInt)),
       decontaminate =
         if (!declared("decontaminate", dc)) None
         else Some(DecontaminateDef(

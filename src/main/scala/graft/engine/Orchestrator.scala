@@ -503,6 +503,24 @@ object Orchestrator {
         .select(wd.idField)
       df = df.join(keepers, Seq(wd.idField), "left_semi")
     }
+    t.payloadDedup.foreach { pd =>
+      // a StringType payload is UTF-8-encoded (the zero-egress media
+      // stand-in); BinaryType rides as-is
+      val isBinary = df.schema(pd.payloadField).dataType ==
+        org.apache.spark.sql.types.BinaryType
+      val payload =
+        if (isBinary) col(pd.payloadField)
+        else graft.operators.MultimodalOps.withPayload(col(pd.payloadField))
+      val src = df.withColumn("__payload", payload)
+      val pairs = graft.operators.MultimodalOps
+        .payloadNearDupPairs(src, pd.idField, "__payload", pd.maxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      val groups = graft.operators.LlmOps.dedupGroups(df, pd.idField, pairs)
+      val keepers = groups
+        .filter(col(pd.idField) === col("canonical_id"))
+        .select(pd.idField)
+      df = df.join(keepers, Seq(pd.idField), "left_semi")
+    }
     t.decontaminate.foreach { dc =>
       val bench = spark.read.format(dc.benchFormat)
         .options(if (dc.benchFormat == "csv") Map("header" -> "true")

@@ -314,6 +314,30 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 3L)) // 2 collapses into 1 via the passage
   }
 
+  test("payload_dedup transform drops perceptual near-duplicate payloads, " +
+    "keeping the min id per cluster (StringType field UTF-8-encodes)") {
+    import spark.implicits._
+    // ~500 bytes of varied structure (the LlmOpsSpec fixture): a
+    // trailing edit moves one block's mean slightly — within hamming 3
+    val base = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pd").toString
+    Seq(
+      (1L, base),
+      (2L, base),           // identical payload
+      (3L, base + " tail"), // trailing edit: perceptual near-dup
+      (4L, (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("pd"), Seq(
+      PipelineDef("pd", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          payloadDedup = Some(PayloadDedupDef("doc_id", "text"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("pd").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L)) // 2 and 3 collapse into cluster of 1
+  }
+
   test("decontaminate transform drops docs containing eval-registry text, " +
     "keeps docs with only incidental word overlap") {
     import spark.implicits._

@@ -642,6 +642,10 @@ class TomlSpec extends AnyFunSuite {
         |id_field = "doc_id"
         |text_field = "text"
         |gap = 16
+        |[pipelines.transform.payload_dedup]
+        |id_field = "doc_id"
+        |payload_field = "payload"
+        |max_hamming = 2
         |[pipelines.transform.near_dedup_registry]
         |id_field = "doc_id"
         |text_field = "text"
@@ -713,6 +717,8 @@ class TomlSpec extends AnyFunSuite {
     assert(t.decontaminate.exists(d => d.benchPath == "/tmp/bench"
       && d.benchIdField == "bid" && d.minContainment == 0.25 && d.n == 3))
     assert(t.stripDupSpans.exists(s => s.gap == 16L && s.k == 8 && s.minFps == 2L))
+    assert(t.payloadDedup.exists(p => p.idField == "doc_id"
+      && p.payloadField == "payload" && p.maxHamming == 2))
     assert(t.nearDedupRegistry.exists(r => r.historyPath == "/tmp/hist"
       && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
     assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
