@@ -548,21 +548,28 @@ object TextOps {
     * WITHIN each (partition, shard) slice via a partitioned window,
     * then add the slice's global offset from one bounded collect of
     * per-(partition, shard) totals (≤ partitions·shards tiny rows,
-    * broadcast back). The localCheckpoint is LAZY: the totals collect
-    * is the first action, so the SAME job that computes the totals
-    * materializes the checkpoint (r14's eager form paid one extra
-    * full pass just to persist) — after it, the sampled partition
-    * assignment is frozen for the window pass and the upstream (the
-    * per-doc BPE token count) never evaluates twice. `shard` is
-    * normalized to long (callers may pass an IntegerType band) and a
-    * slice whose `__n` is all-null sums to 0, not a driver NPE.
-    * Input (any id columns, shard, __dpos, __n); output the same rows
-    * + `__off`. */
+    * broadcast back). Pinning, r15 form: the INPUT is persist()-pinned
+    * before the range exchange — repartitionByRange runs a boundary
+    * SAMPLING job over its child before the shuffle writes, so an
+    * unpinned upstream (the per-doc BPE token count here) evaluates
+    * TWICE; with the pin the sampling job materializes the cache and
+    * the shuffle write replays it, then the input is unpersisted as
+    * soon as the post-shuffle checkpoint holds the rows. The
+    * post-shuffle localCheckpoint is LAZY: the totals collect is the
+    * first action, so the SAME job that computes the totals
+    * materializes it (r14's eager form paid one extra full pass just
+    * to persist) — after it, the sampled partition assignment is
+    * frozen for the window pass. `shard` is normalized to long
+    * (callers may pass an IntegerType band) and a slice whose `__n`
+    * is all-null sums to 0, not a driver NPE. Input (any id columns,
+    * shard, __dpos, __n); output the same rows + `__off`. */
   private def shardPrefixSum(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ranged = docs.withColumn("shard", col("shard").cast("long"))
+    val pinned = docs.withColumn("shard", col("shard").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = pinned
       .repartitionByRange(parts, col("shard"), col("__dpos"))
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint(false)
@@ -570,6 +577,9 @@ object TextOps {
       .agg(coalesce(sum("__n"), lit(0L)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(t => (t._2, t._1)) // shard, then partition order
+    // the checkpoint now holds the ranged rows; the pre-shuffle pin has
+    // served both its reads (boundary sampling + shuffle write)
+    pinned.unpersist(false)
     val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var curShard = Long.MinValue
     var acc = 0L
@@ -1360,13 +1370,18 @@ object TextOps {
     * wherever the sampled boundaries land — then rank WITHIN each
     * range partition (a partitionBy window, never one task) and add
     * the partition's global offset from one bounded collect of
-    * per-partition counts (≤ `partitions` rows, broadcast back). The
-    * LAZY checkpoint is materialized by the counts action itself (one
-    * pass, not eager-persist + collect as in r14) and then pins BOTH
-    * the partition assignment for the rank pass (range boundaries are
-    * sampled — unpinned they could move between actions and mis-rank)
-    * AND the upstream scorer against packTokenIdsBy's double read.
-    * Output
+    * per-partition counts (≤ `partitions` rows, broadcast back).
+    * Pinning, r15 form: the narrow (idCol, diffCol) INPUT is
+    * persist()-pinned before the range exchange (repartitionByRange's
+    * boundary sampling job would otherwise evaluate the upstream
+    * scorer a second time before the shuffle write does) and released
+    * once the post-shuffle checkpoint holds the rows; the LAZY
+    * post-shuffle checkpoint is materialized by the counts action
+    * itself (one pass, not eager-persist + collect as in r14) and
+    * then pins BOTH the partition assignment for the rank pass (range
+    * boundaries are sampled — unpinned they could move between
+    * actions and mis-rank) AND the upstream scorer against
+    * packTokenIdsBy's double read. Output
     * (idCol, shard = 0, pos = 1-based global rank by (diffCol,
     * idCol)) — exactly [[curriculumLayout]](nBands = 1), which
     * delegates here; the largest per-task sort is one range partition
@@ -1379,12 +1394,17 @@ object TextOps {
     val spark = scored.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = scored.select(col(idCol), col(diffCol))
+    val pinned = scored.select(col(idCol), col(diffCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = pinned
       .repartitionByRange(parts, col(diffCol), col(idCol))
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint(false)
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // the checkpoint now holds the ranged rows; the pre-shuffle pin has
+    // served both its reads (boundary sampling + shuffle write)
+    pinned.unpersist(false)
     var acc = 0L
     val offs = counts.map { case (pid, c) =>
       val o = (pid, acc); acc += c; o
