@@ -1470,7 +1470,19 @@ object LlmOps {
     * keeps only its earliest agreeing band (checked from the two full
     * codes on the row — no distinct() shuffle). Recall is still < 1
     * (any LSH is); pass `planes` explicitly for the pinned
-    * single-table form. */
+    * single-table form.
+    *
+    * MEASURED (r15 probe, `tools/EmbedBandsProbe`,
+    * `bench_r15_embed_bands.json`): the default bands = 4 is justified
+    * by the recall axis, not guesswork — at sf1 (20k vecs, w = 14)
+    * the verified-pair counts are 62,581 / 117,414 / 208,184 for
+    * bands 1 / 2 / 4, and at sf10 (200k vecs) 3.81M / 7.07M / 17.2M:
+    * bands = 2 recovers only 41-56% of the bands = 4 pairs, so halving
+    * the bands loses half the recall, never "most of it at half the
+    * cost". The cost side collapsed with the persist()-shared codes:
+    * bands = 4 runs 1.5× the single-table arm at sf1 (2.0 → 3.0 s)
+    * — cheaper than the r13 single-table form measured before the
+    * share. */
   def embedNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 0, dims: Int = 64,

@@ -39,12 +39,15 @@ object PayloadScaleProbe {
         .withColumn("payload", MultimodalOps.withPayload(col("text")))
         .select(col("doc_id"), col("payload"))
       val n = docs.count()
-      def sig(codes: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      def sig(codes: org.apache.spark.sql.DataFrame): (Long, String, Long) = {
+        // sum in decimal(38,0): an ANSI-mode BIGINT sum of 64-bit
+        // hashes overflows
         val r = codes.agg(
           count(lit(1)).as("c"),
-          sum(expr("hash(doc_id, pcode)")).as("s"),
-          expr("bit_xor(hash(doc_id, pcode))").as("x")).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+          sum(expr("CAST(xxhash64(doc_id, pcode) AS DECIMAL(38,0))"))
+            .cast("string").as("s"),
+          expr("bit_xor(xxhash64(doc_id, pcode))").as("x")).head()
+        (r.getLong(0), r.getString(1), r.getLong(2))
       }
       def hexCodes = MultimodalOps.payloadFingerprint(docs, "doc_id", "payload")
       def nativeCodes = docs.filter(length(col("payload")) > 0)
