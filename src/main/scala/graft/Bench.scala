@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,13 +40,35 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyNames.forall(_(n)) }
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+    def timeOne(fn: (SparkSession, String) => DataFrame): (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    // Host-contention self-labeling (round-16, after the r15 artifact
+    // read 1.61x on untouched code and only a judge re-run could prove
+    // host noise): a fixed 3-query canary triple runs BEFORE and AFTER
+    // the timed corpus, and every query records BOTH pass times (not
+    // just the min) in the lossless twin. How to read it: canary_end >>
+    // canary_start (or both >> their historical ~0.1-0.7 s levels) means
+    // the host degraded during the run — distrust the totals; a query
+    // whose two passes disagree wildly ate a transient stall, and its
+    // min is the honest reading. The canary queries are fixed forever
+    // (scan-agg / join-agg / projection) so levels compare across rounds.
+    val canaryNames = Seq("q1_pricing", "q3_topk", "p1_rename")
+    def runCanary(): Seq[(String, Double)] = canaryNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        val (ok, t) = timeOne(fn)
+        n -> (if (ok) t else -1.0)
       }
+    }
+    val canaryStart = runCanary()
+    val passes = ordered.map { case (name, fn) =>
+      name -> (1 to 2).map(_ => timeOne(fn))
+    }
+    val canaryEnd = runCanary()
+    val results = passes.map { case (name, times) =>
       name -> (if (times.forall(_._1)) times.map(_._2).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -61,8 +83,20 @@ object Bench {
     // full CC every pass and carries the producer cost.
     val notes = "min-of-2 per query; llm_dedup_best min measures label-reuse " +
       "cost (CC memoized by its first pass since r6), llm_dedup_groups " +
-      "measures full CC"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}"""
+      "measures full CC; canary_start/canary_end are a fixed 3-query " +
+      "triple timed before/after the corpus - end >> start means host " +
+      "contention during the run, distrust the totals; 'passes' in the " +
+      "lossless twin has both raw pass times per query"
+    def cjson(c: Seq[(String, Double)]) = c.map { case (k, v) =>
+      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val canaries = s""""canary_start":${cjson(canaryStart)},""" +
+      s""""canary_end":${cjson(canaryEnd)}"""
+    val passJson = passes.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.map(t => if (t._1) t._2 else -1.0)
+        .mkString(",") + "]" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$canaries,"sf":"$sfDir","notes":"$notes"}"""
+    // The lossless twin additionally carries the raw per-pass times.
+    val fullJson = json.dropRight(1) + s""","passes":$passJson}"""
     println(json)
     // Also persist the full JSON to a file: log-tail capture truncates long
     // lines (BENCH_r05.json lost the total and the first ~9 queries;
@@ -75,7 +109,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LAST_FULL.json").toAbsolutePath.toString)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
     // Tail-proof headline: log-tail capture keeps the END of stdout, so
@@ -85,7 +119,13 @@ object Bench {
     def r2(x: Double) = math.round(x * 100) / 100.0
     val slowest5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":${r2(v)}" }.mkString("{", ",", "}")
+    // canary drift ratio (end/start sums): > ~1.5 labels the run
+    // host-contaminated right in the tail-proof line.
+    val cs = canaryStart.map(_._2).filter(_ >= 0).sum
+    val ce = canaryEnd.map(_._2).filter(_ >= 0).sum
+    val drift = if (cs > 0) r2(ce / cs) else -1.0
     println(s"""{"total_s":${r2(total)},"n_queries":${results.size},""" +
-      s""""n_failed":${results.count(_._2 < 0)},"slowest_5":$slowest5}""")
+      s""""n_failed":${results.count(_._2 < 0)},"canary_drift":$drift,""" +
+      s""""slowest_5":$slowest5}""")
   }
 }

@@ -1518,12 +1518,42 @@ object LlmOps {
     val b = banded.select(col("vid").as("dup_id"), col("e").as("eb"),
       col("band"), col("slice"), col("code").as("cb"), col("nrm").as("nb"))
     val cosine = dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))
-    a.join(b, Seq("band", "slice"))
+    val res = a.join(b, Seq("band", "slice"))
       .filter(col("keep_id") < col("dup_id"))
       .filter(earliest)
       .withColumn("c", cosine)
       .filter(col("c") >= threshold)
       .select(col("keep_id"), col("dup_id"), round(col("c"), 6).as("cosine"))
+    // Release the pin once the caller's FIRST action over this result
+    // completes (success or failure): a long-lived session calling this
+    // repeatedly must not accumulate pinned RDDs (r15 verdict item). The
+    // listener matches by reference-containment — the caller's composed
+    // plan embeds `res`'s logical plan node by object identity — so an
+    // unrelated action in the same session never triggers the release.
+    // Contract: the cache lives exactly for the one action that consumes
+    // the pairs (where the a/b self-join sides share it); a second action
+    // on a derived frame recomputes the codes. Mirrors rankLayout's
+    // pin → materialize → unpersist discipline, adapted to a lazy result.
+    val spark = vecs.sparkSession
+    // Direct actions on `res` (collect/foreach) surface its RAW logical
+    // plan; derived frames (count, write, further transforms) embed the
+    // ANALYZED plan object — match either.
+    val resPlans = Seq(res.queryExecution.logical, res.queryExecution.analyzed)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def release(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.logical.exists(n => resPlans.exists(_ eq n))) {
+          v.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = release(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = release(qe)
+    }
+    spark.listenerManager.register(listener)
+    res
   }
 
   /** Deterministic k-means codebook: seeded init (the first `k` ids),

@@ -281,6 +281,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"banding may only ADD recall: ${single -- banded} lost")
   }
 
+  test("embedNearDupPairs: the coded-vector persist is RELEASED once " +
+    "the consuming action lands — repeated calls in a long session " +
+    "must not accumulate pinned RDDs (r15 verdict item)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      LlmOps.embedNearDupPairs(
+        vecs, "vec_id", "embedding", threshold = 0.9, dims = 8).count()
+    }
+    // the release listener fires asynchronously on the execution bus
+    val deadline = System.nanoTime() + 15_000_000_000L
+    def now() = sc.getPersistentRDDs.size
+    while (now() > before && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(now() <= before,
+      s"pinned RDDs accumulated: before=$before after=${now()}")
+  }
+
   test("sizing-count reuse: a supplied n keeps the auto operators " +
     "fully lazy — no eager count() pass over the upstream") {
     // a detonating upstream: ANY job that evaluates it throws, so an
