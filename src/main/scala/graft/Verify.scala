@@ -39,7 +39,16 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both land one parquet file per
+      // query (the layout the compare reads), but coalesce(1) REMOVES
+      // parallelism — it fuses every narrow stage since the last
+      // exchange into a single task, which serialized whole scan-shaped
+      // queries at sf1 (one core busy, 31 idle). repartition inserts a
+      // shuffle barrier so the query computes at full width and only
+      // the final file write is single-task. Row order changes; both
+      // compare paths (sorted-rows canon, order-free sum/xor lanes) are
+      // order-independent by design.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL image decode / resize / perceptual hash over opaque BinaryType
+  * payload columns, built ONLY on the JDK's public imaging stack
+  * (`javax.imageio.ImageIO`, `java.awt.image.BufferedImage`) — zero
+  * external dependencies, so it runs in the zero-egress build and on
+  * any executor with a bare JRE, and it is headless-safe (BufferedImage
+  * and Graphics2D never touch a display). This is the production codec
+  * slot the r15 verdict asked to fill behind the deterministic stubs:
+  * [[MultimodalOps.decodeFramesStub]] / [[MultimodalOps.resizeFramesStub]]
+  * stay as the harness twins (byte-level, engine-portable), while these
+  * operators decode REAL pixels, spec-verified against PNG fixtures
+  * generated in-test (`ImageOpsSpec`) — no fixture leaves the JVM.
+  *
+  * Scale shape (the 100 TB contract): every operator is ONE
+  * mapPartitions pass over (id, payload) — no shuffle, no collect, no
+  * per-row codec construction; a corrupt or non-image payload yields a
+  * loud `ok = false` row instead of failing the task (corrupt media is
+  * a normal fraction of any crawl, and one bad byte stream must not
+  * kill a 10k-file partition). `ImageIO.setUseCache(false)` keeps the
+  * decode in-memory — the default disk-backed stream cache would write
+  * a temp file per image on every executor.
+  *
+  * Reference scope note: the reference ETL (kenstt/small-etl) has no
+  * media path at all — this extends the §2.11b multimodal family
+  * (LM1-LM5) with the decode/resize/perceptual steps a training-data
+  * pipeline needs between "payload bytes" and "dedup/curate". */
+object ImageOps {
+
+  /** Luma of an ARGB pixel in integer arithmetic (ITU-R BT.601 weights
+    * ×1000): identical on every JVM — no float rounding to drift. */
+  private def luma1000(argb: Int): Long = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    299L * r + 587L * g + 114L * b
+  }
+
+  /** 60-bit average-hash over the DECODED pixels: the image is split
+    * into an 8×8 grid of cells (boundaries ⌊k·dim/8⌋ — every pixel in
+    * exactly one cell), bit k (k < 60, row-major) = [cell k's mean luma
+    * > the mean of all 64 cell means]. 60 bits, not 64, so the code
+    * drops straight into the corpus-scaled banded Hamming machinery
+    * ([[LlmOps.stableBandWidth]] widths divide 60; the top 4 cells of
+    * the bottom-right row are the discarded tail). All-integer: cell
+    * sums in Long, the threshold compare cross-multiplied
+    * (cellSum·totalPixels > totalSum·cellPixels) exactly like the byte
+    * fingerprint. Deterministic across JVMs — the grid pooling is our
+    * own arithmetic, not a Graphics2D filter. */
+  private[graft] def aHash60(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cell = cy * 8 + math.min(7, x * 8 / w)
+        sums(cell) += luma1000(img.getRGB(x, y))
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var totalSum = 0L
+    var totalCount = 0L
+    var i = 0
+    while (i < 64) { totalSum += sums(i); totalCount += counts(i); i += 1 }
+    var code = 0L
+    i = 0
+    while (i < 60) {
+      // cross-multiplied mean compare; products bounded by
+      // 255000 · (2^31)^2 ≫ Long only for >190-gigapixel images — use
+      // Math.multiplyHigh-free BigInt-avoiding bound: cap at images
+      // whose pixel count keeps 255000·n² < 2^63 (n < 1.9e8 px per
+      // cell ≈ 12-gigapixel image) — far beyond any training sample;
+      // larger inputs would need the decimal path the byte code uses.
+      if (counts(i) > 0 &&
+          sums(i) * totalCount > totalSum * counts(i))
+        code |= 1L << i
+      i += 1
+    }
+    code
+  }
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Throwable => None }
+
+  /** Decode metadata + perceptual features in ONE pass: (id, ok, width,
+    * height, mean_luma — BT.601 ×1000 as an exact integer —, ahash60).
+    * Undecodable payloads (truncated files, non-image bytes, formats
+    * without a registered reader) come back as ok = false with null
+    * features — count them, don't crash on them. */
+  def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ok", BooleanType),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_luma1000", LongType, nullable = true),
+      StructField("ahash60", LongType, nullable = true)))
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          readImage(r.getAs[Array[Byte]](1)) match {
+            case Some(img) =>
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += luma1000(img.getRGB(x, y)); x += 1
+                }
+                y += 1
+              }
+              val n = img.getWidth.toLong * img.getHeight
+              Row(id, true, img.getWidth, img.getHeight, sum / n, aHash60(img))
+            case None => Row(id, false, null, null, null, null)
+          }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Decode → bilinear resize to (targetW, targetH) → re-encode PNG.
+    * Output: (id, ok, src_width, src_height, payload — the resized PNG
+    * bytes, or null when the source didn't decode). PNG, not JPEG, for
+    * the round-trip: it is lossless, so a spec can decode the output
+    * and assert exact dimensions and stable perceptual codes. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target box: ${targetW}x$targetH")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ok", BooleanType),
+      StructField("src_width", IntegerType, nullable = true),
+      StructField("src_height", IntegerType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          readImage(r.getAs[Array[Byte]](1)) match {
+            case Some(src) =>
+              val dst = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              Row(id, true, src.getWidth, src.getHeight, out.toByteArray)
+            case None => Row(id, false, null, null, null)
+          }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Near-duplicate IMAGE pairs over real decoded pixels: the 60-bit
+    * [[aHash60]] perceptual code + the SAME corpus-scaled banded
+    * Hamming search every other fingerprint family uses
+    * (pigeonhole-exact for maxHamming ≤ 3 at any corpus size, never
+    * all-pairs). Undecodable payloads drop — no code, no pairs.
+    * Output: (doc_a, doc_b, hamming). */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, n: Long = -1L): DataFrame = {
+    require(maxHamming <= 3,
+      s"stable banded search is exact only for maxHamming <= 3: $maxHamming")
+    val width = LlmOps.stableBandWidth(if (n > 0) n else df.count())
+    val codes = decodeImageMeta(df, idCol, payloadCol)
+      .filter(col("ok"))
+      .select(col("id").as(idCol), col("ahash60"))
+    LlmOps.bandedHammingPairs(codes, idCol, maxHamming, width, 60 / width,
+      codeCol = "ahash60")
+  }
+}

@@ -2686,4 +2686,76 @@ object MultimodalOps {
     LlmOps.bandedHammingPairs(codes, idCol, maxHamming, width, 60 / width,
       codeCol = "pcode")
   }
+
+  /** INCREMENTAL multimodal near-dup — dedup a NEW batch of payloads
+    * against an existing corpus WITHOUT re-pairing history against
+    * itself: the production shape for "ingest today's crawl against
+    * the 100 TB media store" (the text side has had this since LD11/
+    * LD18; this is the multimodal sibling the r15 verdict asked for).
+    * The historical side reduces to a BAND REGISTRY of (band, slice)
+    * keys over the stable 60-bit perceptual fingerprint — at scale a
+    * stored table bucketed by (band, slice) and maintained
+    * append-only, so the probe join is NEW-BATCH-sized and a new
+    * payload colliding with history in zero bands short-circuits as
+    * definitely-clean with no further work. Pigeonhole EXACTNESS
+    * carries over from [[payloadNearDupPairs]]: bands = 60/width ≥ 4 >
+    * maxHamming ≤ 3, so a new payload within the threshold of ANY
+    * historical payload agrees with it on a whole band — unlike the
+    * text path's MinHash registry ([[LlmOps.incrementalNearDedup]]),
+    * recall is 1.0, not LSH-probabilistic. Collisions exact-verify
+    * (popcount ≤ maxHamming) before anything drops. The band geometry
+    * is sized by the HISTORICAL corpus (the registry defines the
+    * bucket space; pass `histN` when known to keep the plan
+    * count-free). Empty payloads carry no perceptual information and
+    * are always kept (exact-digest dedup owns them). Returns the kept
+    * rows of `newDf`, all columns. */
+  def payloadIncrementalNearDup(
+      newDf: DataFrame, hist: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, histN: Long = -1L): DataFrame = {
+    require(maxHamming <= 3,
+      s"stable banded search is exact only for maxHamming <= 3: $maxHamming")
+    val width = LlmOps.stableBandWidth(if (histN > 0) histN else hist.count())
+    val bands = 60 / width
+    val mask = (1L << width) - 1
+    def banded(df: DataFrame, side: String): DataFrame =
+      df.filter(length(col(payloadCol)) > 0)
+        .select(col(idCol).as(s"__${side}id"),
+          payloadCode(col(payloadCol)).as(s"__${side}c"))
+        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("slice",
+          expr(s"shiftright(__${side}c, band * $width) & $mask"))
+    val dupNew = banded(newDf, "n")
+      .join(banded(hist, "h"), Seq("band", "slice"))
+      .filter(bit_count(expr("__nc ^ __hc")) <= maxHamming)
+      .select(col("__nid").as(idCol)).distinct()
+    newDf.join(dupNew, Seq(idCol), "left_anti")
+  }
+
+  /** CROSS-MODAL duplicate groups: a document duplicates another if
+    * EITHER its text near-matches (stable 60-bit SimHash, hamming ≤
+    * maxHamming — [[LlmOps.simHashPairsAuto]]) OR its media payload
+    * near-matches (perceptual fingerprint, hamming ≤ maxHamming —
+    * [[payloadNearDupPairs]]); the UNION near-dup graph's connected
+    * components canonicalize the corpus across modalities, collapsing
+    * text-identical pages carrying different media, media-identical
+    * posts with paraphrased captions, and chains of either into one
+    * group. Both edge generators are the corpus-scaled banded searches
+    * (pigeonhole-exact, never all-pairs; one shared sizing count), and
+    * the CC is [[LlmOps.dedupGroups]]'s checkpoint-bounded
+    * pointer-jumping loop — the union graph only adds edges, never a
+    * new algorithm. Output: (idCol, canonical_id = min id of the
+    * cross-modal component; docs in no pair stay their own
+    * canonical). */
+  def crossModalDupGroups(
+      df: DataFrame, idCol: String, textCol: String, payloadCol: String,
+      maxHamming: Int = 3, n: Long = -1L): DataFrame = {
+    val nn = if (n > 0) n else df.count()
+    val textPairs = LlmOps.simHashPairsAuto(
+      df, idCol, textCol, maxHamming = maxHamming, n = nn)
+    val payloadPairs = payloadNearDupPairs(
+      df, idCol, payloadCol, maxHamming, n = nn)
+    LlmOps.dedupGroups(df, idCol,
+      textPairs.select("doc_a", "doc_b")
+        .unionByName(payloadPairs.select("doc_a", "doc_b")))
+  }
 }

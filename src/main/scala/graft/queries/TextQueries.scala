@@ -39,6 +39,84 @@ object TextQueries {
   private def duckStopCount(list: Seq[String]): String =
     s"len(list_filter(ws, x -> list_contains(${duckList(list)}, x)))"
 
+  /** The payload perceptual-fingerprint CTE chain (the hex twin of
+    * MultimodalOps.payloadFingerprint / the native PayloadCode) over
+    * `documents`, ending in `$out(doc_id, pcode)` — factored so the
+    * incremental and cross-modal oracles replay the IDENTICAL
+    * derivation the pinned llm_payload_neardup oracle uses. */
+  private def duckPayloadCodeCtes(out: String): String =
+    s"""__pc_hx AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS h,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents WHERE octet_length(encode(text)) > 0
+       |),
+       |__pc_b0 AS (
+       |  SELECT doc_id, n, h, unnest(generate_series(0, n - 1)) AS i
+       |  FROM __pc_hx
+       |),
+       |__pc_bv AS (
+       |  SELECT doc_id, CAST((i // 4) % 60 AS BIGINT) AS b,
+       |    CAST((strpos('0123456789abcdef',
+       |            substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+       |       + strpos('0123456789abcdef',
+       |            substr(h, CAST(2 * i + 2 AS INT), 1)) - 1 AS BIGINT) AS v
+       |  FROM __pc_b0
+       |),
+       |__pc_pb AS (
+       |  SELECT doc_id, b, sum(v) AS bs, CAST(count(*) AS BIGINT) AS bc
+       |  FROM __pc_bv GROUP BY 1, 2
+       |),
+       |__pc_tt AS (
+       |  SELECT doc_id, sum(bs) AS ts, sum(bc) AS tc FROM __pc_pb GROUP BY 1
+       |),
+       |$out AS (
+       |  SELECT p.doc_id,
+       |    CAST(sum(CASE WHEN p.bs * t.tc > t.ts * p.bc
+       |                  THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT))
+       |                  ELSE 0 END) AS BIGINT) AS pcode
+       |  FROM __pc_pb p JOIN __pc_tt t USING (doc_id) GROUP BY 1
+       |)""".stripMargin
+
+  /** The stable 60-bit wide-SimHash CTE chain (two avalanched mix32
+    * lanes — the llm_simhash_pairs derivation verbatim) over
+    * `documents`, ending in `$out(doc_id, simhash)`. */
+  private def duckSimHash60Ctes(out: String): String =
+    s"""__sh_toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents
+       |),
+       |__sh_l1 AS (SELECT doc_id, ${DuckSql.duckHash("w")} AS h FROM __sh_toks),
+       |__sh_l2 AS (SELECT doc_id, ${DuckSql.duckHash("'g2:' || w")} AS h FROM __sh_toks),
+       |${DuckSql.duckMix32Ctes("__sh_l1", "doc_id", "h", "__sh_mxa")},
+       |${DuckSql.duckMix32Ctes("__sh_l2", "doc_id", "h", "__sh_mxb")},
+       |__sh_lanes AS (
+       |  SELECT doc_id, k, 0 AS lane FROM __sh_mxa
+       |  UNION ALL
+       |  SELECT doc_id, k, 1 AS lane FROM __sh_mxb
+       |),
+       |__sh_bits AS (
+       |  SELECT doc_id, lane * 32 + lb AS b,
+       |         CASE WHEN sum(((k >> lb) & 1) * 2 - 1) > 0
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM __sh_lanes, generate_series(0, 31) g(lb)
+       |  WHERE lane * 32 + lb < 60
+       |  GROUP BY doc_id, lane * 32 + lb
+       |),
+       |$out AS (
+       |  SELECT doc_id,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INT))) AS BIGINT)
+       |      AS simhash
+       |  FROM __sh_bits GROUP BY doc_id
+       |)""".stripMargin
+
+  /** The stableBandWidth(n) CASE ladder as a one-row subquery `(wd)`. */
+  private def duckWidthLadder(countSql: String): String =
+    s"""(SELECT CASE WHEN p >= 15 THEN 15 WHEN p >= 12 THEN 12
+       |            WHEN p >= 10 THEN 10 WHEN p >= 6 THEN 6
+       |            WHEN p >= 5 THEN 5 ELSE 4 END AS wd
+       |  FROM (SELECT greatest(4, least(15, length(bin(($countSql) - 1)) - 1))
+       |          AS p))""".stripMargin
+
   /** BPE encode-to-ids CTE chain — the llm_bpe_tokens recursion
     * carried through to ids, ending in `enc(doc_id, pos, tid)`.
     * Mirrors [[graft.operators.TextOps.bpeEncodeIds]] /
@@ -1800,6 +1878,108 @@ object TextQueries {
         .withColumn("payload", MultimodalOps.withPayload(col("text")))
       MultimodalOps.payloadNearDupPairs(docs, "doc_id", "payload")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ----- Incremental multimodal near-dup (new batch vs registry) -----
+    // The multimodal sibling of llm_incremental_neardedup: history =
+    // doc_id % 3 == 0, new batch = the rest; a new payload drops iff
+    // its 60-bit perceptual fingerprint is within hamming 3 of ANY
+    // historical payload. The band geometry is sized by the HISTORY
+    // (the registry defines the bucket space), and recall is
+    // pigeonhole-EXACT (bands >= 4 > 3) — stronger than the text
+    // path's LSH-probabilistic registry. Output: the kept new ids.
+    QDef.sql(
+      "llm_payload_incremental",
+      s"""WITH ${duckPayloadCodeCtes("pcd")},
+         |nn AS ${duckWidthLadder(
+               "SELECT count(*) FROM documents WHERE doc_id % 3 = 0")},
+         |hb AS (
+         |  SELECT doc_id, pcode, band,
+         |    (pcode >> CAST(band * nn.wd AS INT))
+         |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
+         |  FROM pcd, generate_series(0, 14) g(band), nn
+         |  WHERE band < 60 // nn.wd AND doc_id % 3 = 0
+         |),
+         |nb AS (
+         |  SELECT doc_id, pcode, band,
+         |    (pcode >> CAST(band * nn.wd AS INT))
+         |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
+         |  FROM pcd, generate_series(0, 14) g(band), nn
+         |  WHERE band < 60 // nn.wd AND doc_id % 3 <> 0
+         |),
+         |dup AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM nb n JOIN hb h ON n.band = h.band AND n.slice = h.slice
+         |  WHERE bit_count(xor(n.pcode, h.pcode)) <= 3
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", MultimodalOps.withPayload(col("text")))
+      val hist = docs.filter(col("doc_id") % 3 === 0)
+      val fresh = docs.filter(col("doc_id") % 3 =!= 0)
+      MultimodalOps.payloadIncrementalNearDup(fresh, hist, "doc_id", "payload")
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // ----- Cross-modal duplicate groups (text OR payload edges + CC) ---
+    // A doc duplicates another if its TEXT near-matches (60-bit wide
+    // SimHash, hamming <= 3) OR its PAYLOAD near-matches (perceptual
+    // fingerprint, hamming <= 3); connected components over the union
+    // graph canonicalize across modalities. Both edge derivations are
+    // the pinned llm_simhash_pairs / llm_payload_neardup chains
+    // verbatim (factored CTE helpers); the CC is the same recursive
+    // reachability the llm_dedup_groups oracle replays.
+    QDef.sql(
+      "llm_crossmodal_groups",
+      s"""WITH RECURSIVE ${duckSimHash60Ctes("shc")},
+         |${duckPayloadCodeCtes("pcd")},
+         |nn AS ${duckWidthLadder("SELECT count(*) FROM documents")},
+         |tband AS (
+         |  SELECT doc_id, simhash, band,
+         |    (simhash >> CAST(band * nn.wd AS INT))
+         |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
+         |  FROM shc, generate_series(0, 14) g(band), nn
+         |  WHERE band < 60 // nn.wd
+         |),
+         |pband AS (
+         |  SELECT doc_id, pcode, band,
+         |    (pcode >> CAST(band * nn.wd AS INT))
+         |      & ((CAST(1 AS BIGINT) << nn.wd) - 1) AS slice
+         |  FROM pcd, generate_series(0, 14) g(band), nn
+         |  WHERE band < 60 // nn.wd
+         |),
+         |tp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tband a JOIN tband b ON a.band = b.band AND a.slice = b.slice
+         |                           AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |),
+         |pp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pband a JOIN pband b ON a.band = b.band AND a.slice = b.slice
+         |                           AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.pcode, b.pcode)) <= 3
+         |),
+         |prs AS (SELECT doc_a, doc_b FROM tp UNION
+         |        SELECT doc_a, doc_b FROM pp),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs
+         |),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id
+         |)
+         |SELECT doc_id, min(label) AS canonical_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", MultimodalOps.withPayload(col("text")))
+      MultimodalOps.crossModalDupGroups(docs, "doc_id", "text", "payload")
+        .orderBy("doc_id")
     },
 
     // ----- Overlapping word-window chunking (RAG/indexing prep) --------

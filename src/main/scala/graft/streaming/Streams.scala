@@ -14,6 +14,13 @@ final case class SessionAcc(
 /** A closed session emitted by [[Streams.sessionize]]. */
 final case class ClosedSession(
     key: String, session_start: java.sql.Timestamp, n_events: Long)
+/** One banded fingerprint probe row for [[Streams.streamingPayloadNearDup]]. */
+final case class PayloadProbe(
+    bucket: Long, ts: java.sql.Timestamp, doc_id: Long, code: Long)
+/** Codes seen so far in one (band, slice) bucket (newest first). */
+final case class BucketCodes(codes: List[(Long, Long)])
+/** A verified near-dup hit: `doc_id` arrived at or after `dup_of`. */
+final case class PayloadDupHit(doc_id: Long, dup_of: Long, hamming: Int)
 
 /** Structured Streaming extension (SURVEY §2.11: absent in the reference;
   * the natural Spark extension over the `events` table). Every builder
@@ -465,4 +472,111 @@ object Streams {
       df.withWatermark(tsCol, watermarkDelay)
         .dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
+
+  /** Streaming multimodal NEAR-dup (ST15) — the streaming face of the
+    * batch registry (`MultimodalOps.payloadIncrementalNearDup`): each
+    * arriving payload is fingerprinted with the native 60-bit
+    * perceptual code (stateless, codegen'd), exploded into the same
+    * corpus-scaled bands, and probed against the codes seen so far in
+    * its (band, slice) BUCKET via flatMapGroupsWithState. Emits one
+    * exact-verified [[PayloadDupHit]] per (new payload, prior payload)
+    * pair within `maxHamming` — pairs are deduplicated across bands by
+    * the SAME earliest-agreeing-band rule the batch search uses (both
+    * full codes are in hand at probe time), so the output pair set
+    * matches what `payloadNearDupPairs` would emit over the same rows,
+    * delivered incrementally. A doc that hits nothing emits nothing —
+    * downstream keeps the stream and anti-joins the hits to drop dups.
+    *
+    * State & scale: per-bucket code lists; with width w sized for the
+    * expected corpus (the [[graft.operators.LlmOps.stableBandWidth]]
+    * law over `expectedN`), expected occupancy per bucket is ~n/2^w ≈ 2
+    * within the horizon. Streaming state is EVENT-TIME-bounded: a
+    * bucket idle past the watermark + `stateTtl` is reclaimed, so the
+    * stream covers the RECENT window and the batch registry (LM6) owns
+    * deep history — the standard lambda split. Batch frames run the
+    * identical state machine in one pass (no timeout), so the operator
+    * is batch-twin-testable. Empty payloads drop (no perceptual
+    * information; exact dedup owns them). */
+  def streamingPayloadNearDup(
+      df: DataFrame, idCol: String, payloadCol: String, tsCol: String,
+      expectedN: Long, maxHamming: Int = 3,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 600000L): Dataset[PayloadDupHit] = {
+    import graft.operators.{LlmOps, MultimodalOps}
+    require(maxHamming <= 3,
+      s"stable banded search is exact only for maxHamming <= 3: $maxHamming")
+    val width = LlmOps.stableBandWidth(expectedN)
+    val bands = 60 / width
+    val mask = (1L << width) - 1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val streaming = df.isStreaming
+    val coded0 = df.filter(length(col(payloadCol)) > 0)
+      .select(col(tsCol).as("ts"), col(idCol).cast("long").as("doc_id"),
+        MultimodalOps.payloadCode(col(payloadCol)).as("code"))
+    val coded = if (streaming) coded0.withWatermark("ts", watermarkDelay)
+      else coded0
+    val probes = coded
+      .select(explode(sequence(lit(0L), lit(bands - 1L))).as("band"),
+        col("ts"), col("doc_id"), col("code"))
+      .select(
+        (col("band") * lit(mask + 1) +
+          expr(s"shiftright(code, CAST(band * $width AS INT)) & $mask"))
+          .as("bucket"),
+        col("ts"), col("doc_id"), col("code"))
+      .as[PayloadProbe]
+    probes.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketCodes, PayloadDupHit](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
+        payloadDupUpdate(width, bands, maxHamming, stateTtlMs, streaming))
+  }
+
+  /** Per-bucket probe state machine (exposed for unit tests). The
+    * bucket's band index rides in the key (bucket = band · 2^width +
+    * slice); a (new, prior) pair emits ONLY from the first band where
+    * their slices agree, so the union over buckets is duplicate-free.
+    * Events within a micro-batch are processed in (ts, doc_id) order,
+    * making "who is the prior" deterministic under same-batch
+    * arrivals. */
+  private[graft] def payloadDupUpdate(
+      width: Int, bands: Int, maxHamming: Int, ttlMs: Long,
+      streaming: Boolean)(
+      bucket: Long, events: Iterator[PayloadProbe],
+      state: GroupState[BucketCodes]): Iterator[PayloadDupHit] = {
+    if (state.hasTimedOut) {
+      // idle bucket past the horizon: reclaim, emit nothing — deep
+      // history is the batch registry's job
+      state.remove()
+      Iterator.empty
+    } else {
+      val thisBand = (bucket >>> width).toInt
+      val mask = (1L << width) - 1
+      def firstAgreeingBand(a: Long, b: Long): Int = {
+        var i = 0
+        while (i < bands && (((a >>> (i * width)) & mask) !=
+          ((b >>> (i * width)) & mask))) i += 1
+        i
+      }
+      var known = state.getOption.map(_.codes).getOrElse(Nil)
+      val hits = scala.collection.mutable.ListBuffer[PayloadDupHit]()
+      var maxTs = Long.MinValue
+      events.toSeq.sortBy(e => (e.ts.getTime, e.doc_id)).foreach { e =>
+        if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+        known.foreach { case (priorId, priorCode) =>
+          val h = java.lang.Long.bitCount(priorCode ^ e.code)
+          if (h <= maxHamming &&
+              firstAgreeingBand(priorCode, e.code) == thisBand)
+            hits += PayloadDupHit(e.doc_id, priorId, h)
+        }
+        known = (e.doc_id, e.code) :: known
+      }
+      state.update(BucketCodes(known))
+      if (streaming)
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+      hits.iterator
+    }
+  }
 }

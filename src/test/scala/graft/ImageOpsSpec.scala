@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ImageOps
+
+/** Real-codec coverage for ImageOps (javax.imageio decode / resize /
+  * perceptual hash). Fixtures are PNGs GENERATED INSIDE the test —
+  * the zero-egress gate: no external media ever enters the build. */
+class ImageOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic RGB gradient image. `dir`: 0 = left→right,
+    * 1 = right→left, 2 = top→bottom, 3 = bottom→top. */
+  private def gradient(w: Int, h: Int, dir: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = dir match {
+        case 0 => x * 255 / math.max(1, w - 1)
+        case 1 => 255 - x * 255 / math.max(1, w - 1)
+        case 2 => y * 255 / math.max(1, h - 1)
+        case _ => 255 - y * 255 / math.max(1, h - 1)
+      }
+      img.setRGB(x, y, (t << 16) | (t << 8) | t)
+    }
+    img
+  }
+
+  /** The same image with one small dark patch — a perceptual NEAR-dup:
+    * the edit moves one grid cell's mean slightly, so the 60-bit code
+    * stays within a few bits. */
+  private def patched(src: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try g.drawImage(src, 0, 0, null) finally g.dispose()
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0)
+    img
+  }
+
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImageMeta: real PNG decode returns exact dimensions and " +
+    "deterministic features; corrupt payloads come back ok=false " +
+    "instead of failing the task") {
+    val rows = Seq(
+      (1L, png(gradient(64, 48, 0))),
+      (2L, png(gradient(16, 16, 2))),
+      (3L, "definitely not an image payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = ImageOps.decodeImageMeta(rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(1) && got(1L).getInt(2) == 64 &&
+      got(1L).getInt(3) == 48)
+    assert(got(2L).getBoolean(1) && got(2L).getInt(2) == 16 &&
+      got(2L).getInt(3) == 16)
+    assert(!got(3L).getBoolean(1) && got(3L).isNullAt(2) &&
+      got(3L).isNullAt(5), "corrupt payload must be a loud ok=false row")
+    // mean luma of a symmetric 0..255 gray gradient ≈ 127.5·1000
+    val luma = got(1L).getLong(4)
+    assert(luma > 120000 && luma < 135000, s"implausible mean luma: $luma")
+    // determinism: decoding the same bytes twice gives the same code
+    val again = ImageOps.decodeImageMeta(rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(again(1L).getLong(5) == got(1L).getLong(5))
+  }
+
+  test("aHash60: lossless re-encode is hamming 0; a small patch edit " +
+    "stays within 3 bits; different gradient orientations are far") {
+    val base = gradient(64, 64, 0)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hBase = ImageOps.aHash60(base)
+    // PNG is lossless: decode(encode(img)) has identical pixels
+    val roundTrip = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png(base)))
+    assert(ham(hBase, ImageOps.aHash60(roundTrip)) == 0)
+    assert(ham(hBase, ImageOps.aHash60(patched(base))) <= 3,
+      "a 4x4 patch edit moves one cell slightly - a near-dup")
+    val others = Seq(gradient(64, 64, 1), gradient(64, 64, 2),
+      gradient(64, 64, 3)).map(ImageOps.aHash60)
+    others.foreach(h => assert(ham(hBase, h) > 10,
+      s"different orientation must be perceptually far: ${ham(hBase, h)}"))
+  }
+
+  test("resizeImages: bilinear resize re-encodes a PNG that decodes to " +
+    "the exact target box, with source dims recorded") {
+    val rows = Seq(
+      (1L, png(gradient(64, 48, 0))),
+      (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = ImageOps.resizeImages(rows, "doc_id", "payload", 32, 24)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(1) && got(1L).getInt(2) == 64 &&
+      got(1L).getInt(3) == 48)
+    val outImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).getAs[Array[Byte]](4)))
+    assert(outImg.getWidth == 32 && outImg.getHeight == 24)
+    assert(!got(2L).getBoolean(1) && got(2L).isNullAt(4))
+  }
+
+  test("imageNearDupPairs: finds exactly the patched near-dup pair over " +
+    "real decoded pixels, skipping undecodable payloads") {
+    val base = gradient(64, 64, 0)
+    val rows = Seq(
+      1L -> png(base),
+      2L -> png(patched(base)),
+      3L -> png(gradient(64, 64, 1)),
+      4L -> png(gradient(64, 64, 2)),
+      5L -> png(gradient(64, 64, 3)),
+      6L -> "corrupt media".getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+    val pairs = ImageOps.imageNearDupPairs(rows, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the patched pair, got $pairs")
+  }
+}

@@ -363,6 +363,60 @@ class LlmOpsSpec extends AnyFunSuite {
       pairs.contains((2L, 3L)), s"planted near-dups missing from $pairs")
   }
 
+  test("payloadIncrementalNearDup: new-batch payloads within hamming 3 " +
+    "of ANY historical payload drop; fresh and empty-payload rows keep " +
+    "all columns") {
+    import graft.operators.MultimodalOps
+    val base = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ")
+    val hist = Seq((100L, base), (101L, "some other archive doc " * 20))
+      .toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val fresh = Seq(
+      (1L, base),                // exact repeat of history: drop
+      (2L, base + " tail"),      // near-dup of history: drop
+      (3L, (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")),
+      (4L, ""))                  // empty payload: always kept
+      .toDF("doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val kept = MultimodalOps.payloadIncrementalNearDup(
+      fresh, hist, "doc_id", "payload")
+    assert(kept.columns.toSeq == fresh.columns.toSeq,
+      "incremental dedup must pass the batch schema through")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+  }
+
+  test("crossModalDupGroups: text-only near-dups, payload-only " +
+    "near-dups, and chains across modalities collapse into one " +
+    "component; isolated docs stay their own canonical") {
+    import graft.operators.MultimodalOps
+    val txt = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")
+    // media rides a SEPARATE column so modalities can disagree. Media
+    // strings are VARIED (not periodic repeats — the block-mean
+    // fingerprint correctly codes periodic byte streams as
+    // near-identical, which would weld every doc together).
+    val m1 = (1 to 40).map(i => s"ALPHA${i * 11}K${i % 5}").mkString(" ")
+    val m2 = (1 to 40).map(i => s"beta${i * 13}r${i % 9}").mkString(" ")
+    val m4 = (1 to 40).map(i => s"~~!!${i * 29}??${i % 11}").mkString(" ")
+    val docs = Seq(
+      // doc_id, text (text modality), media (payload modality)
+      (1L, txt, m1),
+      (2L, txt, m2),            // text-dup of 1, media unrelated to 1
+      (3L, other, m2 + " tail"), // payload-near-dup of 2, text unrelated
+      (4L, (1 to 40).map(i => s"iso${i * 19} w${i % 17}").mkString(" "), m4))
+      .toDF("doc_id", "text", "media")
+      .withColumn("payload", MultimodalOps.withPayload(col("media")))
+    val groups = MultimodalOps.crossModalDupGroups(
+      docs, "doc_id", "text", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L,
+      s"the text edge 1-2 and payload edge 2-3 must chain: $groups")
+    assert(groups(4L) == 4L, s"isolated doc must stay its own canonical: $groups")
+  }
+
   test("PayloadCode (native) is bit-identical to the hex-rendering " +
     "payloadFingerprint oracle twin, and stays inside WholeStageCodegen") {
     import graft.operators.MultimodalOps

@@ -64,6 +64,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming payload near-dup (ST15): a later near-identical " +
+    "payload emits an exact-verified hit across micro-batches; empty " +
+    "payloads drop; the batch twin matches payloadNearDupPairs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.operators.MultimodalOps
+    val base = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val hits = Streams.streamingPayloadNearDup(
+      df, "doc_id", "payload", "ts", expectedN = 1000L)
+    val q = hits.toDF().writeStream.format("memory")
+      .queryName("pdup").outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, base), (ts(1), 2L, other))
+      q.processAllAvailable()
+      assert(spark.table("pdup").count() == 0,
+        "unrelated payloads must not hit")
+      // near-dup of doc 1 arrives a MICRO-BATCH LATER (state carries);
+      // the empty payload must vanish without a row
+      input.addData((ts(2), 3L, base + " tail"), (ts(3), 4L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("pdup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((3L, 1L)), s"expected the cross-batch hit: $rows")
+    } finally q.stop()
+    // batch twin: the same rows as ONE batch frame yield exactly the
+    // pair set the batch search finds (same width law, same verify)
+    val batch = Seq((ts(0), 1L, base), (ts(1), 2L, other),
+      (ts(2), 3L, base + " tail"))
+      .toDF("ts", "doc_id", "text")
+      .withColumn("payload", MultimodalOps.withPayload(col("text")))
+    val sHits = Streams.streamingPayloadNearDup(
+      batch, "doc_id", "payload", "ts", expectedN = 1000L)
+      .collect()
+      .map(h => (math.min(h.doc_id, h.dup_of),
+        math.max(h.doc_id, h.dup_of), h.hamming.toLong)).toSet
+    val bPairs = MultimodalOps.payloadNearDupPairs(
+      batch, "doc_id", "payload", n = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sHits == bPairs,
+      s"batch twin must match the banded search: $sHits vs $bPairs")
+  }
+
   test("streaming dedup: duplicates within the watermark horizon are dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
