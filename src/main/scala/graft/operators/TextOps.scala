@@ -2453,13 +2453,26 @@ object TextOps {
     val chars = col("__chars").cast("double")
     val fracs =
       topThresholds.keys.toSeq.sorted.map(n =>
-        (s"top_${n}gram_frac", col(s"__top_$n") / chars,
-          topThresholds(n))) ++
+        (s"top_${n}gram_frac", s"__top_$n", topThresholds(n))) ++
         dupThresholds.keys.toSeq.sorted.map(n =>
-          (s"dup_${n}gram_frac", col(s"__dup_$n") / chars,
-            dupThresholds(n)))
-    val keep = fracs.map { case (_, f, th) => f <= th }
+          (s"dup_${n}gram_frac", s"__dup_$n", dupThresholds(n)))
+    val keep = fracs.map { case (_, c, th) => col(c) / chars <= th }
       .reduce(_ && _)
+    // Rendered fraction: integer-exact HALF-UP rounding at 6 digits,
+    // floor((2e6·cov + chars)/(2·chars)) / 1e6 in BIGINT — NOT
+    // round(double, 6). The double form hit a real tie at sf1
+    // (cov/chars = 0.0640625: Spark's BigDecimal-of-shortest-decimal
+    // rounds the half UP to 0.064063, DuckDB rounds the binary double
+    // DOWN to 0.064062). Exact integer division is tie-definite and
+    // replays verbatim in SQL; the ≤1e7 quotient is an exact double, so
+    // the final /1e6 is the same IEEE op in both engines. chars ≤ 0 or
+    // NULL falls back to the old double form (NULL/NaN propagation
+    // unchanged).
+    def renderedFrac(c: String): Column =
+      when(col("__chars") > 0,
+        expr(s"CAST((2000000 * $c + __chars) DIV (2 * __chars) AS DOUBLE)")
+          / lit(1e6))
+        .otherwise(round(col(c) / chars, 6))
     // Fill ONLY the coverage columns: a doc with no grams scores all
     // zeros, but a NULL text must keep its NULL chars so the fractions
     // come out NULL in BOTH engines (a blanket fill would turn Spark's
@@ -2469,7 +2482,7 @@ object TextOps {
       .na.fill(0L, ns.flatMap(n => Seq(s"__top_$n", s"__dup_$n"))
         .filter(perDoc.columns.contains))
       .select(col(idCol) +:
-        fracs.map { case (name, f, _) => round(f, 6).as(name) } :+
+        fracs.map { case (name, c, _) => renderedFrac(c).as(name) } :+
         coalesce(keep, lit(false)).as("keep"): _*)
   }
 }

@@ -2836,15 +2836,35 @@ object TextQueries {
          |  FROM p GROUP BY 1, 2
          |)
          |SELECT d.doc_id,
-         |  round(coalesce(t2, 0) / CAST(d.chars AS DOUBLE), 6) AS top_2gram_frac,
-         |  round(coalesce(t3, 0) / CAST(d.chars AS DOUBLE), 6) AS top_3gram_frac,
-         |  round(coalesce(t4, 0) / CAST(d.chars AS DOUBLE), 6) AS top_4gram_frac,
-         |  round(coalesce(d5, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_5gram_frac,
-         |  round(coalesce(d6, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_6gram_frac,
-         |  round(coalesce(d7, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_7gram_frac,
-         |  round(coalesce(d8, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_8gram_frac,
-         |  round(coalesce(d9, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_9gram_frac,
-         |  round(coalesce(d10, 0) / CAST(d.chars AS DOUBLE), 6) AS dup_10gram_frac,
+         |  -- integer-exact HALF-UP rounding, tie-definite (a real sf1
+         |  -- tie at 0.0640625 split the engines' round(double, 6))
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(t2, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(t2, 0) / CAST(d.chars AS DOUBLE), 6) END AS top_2gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(t3, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(t3, 0) / CAST(d.chars AS DOUBLE), 6) END AS top_3gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(t4, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(t4, 0) / CAST(d.chars AS DOUBLE), 6) END AS top_4gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(d5, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(d5, 0) / CAST(d.chars AS DOUBLE), 6) END AS dup_5gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(d6, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(d6, 0) / CAST(d.chars AS DOUBLE), 6) END AS dup_6gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(d7, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(d7, 0) / CAST(d.chars AS DOUBLE), 6) END AS dup_7gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(d8, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(d8, 0) / CAST(d.chars AS DOUBLE), 6) END AS dup_8gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(d9, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(d9, 0) / CAST(d.chars AS DOUBLE), 6) END AS dup_9gram_frac,
+         |  CASE WHEN d.chars > 0 THEN CAST((2000000 * coalesce(d10, 0) + d.chars)
+         |    // (2 * d.chars) AS DOUBLE) / 1000000.0
+         |    ELSE round(coalesce(d10, 0) / CAST(d.chars AS DOUBLE), 6) END AS dup_10gram_frac,
          |  coalesce(
          |    coalesce(t2, 0) / CAST(d.chars AS DOUBLE) <= 0.20
          |    AND coalesce(t3, 0) / CAST(d.chars AS DOUBLE) <= 0.18

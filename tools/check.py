@@ -15,6 +15,7 @@ CORRECTNESS_r12.json) can never zero a round's canonical record again.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -44,14 +45,22 @@ def main():
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # GRAFT_CHECK_ONLY=a,b,c: replay just those oracles (solo re-runs of
+    # a memory-heavy recursive oracle, local iteration)
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     con = duckdb.connect()
     # out-of-core: the big recursive replays (BPE/LM training unrolls)
     # exceed RAM at sf >= 1 without a spill directory
     con.sql("SET temp_directory = '/tmp/duck_check_spill'")
     con.sql("SET max_temp_directory_size = '200GB'")
-    con.sql("SET memory_limit = '90GB'")
+    con.sql("SET memory_limit = "
+            f"'{os.environ.get('GRAFT_CHECK_MEM', '90GB')}'")
+    if os.environ.get("GRAFT_CHECK_THREADS"):
+        con.sql(f"SET threads = {int(os.environ['GRAFT_CHECK_THREADS'])}")
     con.sql("SET preserve_insertion_order = false")
-    import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         path = f"{sf_dir}/{t}.parquet"
