@@ -74,18 +74,28 @@ object ImageOps {
     var code = 0L
     i = 0
     while (i < 60) {
-      // cross-multiplied mean compare; products bounded by
-      // 255000 · (2^31)^2 ≫ Long only for >190-gigapixel images — use
-      // Math.multiplyHigh-free BigInt-avoiding bound: cap at images
-      // whose pixel count keeps 255000·n² < 2^63 (n < 1.9e8 px per
-      // cell ≈ 12-gigapixel image) — far beyond any training sample;
-      // larger inputs would need the decimal path the byte code uses.
+      // cross-multiplied mean compare in FULL 128-bit precision:
+      // sums(i) ≤ 255000·counts(i) with counts ≈ n/64, so the 64-bit
+      // product sums(i)·totalCount overflows at n ≈ 4.8e7 pixels
+      // (~48 MP — a modern camera photo, r16 advice finding). All four
+      // operands are non-negative, so Math.multiplyHigh's signed high
+      // word IS the unsigned high word and the (hi, lo) pair compares
+      // exactly for any image whose pixel count fits a Long.
       if (counts(i) > 0 &&
-          sums(i) * totalCount > totalSum * counts(i))
+          cmp128(sums(i), totalCount, totalSum, counts(i)) > 0)
         code |= 1L << i
       i += 1
     }
     code
+  }
+
+  /** Compare a·b vs c·d exactly for non-negative Longs via the 128-bit
+    * (high, low) product pair. Returns the sign of a·b − c·d. */
+  private[graft] def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
   }
 
   private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =

@@ -109,12 +109,19 @@ object TextQueries {
        |  FROM __sh_bits GROUP BY doc_id
        |)""".stripMargin
 
-  /** The stableBandWidth(n) CASE ladder as a one-row subquery `(wd)`. */
+  /** The stableBandWidth(n) CASE ladder as a one-row subquery `(wd)`.
+    * The count is clamped to ≥ 1 BEFORE the `bin(n − 1)` width probe:
+    * DuckDB's bin(-1) is the 64-char two's-complement string (width 15)
+    * while Scala stableBandWidth(0) clamps to 4 — a latent geometry
+    * divergence on an empty corpus (harmless only because empty in =
+    * empty out on both sides, r16 advice; clamped so the twin holds for
+    * degenerate inputs too). */
   private def duckWidthLadder(countSql: String): String =
     s"""(SELECT CASE WHEN p >= 15 THEN 15 WHEN p >= 12 THEN 12
        |            WHEN p >= 10 THEN 10 WHEN p >= 6 THEN 6
        |            WHEN p >= 5 THEN 5 ELSE 4 END AS wd
-       |  FROM (SELECT greatest(4, least(15, length(bin(($countSql) - 1)) - 1))
+       |  FROM (SELECT greatest(4, least(15,
+       |          length(bin(greatest(1, ($countSql)) - 1)) - 1))
        |          AS p))""".stripMargin
 
   /** BPE encode-to-ids CTE chain — the llm_bpe_tokens recursion

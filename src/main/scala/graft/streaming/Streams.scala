@@ -17,8 +17,13 @@ final case class ClosedSession(
 /** One banded fingerprint probe row for [[Streams.streamingPayloadNearDup]]. */
 final case class PayloadProbe(
     bucket: Long, ts: java.sql.Timestamp, doc_id: Long, code: Long)
-/** Codes seen so far in one (band, slice) bucket (newest first). */
-final case class BucketCodes(codes: List[(Long, Long)])
+/** Codes seen so far in one (band, slice) bucket (newest first), each
+  * carrying its event-time millis so HOT buckets prune per-entry: the
+  * whole-bucket idle timeout alone never fires under steady traffic
+  * (r16 advice — unbounded growth), so [[Streams.payloadDupUpdate]]
+  * additionally drops entries older than watermark − TTL on every
+  * invocation, keeping state bounded AND the recency contract honest. */
+final case class BucketCodes(codes: List[(Long, Long, Long)])
 /** A verified near-dup hit: `doc_id` arrived at or after `dup_of`. */
 final case class PayloadDupHit(doc_id: Long, dup_of: Long, hamming: Int)
 
@@ -490,8 +495,11 @@ object Streams {
     * State & scale: per-bucket code lists; with width w sized for the
     * expected corpus (the [[graft.operators.LlmOps.stableBandWidth]]
     * law over `expectedN`), expected occupancy per bucket is ~n/2^w ≈ 2
-    * within the horizon. Streaming state is EVENT-TIME-bounded: a
-    * bucket idle past the watermark + `stateTtl` is reclaimed, so the
+    * within the horizon. Streaming state is EVENT-TIME-bounded two
+    * ways: a bucket idle past the watermark + `stateTtl` is reclaimed
+    * whole, and a HOT bucket prunes individual entries older than
+    * watermark − `stateTtl` on every micro-batch (steady traffic would
+    * otherwise defeat the idle timeout and grow without bound), so the
     * stream covers the RECENT window and the batch registry (LM6) owns
     * deep history — the standard lambda split. Batch frames run the
     * identical state machine in one pass (no timeout), so the operator
@@ -559,18 +567,30 @@ object Streams {
           ((b >>> (i * width)) & mask))) i += 1
         i
       }
+      // Per-entry event-time pruning (r16 advice): a bucket under
+      // steady traffic never goes idle, so the whole-bucket timeout
+      // alone would accumulate its entire history. Drop entries whose
+      // event time has fallen past watermark − TTL before probing —
+      // hot buckets stay bounded by the horizon's occupancy and hits
+      // are only ever emitted against codes inside the advertised
+      // recency window. (Batch mode has no watermark: keep everything,
+      // the one-pass twin IS the whole window.)
+      val pruneBefore =
+        if (streaming) state.getCurrentWatermarkMs() - ttlMs
+        else Long.MinValue
       var known = state.getOption.map(_.codes).getOrElse(Nil)
+        .filter(_._3 >= pruneBefore)
       val hits = scala.collection.mutable.ListBuffer[PayloadDupHit]()
       var maxTs = Long.MinValue
       events.toSeq.sortBy(e => (e.ts.getTime, e.doc_id)).foreach { e =>
         if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
-        known.foreach { case (priorId, priorCode) =>
+        known.foreach { case (priorId, priorCode, _) =>
           val h = java.lang.Long.bitCount(priorCode ^ e.code)
           if (h <= maxHamming &&
               firstAgreeingBand(priorCode, e.code) == thisBand)
             hits += PayloadDupHit(e.doc_id, priorId, h)
         }
-        known = (e.doc_id, e.code) :: known
+        known = (e.doc_id, e.code, e.ts.getTime) :: known
       }
       state.update(BucketCodes(known))
       if (streaming)

@@ -120,4 +120,34 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)),
       s"expected exactly the patched pair, got $pairs")
   }
+
+  test("cmp128: the mean compare is exact in the >48-megapixel regime " +
+    "where the old 64-bit cross-multiply silently overflowed (r16 " +
+    "advice)") {
+    // the overflow regime made concrete: n = 6e7 pixels (a 60 MP
+    // photo), per-cell count n/64, per-cell sum up to 255000·count —
+    // sums(i)·totalCount ≈ 1.4e19 > 2^63, so the Long product wraps
+    // negative and flips the verdict
+    val n = 60_000_000L
+    val cellCount = n / 64
+    val cellSum = 255000L * cellCount        // a saturated-white cell
+    val totalSum = cellSum * 2               // corpus mean = half that
+    assert(cellSum * n < 0, "precondition: the 64-bit product overflows")
+    assert(ImageOps.cmp128(cellSum, n, totalSum, cellCount) > 0,
+      "a cell twice the mean must set its bit even past 48 MP")
+    // corpus mean per cell is totalSum/64; totalSum/256 is a quarter of it
+    assert(ImageOps.cmp128(totalSum / 256, n, totalSum, cellCount) < 0,
+      "a cell below the mean must not set its bit")
+    // exact tie: equal products on both sides, at overflow magnitude
+    assert(ImageOps.cmp128(cellSum, n, cellSum * 64, cellCount) === 0,
+      "cellSum·n vs (64·cellSum)·(n/64) is an exact tie")
+    // agreement with BigInt on a deterministic sweep spanning both
+    // regimes (small products and >2^63 products)
+    val vals = Seq(0L, 1L, 255000L, cellCount, cellSum, totalSum, n)
+    for (a <- vals; b <- vals; c <- vals; d <- vals) {
+      val exact = (BigInt(a) * BigInt(b)).compare(BigInt(c) * BigInt(d))
+      assert(Integer.signum(ImageOps.cmp128(a, b, c, d)) === exact,
+        s"cmp128($a,$b,$c,$d) disagrees with BigInt")
+    }
+  }
 }

@@ -320,20 +320,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .withColumn("text", boom(col("text")))
     val p1 = LlmOps.simHashPairsAuto(docs, "doc_id", "text",
       maxHamming = 0, n = 500L) // no throw = no count
+    val pay = docs.withColumn("payload",
+      graft.operators.MultimodalOps.withPayload(col("text")))
+    val p3 = graft.operators.MultimodalOps.payloadNearDupPairs(
+      pay, "doc_id", "payload", n = 500L)
+    // the bombs are real: forcing either detonates
+    Seq(p1, p3).foreach { p =>
+      intercept[Exception](p.collect())
+    }
+    // embedNearDupPairs is the DELIBERATE exception since r17 (r16
+    // verdict): it materializes its persisted coded vectors at CALL
+    // time (one pass — the same pass the first consuming action would
+    // have paid) so the a/b self-join sides read a fully-populated
+    // cache instead of racing to fill it. A supplied n still skips the
+    // SIZING count — the construction pass below is the materialize,
+    // not a second count — so the bomb detonates at construction.
     val vecs = rddBacked(Seq((1L, Array(1.0f, 0.0f)))
         .toDF("vec_id", "embedding"))
       .withColumn("embedding",
         udf((a: Seq[Float]) => { sys.error("eager scan"): Seq[Float] })
           .apply(col("embedding")))
-    val p2 = LlmOps.embedNearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.5, dims = 2, n = 500L)
-    val pay = docs.withColumn("payload",
-      graft.operators.MultimodalOps.withPayload(col("text")))
-    val p3 = graft.operators.MultimodalOps.payloadNearDupPairs(
-      pay, "doc_id", "payload", n = 500L)
-    // the bombs are real: forcing any of the three detonates
-    Seq(p1, p2, p3).foreach { p =>
-      intercept[Exception](p.collect())
+    intercept[Exception] {
+      LlmOps.embedNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.5, dims = 2, n = 500L)
     }
   }
 

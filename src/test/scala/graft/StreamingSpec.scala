@@ -741,4 +741,101 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch === Set(1L, 4L), "batch twin agrees with the stream")
   }
+
+  test("recovery: streamingPayloadNearDup (ST15) restarts from " +
+    "checkpoint — bucket state survives (a near-dup arriving after the " +
+    "restart still hits its pre-kill prior) and committed hits do not " +
+    "replay into the sink") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.operators.MultimodalOps
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pd_out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_pd_cp").toString
+    val base = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val hits = Streams.streamingPayloadNearDup(
+      input.toDF().toDF("ts", "doc_id", "text")
+        .withColumn("payload", MultimodalOps.withPayload(col("text"))),
+      "doc_id", "payload", "ts", expectedN = 1000L)
+    def start() = hits.toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    val q1 = start()
+    // batch 1: the future dup target + an unrelated doc; batch 2: an
+    // in-horizon near-dup whose hit COMMITS before the kill — the
+    // restart must not replay it
+    input.addData((ts(0), 1L, base), (ts(1), 2L, other))
+    q1.processAllAvailable()
+    input.addData((ts(2), 3L, base + " tail"))
+    q1.processAllAvailable()
+    q1.stop() // kill
+
+    val q2 = start()
+    // doc 4 is a near-dup of doc 1 — which only the RESTORED bucket
+    // state has ever seen
+    input.addData((ts(3), 4L, base + " tail"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(_ == ((3L, 1L))) === 1,
+      s"the pre-kill hit must appear exactly once (no replay): ${rows.toSeq}")
+    assert(rows.filter(_._1 == 4L).toSet.contains((4L, 1L)),
+      s"the post-restart near-dup must hit the restored prior: ${rows.toSeq}")
+  }
+
+  test("ST15 hot-bucket pruning: a bucket under steady traffic drops " +
+    "entries older than watermark - TTL per micro-batch, so state stays " +
+    "bounded and stale codes never produce hits") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val width = graft.operators.LlmOps.stableBandWidth(1000L)
+    val bands = 60 / width
+    val ttlMs = 600000L // 10 minutes
+    def probe(id: Long, tsMs: Long, code: Long) =
+      graft.streaming.PayloadProbe(0L, new Timestamp(tsMs), id, code)
+    // invocation 1: watermark 0 — two codes enter bucket state
+    import org.apache.spark.api.java.Optional
+    val st1 = TestGroupState.create[graft.streaming.BucketCodes](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    // all codes share band-0 slice 0 (low `width` bits zero), so bucket
+    // 0 is the earliest agreeing band for every pair; hamming distances
+    // ride in the higher bits
+    val out1 = Streams.payloadDupUpdate(width, bands, 3, ttlMs, true)(
+      0L, Iterator(probe(1L, 1000L, 0L), probe(2L, 2000L, 960L)), st1)
+      .toList
+    assert(out1.isEmpty, "far codes (hamming 4) must not hit")
+    assert(st1.get.codes.size === 2)
+    // invocation 2: watermark far ahead (1 hour) — both stored codes
+    // are older than watermark - TTL and must be PRUNED before probing:
+    // a new near-identical code gets NO hit against the stale entry,
+    // and state holds only the fresh arrival
+    val wm = 3600000L
+    val st2 = TestGroupState.create[graft.streaming.BucketCodes](
+      Optional.of(st1.get), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(wm),
+      hasTimedOut = false)
+    val out2 = Streams.payloadDupUpdate(width, bands, 3, ttlMs, true)(
+      0L, Iterator(probe(3L, wm + 1000L, 64L)), st2).toList
+    assert(out2.isEmpty,
+      s"a stale prior (hamming 1 but outside the window) must not hit: $out2")
+    assert(st2.get.codes.map(_._1) === List(3L),
+      s"stale entries must be pruned from hot-bucket state: ${st2.get.codes}")
+    // invocation 3: an IN-window prior still hits — pruning only drops
+    // what the recency contract says it must
+    val st3 = TestGroupState.create[graft.streaming.BucketCodes](
+      Optional.of(st2.get), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(wm),
+      hasTimedOut = false)
+    val out3 = Streams.payloadDupUpdate(width, bands, 3, ttlMs, true)(
+      0L, Iterator(probe(4L, wm + 2000L, 128L)), st3).toList
+    assert(out3.map(h => (h.doc_id, h.dup_of)) === List((4L, 3L)),
+      s"an in-window prior must still hit: $out3")
+  }
 }
