@@ -154,6 +154,27 @@ object JsonConfig {
         payloadField = str(pd.path("payload_field")).getOrElse(sys.error("payload_dedup missing payload_field")),
         maxHamming = int(pd.path("max_hamming")).getOrElse(3)))
     } else None,
+    payloadDedupRegistry = if (n.path("payload_dedup_registry").isObject) {
+      val pr = n.path("payload_dedup_registry")
+      Some(PayloadDedupRegistryDef(
+        idField = str(pr.path("id_field")).getOrElse(sys.error("payload_dedup_registry missing id_field")),
+        payloadField = str(pr.path("payload_field")).getOrElse(sys.error("payload_dedup_registry missing payload_field")),
+        historyPath = str(pr.path("history_path")).getOrElse(sys.error("payload_dedup_registry missing history_path")),
+        historyFormat = str(pr.path("history_format")).getOrElse("parquet"),
+        historyIdField = str(pr.path("history_id_field"))
+          .orElse(str(pr.path("id_field"))).getOrElse(sys.error("payload_dedup_registry missing id fields")),
+        historyPayloadField = str(pr.path("history_payload_field"))
+          .orElse(str(pr.path("payload_field"))).getOrElse(sys.error("payload_dedup_registry missing payload fields")),
+        maxHamming = int(pr.path("max_hamming")).getOrElse(3)))
+    } else None,
+    crossModalDedup = if (n.path("crossmodal_dedup").isObject) {
+      val xm = n.path("crossmodal_dedup")
+      Some(CrossModalDedupDef(
+        idField = str(xm.path("id_field")).getOrElse(sys.error("crossmodal_dedup missing id_field")),
+        textField = str(xm.path("text_field")).getOrElse(sys.error("crossmodal_dedup missing text_field")),
+        payloadField = str(xm.path("payload_field")).getOrElse(sys.error("crossmodal_dedup missing payload_field")),
+        maxHamming = int(xm.path("max_hamming")).getOrElse(3)))
+    } else None,
     decontaminate = if (n.path("decontaminate").isObject) {
       val dc = n.path("decontaminate")
       Some(DecontaminateDef(

@@ -127,6 +127,20 @@ final case class TransformDef(
       * whose records carry base text can exercise the path end-to-end;
       * a BinaryType field rides as-is. */
     payloadDedup: Option[PayloadDedupDef] = None,
+    /** LLM-extension: incremental multimodal near-dedup against a
+      * historical MEDIA registry loaded from a path — "dedup today's
+      * crawl against the media store" as a declarative pipeline stage
+      * (LM6; see MultimodalOps.payloadIncrementalNearDup). The probe
+      * join is new-batch-sized; recall is pigeonhole-exact, every
+      * collision popcount-verified. */
+    payloadDedupRegistry: Option[PayloadDedupRegistryDef] = None,
+    /** LLM-extension: cross-modal canonicalization — the UNION of the
+      * text SimHash near-dup graph and the payload perceptual near-dup
+      * graph, connected components keep each component's min id (see
+      * MultimodalOps.crossModalDupGroups). Collapses text-identical
+      * pages carrying different media AND media-identical posts with
+      * paraphrased captions in one stage. */
+    crossModalDedup: Option[CrossModalDedupDef] = None,
     /** LLM-extension: drop docs contaminated by an eval-set registry
       * (n-gram overlap screen + winnowing containment verify). */
     decontaminate: Option[DecontaminateDef] = None,
@@ -238,6 +252,33 @@ final case class WinnowDedupDef(
   * media bytes). */
 final case class PayloadDedupDef(
     idField: String,
+    payloadField: String,
+    maxHamming: Int = 3)
+
+/** LLM-extension: incremental multimodal near-dedup against a media
+  * registry at `historyPath` — the new batch's perceptual fingerprints
+  * probe the historical (band, slice) space; a new payload within
+  * `maxHamming` of ANY historical payload drops (exact recall: bands >
+  * maxHamming, so a true near-dup always shares a whole band; every
+  * collision is popcount-verified before dropping). History field
+  * names default to the batch-side names. `payloadField` may be
+  * BinaryType or StringType (UTF-8-encoded stand-in), independently
+  * per side. */
+final case class PayloadDedupRegistryDef(
+    idField: String,
+    payloadField: String,
+    historyPath: String,
+    historyFormat: String = "parquet",
+    historyIdField: String,
+    historyPayloadField: String,
+    maxHamming: Int = 3)
+
+/** LLM-extension: cross-modal duplicate canonicalization — text
+  * SimHash edges ∪ payload perceptual edges → one connected-components
+  * pass; each component keeps its minimum id. */
+final case class CrossModalDedupDef(
+    idField: String,
+    textField: String,
     payloadField: String,
     maxHamming: Int = 3)
 

@@ -211,7 +211,7 @@ object TomlConfig {
 
   /** Curation-extension tables (graft-specific, same keys as the JSON
     * front-end): `[pipelines.transform.near_dedup]`, `winnow_dedup`,
-    * `payload_dedup`,
+    * `payload_dedup`, `payload_dedup_registry`, `crossmodal_dedup`,
     * `decontaminate`, `strip_dup_spans`, `near_dedup_registry`,
     * `lang_filter`, `quality_filter`, `classifier_filter`,
     * `classifier_train`, `lm_filter`, `gopher_filter`, `c4_clean`, `dsir_select`,
@@ -222,6 +222,8 @@ object TomlConfig {
     val nd = tbl(n.get("near_dedup"))
     val wd = tbl(n.get("winnow_dedup"))
     val pd = tbl(n.get("payload_dedup"))
+    val pr = tbl(n.get("payload_dedup_registry"))
+    val xm = tbl(n.get("crossmodal_dedup"))
     val dc = tbl(n.get("decontaminate"))
     val sd = tbl(n.get("strip_dup_spans"))
     val nr = tbl(n.get("near_dedup_registry"))
@@ -265,6 +267,25 @@ object TomlConfig {
           idField = str(pd.get("id_field")).getOrElse(sys.error("payload_dedup missing id_field")),
           payloadField = str(pd.get("payload_field")).getOrElse(sys.error("payload_dedup missing payload_field")),
           maxHamming = long(pd.get("max_hamming")).getOrElse(3L).toInt)),
+      payloadDedupRegistry =
+        if (!declared("payload_dedup_registry", pr)) None
+        else Some(PayloadDedupRegistryDef(
+          idField = str(pr.get("id_field")).getOrElse(sys.error("payload_dedup_registry missing id_field")),
+          payloadField = str(pr.get("payload_field")).getOrElse(sys.error("payload_dedup_registry missing payload_field")),
+          historyPath = str(pr.get("history_path")).getOrElse(sys.error("payload_dedup_registry missing history_path")),
+          historyFormat = str(pr.get("history_format")).getOrElse("parquet"),
+          historyIdField = str(pr.get("history_id_field"))
+            .orElse(str(pr.get("id_field"))).getOrElse(sys.error("payload_dedup_registry missing id fields")),
+          historyPayloadField = str(pr.get("history_payload_field"))
+            .orElse(str(pr.get("payload_field"))).getOrElse(sys.error("payload_dedup_registry missing payload fields")),
+          maxHamming = long(pr.get("max_hamming")).getOrElse(3L).toInt)),
+      crossModalDedup =
+        if (!declared("crossmodal_dedup", xm)) None
+        else Some(CrossModalDedupDef(
+          idField = str(xm.get("id_field")).getOrElse(sys.error("crossmodal_dedup missing id_field")),
+          textField = str(xm.get("text_field")).getOrElse(sys.error("crossmodal_dedup missing text_field")),
+          payloadField = str(xm.get("payload_field")).getOrElse(sys.error("crossmodal_dedup missing payload_field")),
+          maxHamming = long(xm.get("max_hamming")).getOrElse(3L).toInt)),
       decontaminate =
         if (!declared("decontaminate", dc)) None
         else Some(DecontaminateDef(

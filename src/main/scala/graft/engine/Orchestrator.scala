@@ -521,6 +521,42 @@ object Orchestrator {
         .select(pd.idField)
       df = df.join(keepers, Seq(pd.idField), "left_semi")
     }
+    t.payloadDedupRegistry.foreach { pr =>
+      // "dedup today's crawl against the media registry": probe the
+      // historical (band, slice) space with the NEW batch only —
+      // history is never re-paired against itself
+      def asPayload(frame: DataFrame, field: String): org.apache.spark.sql.Column =
+        if (frame.schema(field).dataType ==
+              org.apache.spark.sql.types.BinaryType) col(field)
+        else graft.operators.MultimodalOps.withPayload(col(field))
+      val hist0 = spark.read.format(pr.historyFormat)
+        .options(if (pr.historyFormat == "csv") Map("header" -> "true")
+                 else Map.empty[String, String])
+        .load(pr.historyPath)
+      val hist = hist0
+        .select(col(pr.historyIdField).as(pr.idField),
+          asPayload(hist0, pr.historyPayloadField).as("__payload"))
+      val src = df.withColumn("__payload", asPayload(df, pr.payloadField))
+      df = graft.operators.MultimodalOps.payloadIncrementalNearDup(
+        src, hist, pr.idField, "__payload", pr.maxHamming)
+        .drop("__payload")
+    }
+    t.crossModalDedup.foreach { xm =>
+      // cross-modal canonicalization: text SimHash edges ∪ payload
+      // perceptual edges → one CC pass, keep each component's min id
+      val isBinary = df.schema(xm.payloadField).dataType ==
+        org.apache.spark.sql.types.BinaryType
+      val payload =
+        if (isBinary) col(xm.payloadField)
+        else graft.operators.MultimodalOps.withPayload(col(xm.payloadField))
+      val src = df.withColumn("__payload", payload)
+      val groups = graft.operators.MultimodalOps.crossModalDupGroups(
+        src, xm.idField, xm.textField, "__payload", xm.maxHamming)
+      val keepers = groups
+        .filter(col(xm.idField) === col("canonical_id"))
+        .select(xm.idField)
+      df = df.join(keepers, Seq(xm.idField), "left_semi")
+    }
     t.decontaminate.foreach { dc =>
       val bench = spark.read.format(dc.benchFormat)
         .options(if (dc.benchFormat == "csv") Map("header" -> "true")

@@ -338,6 +338,67 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L)) // 2 and 3 collapse into cluster of 1
   }
 
+  test("payload_dedup_registry transform drops new payloads " +
+    "near-duplicating the media registry at history_path, keeps novel " +
+    "ones — history is never re-paired against itself") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"word${i * 7} chunk${i * 13}")
+      .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdr").toString
+    // the media registry: different field names than the batch side
+    Seq((100L, base))
+      .toDF("mid", "bytes").write.mode("overwrite").parquet(s"$dir/hist")
+    Seq(
+      (1L, base),           // verbatim repeat of a registry payload → dropped
+      (2L, base + " tail"), // perceptual near-dup of the registry → dropped
+      (3L, (1 to 40).map(i => s"zzz${i * 31} q${i * 3}").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("pdr"), Seq(
+      PipelineDef("pdr", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          payloadDedupRegistry = Some(PayloadDedupRegistryDef(
+            idField = "doc_id", payloadField = "text",
+            historyPath = s"$dir/hist",
+            historyIdField = "mid", historyPayloadField = "bytes"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val out = ctx.results("pdr").df.get
+    assert(out.columns.toSeq === Seq("doc_id", "text"),
+      "the probe helper column must not leak into the result")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(3L))
+  }
+
+  test("crossmodal_dedup transform canonicalizes across modalities: a " +
+    "text edge and a payload edge chain into ONE component keeping the " +
+    "min id; unlinked docs survive") {
+    import spark.implicits._
+    val textA = (1 to 40).map(i => s"alpha${i * 7} tok${i * 13}").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta${i * 11} kk${i * 5}").mkString(" ")
+    val textC = (1 to 40).map(i => s"gamma${i * 17} vv${i * 3}").mkString(" ")
+    val mediaM = (1 to 40).map(i => s"pix${i * 23} blk${i * 29}").mkString(" ")
+    val mediaN = (1 to 40).map(i => s"wav${i * 37} seg${i * 41}").mkString(" ")
+    val mediaP = (1 to 40).map(i => s"vid${i * 43} frm${i * 47}").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_xm").toString
+    Seq(
+      (1L, textA, mediaM), // text-identical to 2
+      (2L, textA, mediaN), // media-identical to 3 → chain {1,2,3}
+      (3L, textB, mediaN),
+      (4L, textC, mediaP)) // linked to nothing
+      .toDF("doc_id", "text", "media")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("xm"), Seq(
+      PipelineDef("xm", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          crossModalDedup = Some(CrossModalDedupDef(
+            idField = "doc_id", textField = "text",
+            payloadField = "media"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("xm").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 4L),
+      "the cross-modal chain 1-2-3 keeps only its min id; 4 is untouched")
+  }
+
   test("decontaminate transform drops docs containing eval-registry text, " +
     "keeps docs with only incidental word overlap") {
     import spark.implicits._

@@ -619,6 +619,7 @@ class TomlSpec extends AnyFunSuite {
 
   test("curation-extension tables parse from TOML with the same keys as " +
     "JSON: winnow_dedup, decontaminate, strip_dup_spans, " +
+    "payload_dedup_registry, crossmodal_dedup, " +
     "near_dedup_registry, lang_filter, quality_filter, sample") {
     val seq = TomlConfig.loadSequence(
       """[[pipelines]]
@@ -646,6 +647,17 @@ class TomlSpec extends AnyFunSuite {
         |id_field = "doc_id"
         |payload_field = "payload"
         |max_hamming = 2
+        |[pipelines.transform.payload_dedup_registry]
+        |id_field = "doc_id"
+        |payload_field = "payload"
+        |history_path = "/tmp/media_hist"
+        |history_id_field = "mid"
+        |history_payload_field = "bytes"
+        |max_hamming = 2
+        |[pipelines.transform.crossmodal_dedup]
+        |id_field = "doc_id"
+        |text_field = "text"
+        |payload_field = "payload"
         |[pipelines.transform.near_dedup_registry]
         |id_field = "doc_id"
         |text_field = "text"
@@ -719,6 +731,13 @@ class TomlSpec extends AnyFunSuite {
     assert(t.stripDupSpans.exists(s => s.gap == 16L && s.k == 8 && s.minFps == 2L))
     assert(t.payloadDedup.exists(p => p.idField == "doc_id"
       && p.payloadField == "payload" && p.maxHamming == 2))
+    assert(t.payloadDedupRegistry.exists(r =>
+      r.historyPath == "/tmp/media_hist" && r.historyIdField == "mid"
+      && r.historyPayloadField == "bytes" && r.maxHamming == 2
+      && r.historyFormat == "parquet"))
+    assert(t.crossModalDedup.exists(x => x.idField == "doc_id"
+      && x.textField == "text" && x.payloadField == "payload"
+      && x.maxHamming == 3))
     assert(t.nearDedupRegistry.exists(r => r.historyPath == "/tmp/hist"
       && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
     assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
