@@ -197,4 +197,107 @@ object ImageOps {
     LlmOps.bandedHammingPairs(codes, idCol, maxHamming, width, 60 / width,
       codeCol = "ahash60")
   }
+
+  /** Deterministic patch-statistics EMBEDDING over decoded pixels: the
+    * image splits into a `grid`×`grid` cell lattice (boundaries
+    * ⌊k·dim/grid⌋, every pixel in exactly one cell — the aHash60
+    * pooling, finer); each cell contributes three CONTRAST features,
+    * its per-channel (R, G, B) mean minus the whole image's channel
+    * mean. Dimensions: grid²·3 (default 4×4×3 = 48 ≤ the ANN stack's
+    * 64-dim default). Subtracting the image mean kills the DC
+    * component, so cosine over these vectors measures spatial color
+    * structure, not brightness — a global exposure shift moves every
+    * feature by ~0, and a flat single-color image becomes the zero
+    * vector (no structure to match; the ANN layer's nrm > 0 filter
+    * drops it). Cell means are approximately preserved by bilinear
+    * resize and lossy re-encode, which is exactly the robustness the
+    * 60-bit aHash lacks once enough threshold bits flip — this is the
+    * semantic-dedup slot of the image family (r16 verdict task #6).
+    * Deterministic across JVMs: integer channel sums (exact — sums ≤
+    * 255·2^31 < 2^53), one Double division per mean in fixed order,
+    * one Float rounding per feature. Undecodable payloads come back
+    * ok = false with a null embedding. */
+  def imageEmbedding(df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int = 4): DataFrame = {
+    require(grid >= 2 && grid <= 8, s"grid out of range: $grid")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ok", BooleanType),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          readImage(r.getAs[Array[Byte]](1)) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val cells = grid * grid
+              val sums = new Array[Long](cells * 3)
+              val counts = new Array[Long](cells)
+              var y = 0
+              while (y < h) {
+                val cy = math.min(grid - 1, y * grid / h)
+                var x = 0
+                while (x < w) {
+                  val cell = cy * grid + math.min(grid - 1, x * grid / w)
+                  val argb = img.getRGB(x, y)
+                  sums(cell * 3) += (argb >> 16) & 0xff
+                  sums(cell * 3 + 1) += (argb >> 8) & 0xff
+                  sums(cell * 3 + 2) += argb & 0xff
+                  counts(cell) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val totals = new Array[Long](3)
+              var k = 0
+              while (k < cells) {
+                totals(0) += sums(k * 3); totals(1) += sums(k * 3 + 1)
+                totals(2) += sums(k * 3 + 2); k += 1
+              }
+              val nPix = w.toLong * h
+              val emb = new Array[Float](cells * 3)
+              k = 0
+              while (k < cells) {
+                var c = 0
+                while (c < 3) {
+                  val cellMean =
+                    if (counts(k) == 0) totals(c).toDouble / nPix
+                    else sums(k * 3 + c).toDouble / counts(k)
+                  emb(k * 3 + c) =
+                    (cellMean - totals(c).toDouble / nPix).toFloat
+                  c += 1
+                }
+                k += 1
+              }
+              Row(id, true, emb.toSeq)
+            case None => Row(id, false, null)
+          }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** SEMANTIC image near-duplicate pairs: [[imageEmbedding]]'s contrast
+    * signature fed straight into the existing embedding ANN machinery
+    * ([[LlmOps.embedNearDupPairs]]: corpus-scaled banded hyperplane
+    * LSH candidates, exact-cosine verify, earliest-agreeing-band
+    * emission) — so the image family gets resize/recompress-robust
+    * dedup with the SAME 100 TB shape as text embeddings: bucketed
+    * candidate generation, never all-pairs, one decode pass (the
+    * eager-materialized persist inside embedNearDupPairs pins the
+    * coded vectors, so the self-join does not decode twice).
+    * Output: (keep_id, dup_id, cosine). `n` sizes the bucket space;
+    * defaults to one cheap row count of `df` (payload rows, NOT a
+    * decode pass). */
+  def imageSemanticNearDupPairs(df: DataFrame, idCol: String,
+      payloadCol: String, threshold: Double = 0.99, grid: Int = 4,
+      n: Long = -1L): DataFrame = {
+    val nn = if (n > 0) n else df.count()
+    val embs = imageEmbedding(df, idCol, payloadCol, grid)
+      .filter(col("ok"))
+      .select(col("id").as(idCol), col("embedding"))
+    LlmOps.embedNearDupPairs(embs, idCol, "embedding", threshold,
+      dims = grid * grid * 3, n = nn)
+  }
 }

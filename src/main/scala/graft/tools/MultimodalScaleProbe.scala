@@ -22,7 +22,11 @@ import org.apache.spark.sql.types._
   *    doc_id % (n/10) so ~10 docs share each image (planted exact
   *    duplicates, linear pair mass);
   *  - `img_pairs_sec` / `img_pairs`: `ImageOps.imageNearDupPairs`
-  *    over the same corpus.
+  *    over the same corpus;
+  *  - `img_semantic_sec` / `img_semantic_pairs` (r17):
+  *    `ImageOps.imageSemanticNearDupPairs` — the patch-statistics
+  *    embedding through the banded hyperplane LSH + exact-cosine
+  *    verify, same corpus.
   *
   * args: sfDir [sfDir2 ...]
   */
@@ -105,21 +109,31 @@ object MultimodalScaleProbe {
         .agg(sum(when(col("ok"), 1L).otherwise(0L))).head().getLong(0)
       def pairs = ImageOps.imageNearDupPairs(
         images, "doc_id", "img", n = n).count()
+      // r17: the semantic path (patch-statistics embedding → banded
+      // hyperplane LSH → exact cosine). Identical-seed images embed
+      // identically (cosine 1); distinct murmur fields are independent
+      // 48-dim noise (cosine ≈ 0) — planted pair mass stays linear.
+      def semPairs = ImageOps.imageSemanticNearDupPairs(
+        images, "doc_id", "img", threshold = 0.99, n = n).count()
       val (d1, decoded) = timed(decode)
       val (p1, nPairs) = timed(pairs)
+      val (s1, nSem) = timed(semPairs)
       val (d2, _) = timed(decode)
       val (p2, nPairs2) = timed(pairs)
+      val (s2, nSem2) = timed(semPairs)
       require(nPairs == nPairs2, s"non-deterministic image pairs at $dir")
+      require(nSem == nSem2, s"non-deterministic semantic pairs at $dir")
       images.unpersist(false)
       s"""{"dir":"$dir","n_docs":$n,"hist_n":$histN,""" +
         s""""incr_sec":${math.min(i1, i2)},"incr_kept":$kept,""" +
         s""""crossmodal_sec":${math.min(c1, c2)},"crossmodal_dups":$dups,""" +
         s""""img_gen_sec":$gen,""" +
         s""""img_decode_sec":${math.min(d1, d2)},"img_decoded":$decoded,""" +
-        s""""img_pairs_sec":${math.min(p1, p2)},"img_pairs":$nPairs}"""
+        s""""img_pairs_sec":${math.min(p1, p2)},"img_pairs":$nPairs,""" +
+        s""""img_semantic_sec":${math.min(s1, s2)},"img_semantic_pairs":$nSem}"""
     }
     println(
-      s"""{"probe":"multimodal_r16_scale","runs":[${runs.mkString(",")}]}""")
+      s"""{"probe":"multimodal_scale","runs":[${runs.mkString(",")}]}""")
     spark.stop()
   }
 }

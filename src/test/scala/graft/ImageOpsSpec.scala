@@ -121,6 +121,84 @@ class ImageOpsSpec extends AnyFunSuite {
       s"expected exactly the patched pair, got $pairs")
   }
 
+  test("imageEmbedding: the contrast signature is resize-robust (base " +
+    "vs bilinear half-size cosine ~1), orientation-discriminative, " +
+    "exposure-invariant in direction, and null for corrupt payloads") {
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    /** base shifted brighter by a constant — the DC kill must make
+      * this near-parallel to the original. */
+    def brightened(src: java.awt.image.BufferedImage, d: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until src.getHeight; x <- 0 until src.getWidth) {
+        val p = src.getRGB(x, y)
+        def ch(v: Int) = math.min(255, v + d)
+        img.setRGB(x, y, (ch((p >> 16) & 0xff) << 16) |
+          (ch((p >> 8) & 0xff) << 8) | ch(p & 0xff))
+      }
+      img
+    }
+    val base = gradient(64, 48, 0)
+    val resizedPng = ImageOps.resizeImages(
+      Seq(1L -> png(base)).toDF("doc_id", "payload"),
+      "doc_id", "payload", 32, 24)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val rows = Seq(
+      1L -> png(base),
+      2L -> resizedPng,                    // bilinear half-size
+      3L -> png(gradient(64, 48, 2)),      // other orientation
+      4L -> png(brightened(base, 40)),     // +40 exposure shift
+      5L -> "not an image".getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+    val embs = ImageOps.imageEmbedding(rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getSeq[Float](2)))).toMap
+    assert(!embs(5L)._1 && embs(5L)._2.isEmpty, "corrupt → ok=false, null")
+    assert(embs(1L)._2.get.length === 48, "4x4 grid x 3 channels")
+    val e = (k: Long) => embs(k)._2.get
+    assert(cosine(e(1L), e(2L)) > 0.995,
+      s"bilinear half-size must stay near-parallel: ${cosine(e(1L), e(2L))}")
+    assert(cosine(e(1L), e(4L)) > 0.99,
+      s"an exposure shift must not move the direction: ${cosine(e(1L), e(4L))}")
+    assert(cosine(e(1L), e(3L)) < 0.5,
+      s"orthogonal gradients must not match: ${cosine(e(1L), e(3L))}")
+  }
+
+  test("imageSemanticNearDupPairs: finds the resized and re-exposed " +
+    "variants of the base image (where aHash bit drift would), skips " +
+    "distinct orientations and corrupt payloads, and equals the " +
+    "embedNearDupPairs twin over the same embeddings") {
+    val base = gradient(64, 48, 0)
+    val resizedPng = ImageOps.resizeImages(
+      Seq(1L -> png(base)).toDF("doc_id", "payload"),
+      "doc_id", "payload", 32, 24)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val rows = Seq(
+      1L -> png(base),
+      2L -> resizedPng,
+      3L -> png(gradient(64, 48, 2)),
+      4L -> png(gradient(48, 64, 3)),
+      5L -> "corrupt".getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+    val pairs = ImageOps.imageSemanticNearDupPairs(
+      rows, "doc_id", "payload", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"exactly the base/resized pair: $pairs")
+    // twin: the same embeddings through embedNearDupPairs directly
+    val embs = ImageOps.imageEmbedding(rows, "doc_id", "payload")
+      .filter("ok").select(col("id").as("doc_id"), col("embedding"))
+    val twin = graft.operators.LlmOps.embedNearDupPairs(
+      embs, "doc_id", "embedding", threshold = 0.99, dims = 48, n = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twin === pairs, s"twin must agree: $twin vs $pairs")
+  }
+
   test("cmp128: the mean compare is exact in the >48-megapixel regime " +
     "where the old 64-bit cross-multiply silently overflowed (r16 " +
     "advice)") {
