@@ -1399,7 +1399,14 @@ object LlmOps {
   }
 
   /** Random-hyperplane LSH bucket id: bit h of the bucket = sign of the
-    * dot product with hyperplane h. One narrow pass, fully codegen'd.
+    * dot product with hyperplane h. One narrow pass, fully codegen'd —
+    * since r17 the NATIVE expression [[graft.functions.LshCode]] (one
+    * primitive loop per vector, weight table shared per geometry),
+    * bit-identical to [[lshBucketComposed]], the higher-order twin the
+    * DuckDB oracle replays (spec-pinned equal in LlmOpsSpec; the
+    * composed form paid planes·dims interpreted lambda calls per
+    * vector — the dominant cold cost of embedNearDupPairs' candidate
+    * generation at sf10).
     *
     * SCALE KNOB (measured, r8 sf10 probe): bucket count is 2^planes —
     * fixed — so in-bucket candidate volume is ∝ N²/2^planes; grow
@@ -1408,6 +1415,17 @@ object LlmOps {
     * embedNearDupPairs' runtime at identical output; [[autoPlanes]] is
     * that law as a default). */
   def lshBucket(vecCol: Column, planes: Int = 8, dims: Int = 64): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LshCode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vecCol),
+        planes, dims))
+
+  /** The composed higher-order form of [[lshBucket]] — every primitive
+    * replays verbatim in SQL, so this is the shape the DuckDB oracle
+    * CTEs mirror; kept as the verification twin of the native
+    * [[graft.functions.LshCode]] production path. */
+  private[graft] def lshBucketComposed(
+      vecCol: Column, planes: Int = 8, dims: Int = 64): Column =
     (0 until planes).map { h =>
       val d = foldSum(transform(sequence(lit(0), lit(dims - 1)),
         i => vecCol(i) * hp(lit(h.toLong * dims) + i)))
