@@ -27,6 +27,54 @@ object Bench {
           .agg(min("h")).collect()
       } catch { case _: Throwable => () }
     }
+    // Corpus provenance stamp (r17 judge task #3): row counts, a cheap
+    // content fingerprint, and the generation recipe ride IN every bench
+    // artifact so cross-round heavy-set comparisons self-adjudicate
+    // corpus drift vs code drift (the r17 chained-vs-one-step sf10
+    // incident skewed avg doc length 493 -> 570 chars and read 4.3x on
+    // token-level queries with IDENTICAL code — separating that from a
+    // regression burned a judge re-run). Computed before the timed
+    // section, so it doubles as a corpus-wide page-cache warmup.
+    val corpusJson = {
+      import org.apache.spark.sql.functions._
+      def tbl(name: String): Option[DataFrame] =
+        try {
+          val d = spark.read.parquet(s"$sfDir/$name.parquet"); d.schema; Some(d)
+        } catch { case _: Throwable => None }
+      // fingerprint = sum of polyhash mod 1e9+7: order-independent,
+      // bounded (< 9.2e18 up to ~9e9 rows — no ANSI sum overflow), and
+      // any content edit moves it with probability ~1 - 1e-9
+      def fp(c: org.apache.spark.sql.Column) =
+        sum(pmod(graft.operators.LlmOps.strHash(c), lit(1000000007L)))
+      val parts = Seq(
+        tbl("documents").map { d =>
+          val r = d.agg(count(lit(1)), fp(col("text")),
+            round(avg(length(col("text"))), 2)).collect()(0)
+          s""""documents":{"rows":${r.getLong(0)},"text_fp":${
+            if (r.isNullAt(1)) 0L else r.getLong(1)},"avg_text_len":${
+            if (r.isNullAt(2)) 0 else r.get(2)}}"""
+        },
+        tbl("embeddings").map { d =>
+          val r = d.agg(count(lit(1)),
+            fp(col("embedding").cast("string"))).collect()(0)
+          s""""embeddings":{"rows":${r.getLong(0)},"vec_fp":${
+            if (r.isNullAt(1)) 0L else r.getLong(1)}}"""
+        }) ++ Seq("lineitem", "orders", "events").map { t =>
+        tbl(t).map(d => s""""$t":{"rows":${d.count()}}""")
+      }
+      // ScaleData stamps generated corpora with _PROVENANCE.json (the
+      // recipe: src, factor, chain depth); embed it verbatim if present
+      // so a chained generation is visible in the bench artifact itself.
+      val prov = try {
+        val p = java.nio.file.Paths.get(sfDir, "_PROVENANCE.json")
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else "null"
+      } catch { case _: Throwable => "null" }
+      s""""corpus":{"tables":${parts.flatten.mkString("{", ",", "}")},""" +
+        s""""provenance":$prov}"""
+    }
     // Two timed passes per query, report the min: single-shot numbers on
     // a shared machine carry GC/scheduler noise that can double a
     // query's apparent cost; min-of-2 approximates steady state. Names
@@ -86,7 +134,9 @@ object Bench {
       "measures full CC; canary_start/canary_end are a fixed 3-query " +
       "triple timed before/after the corpus - end >> start means host " +
       "contention during the run, distrust the totals; 'passes' in the " +
-      "lossless twin has both raw pass times per query"
+      "lossless twin has both raw pass times per query; 'corpus' stamps " +
+      "row counts + content fingerprints + generation recipe so corpus " +
+      "drift is separable from code drift across rounds"
     def cjson(c: Seq[(String, Double)]) = c.map { case (k, v) =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val canaries = s""""canary_start":${cjson(canaryStart)},""" +
@@ -94,7 +144,7 @@ object Bench {
     val passJson = passes.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(t => if (t._1) t._2 else -1.0)
         .mkString(",") + "]" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$canaries,"sf":"$sfDir","notes":"$notes"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$canaries,"sf":"$sfDir",$corpusJson,"notes":"$notes"}"""
     // The lossless twin additionally carries the raw per-pass times.
     val fullJson = json.dropRight(1) + s""","passes":$passJson}"""
     println(json)

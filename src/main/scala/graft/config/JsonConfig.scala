@@ -175,6 +175,23 @@ object JsonConfig {
         payloadField = str(xm.path("payload_field")).getOrElse(sys.error("crossmodal_dedup missing payload_field")),
         maxHamming = int(xm.path("max_hamming")).getOrElse(3)))
     } else None,
+    imageDedup = if (n.path("image_dedup").isObject) {
+      val im = n.path("image_dedup")
+      Some(ImageDedupDef(
+        idField = str(im.path("id_field")).getOrElse(sys.error("image_dedup missing id_field")),
+        payloadField = str(im.path("payload_field")).getOrElse(sys.error("image_dedup missing payload_field")),
+        maxHamming = int(im.path("max_hamming")).getOrElse(3)))
+    } else None,
+    imageSemanticDedup = if (n.path("image_semantic_dedup").isObject) {
+      val im = n.path("image_semantic_dedup")
+      Some(ImageSemanticDedupDef(
+        idField = str(im.path("id_field")).getOrElse(sys.error("image_semantic_dedup missing id_field")),
+        payloadField = str(im.path("payload_field")).getOrElse(sys.error("image_semantic_dedup missing payload_field")),
+        threshold =
+          if (im.path("threshold").isNumber) im.path("threshold").asDouble()
+          else 0.99,
+        grid = int(im.path("grid")).getOrElse(4)))
+    } else None,
     decontaminate = if (n.path("decontaminate").isObject) {
       val dc = n.path("decontaminate")
       Some(DecontaminateDef(

@@ -141,6 +141,20 @@ final case class TransformDef(
       * pages carrying different media AND media-identical posts with
       * paraphrased captions in one stage. */
     crossModalDedup: Option[CrossModalDedupDef] = None,
+    /** LLM-extension: perceptual IMAGE near-dedup (LM8) — real JDK
+      * decode, 60-bit aHash over decoded pixels, corpus-scaled banded
+      * Hamming search, CC keep-min. `payloadField` must carry real
+      * encoded image bytes (BinaryType; a StringType field UTF-8-
+      * encodes first, and bytes that don't decode as an image simply
+      * produce no pairs — undecodable rows always survive: no
+      * perceptual information is no evidence of duplication). */
+    imageDedup: Option[ImageDedupDef] = None,
+    /** LLM-extension: SEMANTIC image near-dedup (LM9) — the grid-cell
+      * contrast embedding (`ImageOps.imageEmbedding`, DC-killed so
+      * exposure shifts don't pair) through the banded hyperplane-LSH +
+      * exact-cosine ANN stack; robust to resize/re-encode where aHash
+      * bit drift fails. Same keep-min canonicalization. */
+    imageSemanticDedup: Option[ImageSemanticDedupDef] = None,
     /** LLM-extension: drop docs contaminated by an eval-set registry
       * (n-gram overlap screen + winnowing containment verify). */
     decontaminate: Option[DecontaminateDef] = None,
@@ -281,6 +295,25 @@ final case class CrossModalDedupDef(
     textField: String,
     payloadField: String,
     maxHamming: Int = 3)
+
+/** LLM-extension: perceptual image near-dedup — decode, aHash60,
+  * banded Hamming pairs within `maxHamming`, keep each CC component's
+  * min id (see ImageOps.imageNearDupPairs). */
+final case class ImageDedupDef(
+    idField: String,
+    payloadField: String,
+    maxHamming: Int = 3)
+
+/** LLM-extension: semantic image near-dedup — grid-cell contrast
+  * embedding into banded hyperplane LSH + exact-cosine verify at
+  * `threshold`, keep each CC component's min id (see
+  * ImageOps.imageSemanticNearDupPairs). `grid` sets the embedding
+  * lattice (grid²·3 dims). */
+final case class ImageSemanticDedupDef(
+    idField: String,
+    payloadField: String,
+    threshold: Double = 0.99,
+    grid: Int = 4)
 
 /** LLM-extension: eval-set decontamination inside a pipeline's
   * transform — documents sharing ≥ minOverlapNgrams distinct word

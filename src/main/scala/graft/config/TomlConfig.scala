@@ -224,6 +224,8 @@ object TomlConfig {
     val pd = tbl(n.get("payload_dedup"))
     val pr = tbl(n.get("payload_dedup_registry"))
     val xm = tbl(n.get("crossmodal_dedup"))
+    val imd = tbl(n.get("image_dedup"))
+    val isd = tbl(n.get("image_semantic_dedup"))
     val dc = tbl(n.get("decontaminate"))
     val sd = tbl(n.get("strip_dup_spans"))
     val nr = tbl(n.get("near_dedup_registry"))
@@ -286,6 +288,19 @@ object TomlConfig {
           textField = str(xm.get("text_field")).getOrElse(sys.error("crossmodal_dedup missing text_field")),
           payloadField = str(xm.get("payload_field")).getOrElse(sys.error("crossmodal_dedup missing payload_field")),
           maxHamming = long(xm.get("max_hamming")).getOrElse(3L).toInt)),
+      imageDedup =
+        if (!declared("image_dedup", imd)) None
+        else Some(ImageDedupDef(
+          idField = str(imd.get("id_field")).getOrElse(sys.error("image_dedup missing id_field")),
+          payloadField = str(imd.get("payload_field")).getOrElse(sys.error("image_dedup missing payload_field")),
+          maxHamming = long(imd.get("max_hamming")).getOrElse(3L).toInt)),
+      imageSemanticDedup =
+        if (!declared("image_semantic_dedup", isd)) None
+        else Some(ImageSemanticDedupDef(
+          idField = str(isd.get("id_field")).getOrElse(sys.error("image_semantic_dedup missing id_field")),
+          payloadField = str(isd.get("payload_field")).getOrElse(sys.error("image_semantic_dedup missing payload_field")),
+          threshold = dbl(isd.get("threshold")).getOrElse(0.99),
+          grid = long(isd.get("grid")).getOrElse(4L).toInt)),
       decontaminate =
         if (!declared("decontaminate", dc)) None
         else Some(DecontaminateDef(

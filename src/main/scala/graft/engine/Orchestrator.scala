@@ -557,6 +557,44 @@ object Orchestrator {
         .select(xm.idField)
       df = df.join(keepers, Seq(xm.idField), "left_semi")
     }
+    t.imageDedup.foreach { im =>
+      // perceptual image dedup: decode → aHash60 → banded Hamming
+      // pairs → CC keep-min. Bytes that don't decode as an image get
+      // no code and therefore no pairs — they are their own singleton
+      // component and always survive (no perceptual information is no
+      // evidence of duplication).
+      val src = df.withColumn("__payload",
+        if (df.schema(im.payloadField).dataType ==
+              org.apache.spark.sql.types.BinaryType) col(im.payloadField)
+        else graft.operators.MultimodalOps.withPayload(col(im.payloadField)))
+      val pairs = graft.operators.ImageOps
+        .imageNearDupPairs(src, im.idField, "__payload", im.maxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      val groups = graft.operators.LlmOps.dedupGroups(df, im.idField, pairs)
+      val keepers = groups
+        .filter(col(im.idField) === col("canonical_id"))
+        .select(im.idField)
+      df = df.join(keepers, Seq(im.idField), "left_semi")
+    }
+    t.imageSemanticDedup.foreach { im =>
+      // semantic image dedup: grid-cell contrast embedding through the
+      // banded hyperplane-LSH + exact-cosine ANN stack — pairs resize/
+      // re-encoded variants whose aHash bits drifted apart. Keep-min
+      // canonical like every other dedup stage.
+      val src = df.withColumn("__payload",
+        if (df.schema(im.payloadField).dataType ==
+              org.apache.spark.sql.types.BinaryType) col(im.payloadField)
+        else graft.operators.MultimodalOps.withPayload(col(im.payloadField)))
+      val pairs = graft.operators.ImageOps
+        .imageSemanticNearDupPairs(src, im.idField, "__payload",
+          im.threshold, im.grid)
+        .select(col("keep_id").as("doc_a"), col("dup_id").as("doc_b"))
+      val groups = graft.operators.LlmOps.dedupGroups(df, im.idField, pairs)
+      val keepers = groups
+        .filter(col(im.idField) === col("canonical_id"))
+        .select(im.idField)
+      df = df.join(keepers, Seq(im.idField), "left_semi")
+    }
     t.decontaminate.foreach { dc =>
       val bench = spark.read.format(dc.benchFormat)
         .options(if (dc.benchFormat == "csv") Map("header" -> "true")

@@ -21,13 +21,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * is unchanged. Null semantics mirror the composed form: a null array
   * or any null element in the first `dims` slots nulls every per-plane
   * sum, and the composed `when(d > 0, bit).otherwise(0)` folds each
-  * null to 0 — so the code is 0L, never null (`nullable = false`). ONE
-  * deliberate divergence (spec-pinned): an array SHORTER than `dims`
-  * also folds to 0L here, where the composed form hard-errors under
-  * ANSI array indexing — a malformed embedding must not kill a 100 TB
-  * job, and a 0L code only routes the row to bucket 0, where the
-  * downstream exact verify (cosine / popcount) keeps the output set
-  * unaffected.
+  * null to 0 — so the code is 0L, never null (`nullable = false`).
+  * Non-finite sums follow Spark SQL's comparison semantics (which
+  * DuckDB's float comparisons share): NaN orders GREATER than every
+  * double, so a NaN plane-sum sets its bit exactly as the composed
+  * `when(d > 0, …)` does — a NaN-bearing embedding (which passes the
+  * upstream `nrm > 0` filter under those same semantics) gets the SAME
+  * bucket id on all three paths (native, composed, oracle);
+  * spec-pinned. ONE deliberate divergence (spec-pinned): an array
+  * SHORTER than `dims` folds to 0L here, where the composed form
+  * hard-errors under ANSI array indexing — a malformed embedding must
+  * not kill a 100 TB job, and a 0L code only routes the row to bucket
+  * 0, where the downstream exact verify (cosine / popcount) keeps the
+  * output set unaffected.
   *
   * Why it exists: the composed form evaluates planes·dims interpreted
   * lambda calls per vector (a `transform` + `aggregate` pair per
@@ -116,7 +122,11 @@ object LshCode {
         acc += a.getDouble(k) * w(base + k)
         k += 1
       }
-      if (acc > 0) out |= 1L << h
+      // Spark SQL (and DuckDB) order NaN greater than every double, so
+      // the composed when(d > 0, …) sets the bit for a NaN sum; Java's
+      // acc > 0 alone would clear it — match the SQL semantics so the
+      // bit-identity contract holds for non-finite inputs too.
+      if (acc > 0 || java.lang.Double.isNaN(acc)) out |= 1L << h
       h += 1
     }
     out

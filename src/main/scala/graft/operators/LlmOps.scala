@@ -1585,6 +1585,13 @@ object LlmOps {
         } else {
           misses += 1
           if (misses >= 64) {
+            // r17 advice: say so — an abandoned-then-consumed result
+            // recomputes the hyperplane pass on BOTH self-join sides
+            // (a silent 2-3x cliff); a warning makes that diagnosable.
+            log.warn("embedNearDupPairs: released the coded-vector " +
+              "cache via the 64-miss abandonment valve, not a " +
+              "consuming action; if this result is executed later it " +
+              "will recompute the hyperplane codes on both join sides")
             v.unpersist(false)
             spark.listenerManager.unregister(this)
           }

@@ -22,7 +22,19 @@ final case class PayloadProbe(
   * whole-bucket idle timeout alone never fires under steady traffic
   * (r16 advice — unbounded growth), so [[Streams.payloadDupUpdate]]
   * additionally drops entries older than watermark − TTL on every
-  * invocation, keeping state bounded AND the recency contract honest. */
+  * invocation, keeping state bounded AND the recency contract honest.
+  *
+  * STATE SCHEMA v2 (r17) — CHECKPOINT COMPATIBILITY: widening each
+  * entry from (doc_id, code) to (doc_id, code, event_time_ms) changed
+  * the flatMapGroupsWithState state-encoder schema. A restart of this
+  * query from a checkpoint written by the v1 (pre-r17) schema is NOT
+  * supported: Spark's state store will fail the restart with a state
+  * (de)serialization/row-format error rather than silently misreading
+  * old rows — treat that error as "schema changed", start the query
+  * with a FRESH checkpoint directory, and let the batch registry (LM6)
+  * re-seed deep history; only the in-flight recency window is lost.
+  * The kill-and-restart test (`StreamingSpec`) proves v2→v2 restarts;
+  * v1→v2 is deliberately a hard error, recorded here. */
 final case class BucketCodes(codes: List[(Long, Long, Long)])
 /** A verified near-dup hit: `doc_id` arrived at or after `dup_of`. */
 final case class PayloadDupHit(doc_id: Long, dup_of: Long, hamming: Int)

@@ -159,6 +159,29 @@ object ScaleData {
       .getOrCreate()
     try scale(spark, srcDir, outDir, factor, only)
     finally spark.stop()
+    // Recipe stamp (r17 judge task #3): a CHAINED generation (scaling an
+    // already-scaled corpus) stacks the replica word-suffix and skews
+    // token-level statistics (avg doc length 493 -> 570 chars at sf10,
+    // 4.3x on llm_gopher_rep with identical code) — record src/factor
+    // and the parent's stamp so every downstream bench artifact can tell
+    // one-step from chained without a control run. chain_depth 1 =
+    // one-step from a driver-generated corpus.
+    try {
+      val parentPath = java.nio.file.Paths.get(srcDir, "_PROVENANCE.json")
+      val parent =
+        if (java.nio.file.Files.exists(parentPath))
+          new String(java.nio.file.Files.readAllBytes(parentPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else "null"
+      val depth = 1 + "\"chain_depth\":(\\d+)".r
+        .findFirstMatchIn(parent).map(_.group(1).toInt).getOrElse(0)
+      val stamp = s"""{"recipe":"graft.tools.ScaleData","src":"$srcDir",""" +
+        s""""factor":$factor,"chain_depth":$depth,"parent":$parent}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "_PROVENANCE.json"),
+        (stamp + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[scaledata] could not stamp provenance: $e") }
     println(s"[scaledata] wrote $outDir at factor $factor from $srcDir")
   }
 }

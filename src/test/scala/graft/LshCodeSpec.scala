@@ -58,6 +58,39 @@ class LshCodeSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN plane-sums set the bit exactly like the composed form " +
+    "(Spark SQL and DuckDB order NaN greater than every double, so " +
+    "when(d > 0) is TRUE for a NaN sum) — native matches, pinned so " +
+    "the bit-identity contract covers non-finite inputs") {
+    val dims = 8
+    // one NaN element poisons every plane-sum to NaN; one Infinity
+    // element drives sums to ±Inf (weight-sign dependent); a -Inf/+Inf
+    // mix can cancel to NaN. All must agree native-vs-composed.
+    val vecs = Seq(
+      Seq(Double.NaN) ++ Seq.fill(dims - 1)(1.0),
+      Seq(Double.PositiveInfinity) ++ Seq.fill(dims - 1)(1.0),
+      Seq(Double.NegativeInfinity) ++ Seq.fill(dims - 1)(1.0),
+      Seq(Double.NegativeInfinity, Double.PositiveInfinity) ++
+        Seq.fill(dims - 2)(1.0))
+    val df = vecs.toDF("e")
+    for (planes <- Seq(1, 8, 62)) {
+      val rows = df.select(
+        LlmOps.lshBucket(col("e"), planes, dims).as("native"),
+        LlmOps.lshBucketComposed(col("e"), planes, dims).as("composed"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) === r.getLong(1),
+          s"planes=$planes non-finite row $i: native ${r.getLong(0)} " +
+            s"!= composed ${r.getLong(1)}")
+      }
+    }
+    // and the all-NaN vector sets EVERY bit (NaN > 0 under SQL
+    // semantics), pinning the direction of the agreement
+    val allNaN = Seq(Seq.fill(dims)(Double.NaN)).toDF("e")
+      .select(LlmOps.lshBucket(col("e"), 8, dims)).collect()
+    assert(allNaN(0).getLong(0) === 255L)
+  }
+
   test("stays inside WholeStageCodegen (no interpreted fallback)") {
     val q = spark.range(64)
       .select(array((0 until 8).map(i =>

@@ -399,6 +399,85 @@ class OrchestratorSpec extends AnyFunSuite {
       "the cross-modal chain 1-2-3 keeps only its min id; 4 is untouched")
   }
 
+  /** Small deterministic test image (the ImageOpsSpec fixture). */
+  private def testGradient(w: Int, h: Int, dir: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = dir match {
+        case 0 => x * 255 / math.max(1, w - 1)
+        case 2 => y * 255 / math.max(1, h - 1)
+        case _ => 255 - y * 255 / math.max(1, h - 1)
+      }
+      img.setRGB(x, y, (t << 16) | (t << 8) | t)
+    }
+    img
+  }
+  private def testPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image_dedup transform drops perceptual image near-dups over real " +
+    "decoded pixels, keeps distinct images AND undecodable payloads " +
+    "(no perceptual information is no evidence of duplication)") {
+    import spark.implicits._
+    val base = testGradient(64, 64, 0)
+    val patched = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try g.drawImage(base, 0, 0, null) finally g.dispose()
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0)
+      img
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_imd").toString
+    Seq(
+      (1L, testPng(base)),
+      (2L, testPng(patched)),            // perceptual near-dup of 1
+      (3L, testPng(testGradient(64, 64, 2))), // distinct orientation
+      (4L, "not an image".getBytes("UTF-8"))) // undecodable: survives
+      .toDF("doc_id", "img").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("imd"), Seq(
+      PipelineDef("imd", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          imageDedup = Some(ImageDedupDef("doc_id", "img"))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("imd").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L),
+      "2 collapses into 1; the distinct image and the undecodable row survive")
+  }
+
+  test("image_semantic_dedup transform drops the RESIZED variant (where " +
+    "aHash bit drift can fail) via the grid-contrast embedding + " +
+    "banded-LSH + exact-cosine stack, keeping min id per cluster") {
+    import spark.implicits._
+    val base = testGradient(64, 48, 0)
+    val resizedPng = graft.operators.ImageOps.resizeImages(
+      Seq(1L -> testPng(base)).toDF("doc_id", "img"),
+      "doc_id", "img", 32, 24)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_isd").toString
+    Seq(
+      (1L, testPng(base)),
+      (2L, resizedPng),                        // semantic near-dup of 1
+      (3L, testPng(testGradient(64, 48, 2))),  // distinct orientation
+      (4L, "corrupt".getBytes("UTF-8")))       // undecodable: survives
+      .toDF("doc_id", "img").write.mode("overwrite").parquet(s"$dir/docs")
+    val seq = SequenceDef("s", Seq("isd"), Seq(
+      PipelineDef("isd", FileSource(s"$dir/docs"),
+        transform = TransformDef(addProcessedFlags = false,
+          imageSemanticDedup = Some(ImageSemanticDedupDef(
+            "doc_id", "img", threshold = 0.99))))))
+    val ctx = Orchestrator.execute(spark, seq, unpersistOnEnd = false)
+    val kept = ctx.results("isd").df.get.select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L),
+      "the resized variant collapses into its source; others survive")
+  }
+
   test("decontaminate transform drops docs containing eval-registry text, " +
     "keeps docs with only incidental word overlap") {
     import spark.implicits._

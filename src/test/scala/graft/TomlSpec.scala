@@ -619,8 +619,9 @@ class TomlSpec extends AnyFunSuite {
 
   test("curation-extension tables parse from TOML with the same keys as " +
     "JSON: winnow_dedup, decontaminate, strip_dup_spans, " +
-    "payload_dedup_registry, crossmodal_dedup, " +
-    "near_dedup_registry, lang_filter, quality_filter, sample") {
+    "payload_dedup_registry, crossmodal_dedup, image_dedup, " +
+    "image_semantic_dedup, near_dedup_registry, lang_filter, " +
+    "quality_filter, sample") {
     val seq = TomlConfig.loadSequence(
       """[[pipelines]]
         |name = "curate"
@@ -658,6 +659,15 @@ class TomlSpec extends AnyFunSuite {
         |id_field = "doc_id"
         |text_field = "text"
         |payload_field = "payload"
+        |[pipelines.transform.image_dedup]
+        |id_field = "doc_id"
+        |payload_field = "img"
+        |max_hamming = 2
+        |[pipelines.transform.image_semantic_dedup]
+        |id_field = "doc_id"
+        |payload_field = "img"
+        |threshold = 0.97
+        |grid = 5
         |[pipelines.transform.near_dedup_registry]
         |id_field = "doc_id"
         |text_field = "text"
@@ -738,6 +748,10 @@ class TomlSpec extends AnyFunSuite {
     assert(t.crossModalDedup.exists(x => x.idField == "doc_id"
       && x.textField == "text" && x.payloadField == "payload"
       && x.maxHamming == 3))
+    assert(t.imageDedup.exists(i => i.idField == "doc_id"
+      && i.payloadField == "img" && i.maxHamming == 2))
+    assert(t.imageSemanticDedup.exists(i => i.idField == "doc_id"
+      && i.payloadField == "img" && i.threshold == 0.97 && i.grid == 5))
     assert(t.nearDedupRegistry.exists(r => r.historyPath == "/tmp/hist"
       && r.minJaccard == 0.7 && r.historyIdField == "doc_id"))
     assert(t.langFilter.exists(_.allowed == Seq("en", "de")))
@@ -768,6 +782,41 @@ class TomlSpec extends AnyFunSuite {
       && ep.mergesPath.isEmpty && ep.trainMerges == 4
       && ep.layout == "curriculum_range"
       && ep.diffField.contains("quality")))
+  }
+
+  test("image_dedup and image_semantic_dedup parse from the JSON " +
+    "front-end with the same keys as TOML") {
+    val seq = graft.config.JsonConfig.loadSequence(
+      """{"pipelines": [{
+        |  "name": "imgs",
+        |  "source": {"type": "file", "path": "/tmp/imgs"},
+        |  "transform": {
+        |    "image_dedup": {
+        |      "id_field": "doc_id", "payload_field": "img",
+        |      "max_hamming": 1},
+        |    "image_semantic_dedup": {
+        |      "id_field": "doc_id", "payload_field": "img",
+        |      "threshold": 0.95, "grid": 6}
+        |  }
+        |}]}""".stripMargin)
+    val t = seq.pipelines.head.transform
+    assert(t.imageDedup.exists(i => i.idField == "doc_id"
+      && i.payloadField == "img" && i.maxHamming == 1))
+    assert(t.imageSemanticDedup.exists(i => i.idField == "doc_id"
+      && i.payloadField == "img" && i.threshold == 0.95 && i.grid == 6))
+    // defaults: hamming 3, threshold 0.99, grid 4
+    val dflt = graft.config.JsonConfig.loadSequence(
+      """{"pipelines": [{
+        |  "name": "d",
+        |  "source": {"type": "file", "path": "/tmp/imgs"},
+        |  "transform": {
+        |    "image_dedup": {"id_field": "i", "payload_field": "p"},
+        |    "image_semantic_dedup": {"id_field": "i", "payload_field": "p"}
+        |  }
+        |}]}""".stripMargin).pipelines.head.transform
+    assert(dflt.imageDedup.exists(_.maxHamming == 3))
+    assert(dflt.imageSemanticDedup.exists(i =>
+      i.threshold == 0.99 && i.grid == 4))
   }
 
   test("a non-integral TOML float in an integer slot fails loud instead " +
