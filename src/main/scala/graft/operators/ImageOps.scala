@@ -300,4 +300,40 @@ object ImageOps {
     LlmOps.embedNearDupPairs(embs, idCol, "embedding", threshold,
       dims = grid * grid * 3, n = nn)
   }
+
+  /** IMAGE similarity SEARCH (top-k retrieval, r17 verdict task #5):
+    * "find the k images most similar to each probe image" —
+    * [[imageEmbedding]]'s contrast signature routed through the
+    * IVF ANN stack ([[LlmOps.annTopKIvf]]: broadcast centroid
+    * codebook, candidates scored ONLY within their home cell, per-probe
+    * top-k window — cost scales with cell occupancy, never n²).
+    * Completes the multimodal retrieval story next to the PAIR-dedup
+    * path ([[imageSemanticNearDupPairs]]): dedup asks "which images
+    * duplicate each other", this asks "what is nearest to THIS one".
+    *
+    * The embedding frame is pinned with an EAGER localCheckpoint
+    * before entering the ANN stack: annTopKIvf reads its input on the
+    * centroid, candidate, and probe sides, and each unpinned read
+    * would re-decode every image — the decode pass must run exactly
+    * once (the frame is narrow: grid²·3 floats per image). Undecodable
+    * payloads can't embed and so neither probe nor match — consistent
+    * with the dedup family's "no perceptual information" rule.
+    *
+    * `kCells`/`iters`/`nprobe` are the standard IVF knobs (see
+    * annTopKIvf); recall at 100 TB is tuned with nprobe, cost with
+    * kCells (≈ √n cells keeps occupancy ~√n). Not oracle-replayable
+    * (the JDK image codec has no DuckDB twin) — spec-pinned against
+    * the brute-force cosine ranking over the same embeddings instead,
+    * exactly like LM8/LM9. Output: (probe_id, cand_id, cell, cosine). */
+  def imageAnnTopK(df: DataFrame, idCol: String, payloadCol: String,
+      probeFilter: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      topK: Int, grid: Int = 4, kCells: Int = 8, iters: Int = 0,
+      nprobe: Int = 1): DataFrame = {
+    val embs = imageEmbedding(df, idCol, payloadCol, grid)
+      .filter(col("ok"))
+      .select(col("id").as(idCol), col("embedding"))
+      .localCheckpoint(true) // one decode pass, lineage cut
+    LlmOps.annTopKIvf(embs, idCol, "embedding", probeFilter, topK,
+      kCells, iters, nprobe, dims = grid * grid * 3)
+  }
 }

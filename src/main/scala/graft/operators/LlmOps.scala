@@ -1712,8 +1712,8 @@ object LlmOps {
   def annTopKIvf(
       vecs: DataFrame, idCol: String, vecCol: String,
       probeFilter: Column => Column, topK: Int, k: Int = 8,
-      iters: Int = 0, nprobe: Int = 1): DataFrame = {
-    val ranked = ivfRanked(vecs, idCol, vecCol, k, iters)
+      iters: Int = 0, nprobe: Int = 1, dims: Int = 64): DataFrame = {
+    val ranked = ivfRanked(vecs, idCol, vecCol, k, iters, dims)
     val cands = ranked.filter(col("__rn") === 1)
       .select(col("vid").as("cand_id"), col("e"), col("nrm"),
         col("cid").as("cell"))

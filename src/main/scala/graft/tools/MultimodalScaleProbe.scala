@@ -26,7 +26,10 @@ import org.apache.spark.sql.types._
   *  - `img_semantic_sec` / `img_semantic_pairs` (r17):
   *    `ImageOps.imageSemanticNearDupPairs` — the patch-statistics
   *    embedding through the banded hyperplane LSH + exact-cosine
-  *    verify, same corpus.
+  *    verify, same corpus;
+  *  - `img_ann_sec` / `img_ann_rows` (r18): `ImageOps.imageAnnTopK` —
+  *    image similarity SEARCH, ~1% of docs probing for their 5
+  *    nearest images through the IVF route (16 cells, nprobe 2).
   *
   * args: sfDir [sfDir2 ...]
   */
@@ -115,14 +118,22 @@ object MultimodalScaleProbe {
       // 48-dim noise (cosine ≈ 0) — planted pair mass stays linear.
       def semPairs = ImageOps.imageSemanticNearDupPairs(
         images, "doc_id", "img", threshold = 0.99, n = n).count()
+      // r18: image similarity SEARCH — ~1% of docs probe for their 5
+      // nearest images through the IVF route (16 cells, nprobe 2).
+      def annTopK = ImageOps.imageAnnTopK(
+        images, "doc_id", "img", id => id % 97 === 0, topK = 5,
+        kCells = 16, nprobe = 2).count()
       val (d1, decoded) = timed(decode)
       val (p1, nPairs) = timed(pairs)
       val (s1, nSem) = timed(semPairs)
+      val (a1, nAnn) = timed(annTopK)
       val (d2, _) = timed(decode)
       val (p2, nPairs2) = timed(pairs)
       val (s2, nSem2) = timed(semPairs)
+      val (a2, nAnn2) = timed(annTopK)
       require(nPairs == nPairs2, s"non-deterministic image pairs at $dir")
       require(nSem == nSem2, s"non-deterministic semantic pairs at $dir")
+      require(nAnn == nAnn2, s"non-deterministic image ann rows at $dir")
       images.unpersist(false)
       s"""{"dir":"$dir","n_docs":$n,"hist_n":$histN,""" +
         s""""incr_sec":${math.min(i1, i2)},"incr_kept":$kept,""" +
@@ -130,7 +141,8 @@ object MultimodalScaleProbe {
         s""""img_gen_sec":$gen,""" +
         s""""img_decode_sec":${math.min(d1, d2)},"img_decoded":$decoded,""" +
         s""""img_pairs_sec":${math.min(p1, p2)},"img_pairs":$nPairs,""" +
-        s""""img_semantic_sec":${math.min(s1, s2)},"img_semantic_pairs":$nSem}"""
+        s""""img_semantic_sec":${math.min(s1, s2)},"img_semantic_pairs":$nSem,""" +
+        s""""img_ann_sec":${math.min(a1, a2)},"img_ann_rows":$nAnn}"""
     }
     println(
       s"""{"probe":"multimodal_scale","runs":[${runs.mkString(",")}]}""")

@@ -199,6 +199,42 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(twin === pairs, s"twin must agree: $twin vs $pairs")
   }
 
+  test("imageAnnTopK: top-k image retrieval over the contrast " +
+    "embedding — the probe's nearest neighbor is its resized variant, " +
+    "the ranking matches the brute-force cosine twin at nprobe = " +
+    "kCells (exhaustive), and undecodable payloads neither probe nor " +
+    "match") {
+    val base = gradient(64, 48, 0)
+    val resizedPng = ImageOps.resizeImages(
+      Seq(1L -> png(base)).toDF("doc_id", "payload"),
+      "doc_id", "payload", 32, 24)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val rows = Seq(
+      1L -> png(base),
+      2L -> resizedPng,
+      3L -> png(gradient(64, 48, 2)),
+      4L -> png(gradient(48, 64, 3)),
+      5L -> "corrupt".getBytes("UTF-8"))
+      .toDF("doc_id", "payload")
+    // nprobe = kCells visits every cell → the IVF route is exhaustive
+    // and must equal brute force exactly
+    val ivf = ImageOps.imageAnnTopK(rows, "doc_id", "payload",
+      id => id === 1L, topK = 2, kCells = 2, nprobe = 2)
+      .select("probe_id", "cand_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.head._2 === 2L,
+      s"probe 1's nearest image must be its resized variant: ${ivf.toSeq}")
+    assert(!ivf.exists(t => t._1 == 5L || t._2 == 5L),
+      "undecodable payloads neither probe nor match")
+    val embs = ImageOps.imageEmbedding(rows, "doc_id", "payload")
+      .filter("ok").select(col("id").as("doc_id"), col("embedding"))
+    val brute = graft.operators.LlmOps.cosineTopK(
+      embs, "doc_id", "embedding", col("doc_id") === 1L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.toSeq === brute.toSeq,
+      s"exhaustive IVF must equal brute force: ${ivf.toSeq} vs ${brute.toSeq}")
+  }
+
   test("cmp128: the mean compare is exact in the >48-megapixel regime " +
     "where the old 64-bit cross-multiply silently overflowed (r16 " +
     "advice)") {
