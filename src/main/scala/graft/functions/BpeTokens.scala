@@ -37,23 +37,15 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe"
 
-  /** pair "a b" → 1-based rank in merge-list order (first = best). */
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + " " + b, Integer.valueOf(i + 1))
-    }
-    m
-  }
+  @transient private lazy val table = new BpeTokens.Table(merges)
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeTokens.encode(input.asInstanceOf[UTF8String], ranks)
+    table.encode(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
-      classOf[java.util.HashMap[String, Integer]].getName)
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeTokens.encode($c, $ranksRef)")
+    val tableRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTokens.Table].getName)
+    defineCodeGen(ctx, ev, c => s"$tableRef.encode($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =
@@ -134,29 +126,15 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "graft_bpe_ids"
 
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + " " + b, Integer.valueOf(i + 1))
-    }
-    m
-  }
-  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
-    vocab.foreach { case (s, i) => m.putIfAbsent(s, Integer.valueOf(i)) }
-    m
-  }
+  @transient private lazy val table = new BpeTokens.IdTable(merges, vocab)
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeTokens.encodeIds(input.asInstanceOf[UTF8String], ranks, ids)
+    table.encodeIds(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
-      classOf[java.util.HashMap[String, Integer]].getName)
-    val idsRef = ctx.addReferenceObj("bpeIds", ids,
-      classOf[java.util.HashMap[String, Integer]].getName)
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeTokens.encodeIds($c, $ranksRef, $idsRef)")
+    val tableRef = ctx.addReferenceObj("bpeIdTable", table,
+      classOf[BpeTokens.IdTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tableRef.encodeIds($c)")
   }
 
   override protected def withNewChildInternal(
@@ -164,6 +142,92 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
 }
 
 object BpeTokens {
+
+  /** Entries per (thread, table) in the word-segmentation memo: word
+    * frequency is Zipf, so a bounded LRU holds effectively the whole
+    * useful head (≤ a few MB/thread at typical word/token sizes). */
+  private val MemoCap = 1 << 16
+
+  private def newMemo[V](): java.util.LinkedHashMap[String, V] =
+    new java.util.LinkedHashMap[String, V](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = size() > MemoCap
+    }
+
+  /** One merge table + a PER-THREAD bounded LRU memo of word →
+    * segmentation (r18, CurriculumStageProbe-named fix): the merge
+    * loop is O(len²) hash probes with a string allocation per probe,
+    * and corpora repeat words with Zipf mass — a memo hit skips the
+    * loop entirely while returning the IDENTICAL (immutable, shared)
+    * array, so outputs are bit-equal to the unmemoized kernel by
+    * construction. The holder is the codegen reference object: one
+    * instance per task after deserialization, and the ThreadLocal
+    * makes even exotic instance sharing safe. Serializable because
+    * reference objects ship inside the serialized plan; the table and
+    * memo rebuild lazily on the executor. */
+  final class Table(merges: Seq[(String, String)]) extends Serializable {
+    @transient private lazy val ranks = buildRanks(merges)
+    @transient private lazy val memo:
+        ThreadLocal[java.util.LinkedHashMap[String, ArrayData]] =
+      ThreadLocal.withInitial(() => newMemo[ArrayData]())
+    def encode(word: UTF8String): ArrayData = {
+      val key = word.toString
+      val m = memo.get()
+      val hit = m.get(key)
+      if (hit != null) hit
+      else {
+        val r = encodeString(key, ranks)
+        m.put(key, r)
+        r
+      }
+    }
+  }
+
+  /** [[Table]]'s id-emitting twin: memoizes word → vocabulary-id array
+    * (the encode loop AND the symbol→id mapping in one hit). */
+  final class IdTable(merges: Seq[(String, String)],
+      vocab: Map[String, Int]) extends Serializable {
+    @transient private lazy val ranks = buildRanks(merges)
+    @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+      vocab.foreach { case (s, i) => m.putIfAbsent(s, Integer.valueOf(i)) }
+      m
+    }
+    @transient private lazy val memo:
+        ThreadLocal[java.util.LinkedHashMap[String, ArrayData]] =
+      ThreadLocal.withInitial(() => newMemo[ArrayData]())
+    def encodeIds(word: UTF8String): ArrayData = {
+      val key = word.toString
+      val m = memo.get()
+      val hit = m.get(key)
+      if (hit != null) hit
+      else {
+        val syms = encodeString(key, ranks)
+        val n = syms.numElements()
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val id = ids.get(syms.getUTF8String(i).toString)
+          out(i) = if (id == null) 0 else id.intValue()
+          i += 1
+        }
+        val r = new GenericArrayData(out)
+        m.put(key, r)
+        r
+      }
+    }
+  }
+
+  /** pair "a b" → 1-based rank in merge-list order (first = best). */
+  private def buildRanks(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i + 1))
+    }
+    m
+  }
+
   /** [[encode]] then map each symbol through the id table (absent →
     * 0 = UNK); static forwarder for generated code. */
   def encodeIds(word: UTF8String,
@@ -181,10 +245,14 @@ object BpeTokens {
     new GenericArrayData(out)
   }
 
-  /** The per-word merge loop (static forwarder for generated code). */
+  /** The per-word merge loop (unmemoized; the memo twins above wrap
+    * it — kept public as the spec-pinned ground truth). */
   def encode(word: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData =
+    encodeString(word.toString, ranks)
+
+  private def encodeString(s: String,
       ranks: java.util.HashMap[String, Integer]): ArrayData = {
-    val s = word.toString
     val syms = new java.util.ArrayList[String](s.length)
     var i = 0
     while (i < s.length) {

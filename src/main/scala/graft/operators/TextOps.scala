@@ -451,7 +451,8 @@ object TextOps {
     * to token granularity — no shuffle, no driver involvement. */
   def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)] = BpeMergesEn,
-      vocab: Seq[(String, Int)] = Nil): DataFrame = {
+      vocab: Seq[(String, Int)] = Nil,
+      carry: Seq[String] = Nil): DataFrame = {
     val v = if (vocab.nonEmpty) vocab else bpeVocab(df, textCol, merges)
     requireBpeTableSize(merges.size, v.size)
     def ids(w: Column): Column =
@@ -459,12 +460,16 @@ object TextOps {
         graft.functions.BpeEncodeIds(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(w),
           merges, v.toMap))
-    df.select(col(idCol), LlmOps.words(col(textCol)).as("__ws"))
-      .select(col(idCol),
+    // `carry` columns ride through the explode untouched — the pack
+    // attaches its per-doc offsets BEFORE this pass so no join (and no
+    // shuffle) ever happens at token granularity
+    val keep = (col(idCol) +: carry.map(col)).toIndexedSeq
+    df.select(keep :+ LlmOps.words(col(textCol)).as("__ws"): _*)
+      .select(keep :+
         posexplode(flatten(transform(col("__ws"), w => ids(w))))
-          .as(Seq("pos", "tid")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        col("tid").cast("long").as("tid"))
+          .as(Seq("pos", "tid")): _*)
+      .select(keep ++ Seq(col("pos").cast("long").as("pos"),
+        col("tid").cast("long").as("tid")): _*)
   }
 
   /** Concat-and-chunk packing of REAL token ids — the GPT-style last
@@ -527,8 +532,16 @@ object TextOps {
           bpeTokenCountCol(col(textCol), merges).as("__n"))
         .join(ord, Seq(idCol)))
       .select(col("shard"), col(idCol), col("__off"))
-    bpeEncodeIds(df, idCol, textCol, merges, vocab)
-      .join(offsets, Seq(idCol))
+    // r18 (CurriculumStageProbe-named fix): attach the offsets at DOC
+    // granularity BEFORE the encode, so the join is doc-sized and the
+    // encode's token rows flow straight into the cut arithmetic — the
+    // old shape joined the ENCODE OUTPUT to the offsets, a corpus-
+    // sized sort-merge shuffle at TOKEN granularity (~45 s of the
+    // sf10 pack's 121 s; at 100 TB it would dominate outright). Same
+    // rows, same values — only the join granularity moved.
+    bpeEncodeIds(
+      df.select(col(idCol), col(textCol)).join(offsets, Seq(idCol)),
+      idCol, textCol, merges, vocab, carry = Seq("shard", "__off"))
       .select(col("shard"),
         // integer `div`, matching the oracle's `//`: a double quotient
         // would round across a cut once global offsets reach the 2^53
