@@ -67,10 +67,22 @@ object Bench {
       // so a chained generation is visible in the bench artifact itself.
       val prov = try {
         val p = java.nio.file.Paths.get(sfDir, "_PROVENANCE.json")
-        if (java.nio.file.Files.exists(p))
-          new String(java.nio.file.Files.readAllBytes(p),
+        if (java.nio.file.Files.exists(p)) {
+          val raw = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8).trim
-        else "null"
+          // a malformed/hand-edited provenance file must not make the
+          // whole bench artifact unparseable: validate before embedding
+          // verbatim, fall back to a JSON-escaped string otherwise
+          try {
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+            raw
+          } catch {
+            case _: Throwable =>
+              "\"" + raw.replace("\\", "\\\\").replace("\"", "\\\"")
+                .replace("\n", "\\n").replace("\r", "\\r")
+                .replace("\t", "\\t") + "\""
+          }
+        } else "null"
       } catch { case _: Throwable => "null" }
       s""""corpus":{"tables":${parts.flatten.mkString("{", ",", "}")},""" +
         s""""provenance":$prov}"""
@@ -133,14 +145,47 @@ object Bench {
       "cost (CC memoized by its first pass since r6), llm_dedup_groups " +
       "measures full CC; canary_start/canary_end are a fixed 3-query " +
       "triple timed before/after the corpus - end >> start means host " +
-      "contention during the run, distrust the totals; 'passes' in the " +
+      "contention during the run, distrust the totals; canary_ref_ratio " +
+      "compares the end (and _start the start) canary sum against the " +
+      "committed CANARY_REF.json clean-run reference - low_trust=true " +
+      "(both > 2x) means steady contention the within-run drift cannot " +
+      "see; 'passes' in the " +
       "lossless twin has both raw pass times per query; 'corpus' stamps " +
       "row counts + content fingerprints + generation recipe so corpus " +
       "drift is separable from code drift across rounds"
     def cjson(c: Seq[(String, Double)]) = c.map { case (k, v) =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Absolute canary anchor (r18 verdict task #2): the within-run
+    // drift ratio cannot see STEADY contention (the r18 driver's 534 s
+    // record read drift 0.69 = "clean" while uniformly ~3.6x slow), so
+    // compare both canary passes against a committed per-sf reference
+    // (CANARY_REF.json, median of known-clean runs). low_trust fires
+    // only when START AND END both sit > 2x the reference sum - start
+    // alone carries JVM warmup noise, end alone can catch a late
+    // stall; both elevated = the host was contended across the run.
+    val (refRatioStart, refRatioEnd, lowTrust) = try {
+      val refPath = java.nio.file.Paths.get("CANARY_REF.json")
+      if (java.nio.file.Files.exists(refPath)) {
+        val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(refPath))
+        val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
+        val refs = tree.path("refs").path(sfKey)
+        val refSum = canaryNames.map(n => refs.path(n).asDouble(-1.0)).sum
+        if (refs.isMissingNode || refSum <= 0) (-1.0, -1.0, false)
+        else {
+          val cs0 = canaryStart.map(_._2).filter(_ >= 0).sum
+          val ce0 = canaryEnd.map(_._2).filter(_ >= 0).sum
+          val (rs, re) = (cs0 / refSum, ce0 / refSum)
+          (rs, re, rs > 2.0 && re > 2.0)
+        }
+      } else (-1.0, -1.0, false)
+    } catch { case _: Throwable => (-1.0, -1.0, false) }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
     val canaries = s""""canary_start":${cjson(canaryStart)},""" +
-      s""""canary_end":${cjson(canaryEnd)}"""
+      s""""canary_end":${cjson(canaryEnd)},""" +
+      s""""canary_ref_ratio_start":${r6(refRatioStart)},""" +
+      s""""canary_ref_ratio":${r6(refRatioEnd)},""" +
+      s""""low_trust":$lowTrust"""
     val passJson = passes.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.map(t => if (t._1) t._2 else -1.0)
         .mkString(",") + "]" }.mkString("{", ",", "}")
@@ -176,6 +221,7 @@ object Bench {
     val drift = if (cs > 0) r2(ce / cs) else -1.0
     println(s"""{"total_s":${r2(total)},"n_queries":${results.size},""" +
       s""""n_failed":${results.count(_._2 < 0)},"canary_drift":$drift,""" +
+      s""""canary_ref_ratio":${r2(refRatioEnd)},"low_trust":$lowTrust,""" +
       s""""slowest_5":$slowest5}""")
   }
 }

@@ -146,7 +146,14 @@ object BpeTokens {
   /** Entries per (thread, table) in the word-segmentation memo: word
     * frequency is Zipf, so a bounded LRU holds effectively the whole
     * useful head (≤ a few MB/thread at typical word/token sizes). */
-  private val MemoCap = 1 << 16
+  private[graft] val MemoCap = 1 << 16
+
+  /** Words longer than this bypass the memo entirely (computed, never
+    * stored): entry count alone does not bound BYTES, and long words
+    * are rarely repeated — the cap makes the per-thread memo's worst
+    * case ~64k entries × ≤64 chars (+ the segmentation array) ≈ a few
+    * MB regardless of corpus shape (r18 advice item). */
+  private[graft] val MemoMaxWordChars = 64
 
   private def newMemo[V](): java.util.LinkedHashMap[String, V] =
     new java.util.LinkedHashMap[String, V](1024, 0.75f, true) {
@@ -172,6 +179,7 @@ object BpeTokens {
       ThreadLocal.withInitial(() => newMemo[ArrayData]())
     def encode(word: UTF8String): ArrayData = {
       val key = word.toString
+      if (key.length > MemoMaxWordChars) return encodeString(key, ranks)
       val m = memo.get()
       val hit = m.get(key)
       if (hit != null) hit
@@ -199,7 +207,7 @@ object BpeTokens {
     def encodeIds(word: UTF8String): ArrayData = {
       val key = word.toString
       val m = memo.get()
-      val hit = m.get(key)
+      val hit = if (key.length > MemoMaxWordChars) null else m.get(key)
       if (hit != null) hit
       else {
         val syms = encodeString(key, ranks)
@@ -212,7 +220,7 @@ object BpeTokens {
           i += 1
         }
         val r = new GenericArrayData(out)
-        m.put(key, r)
+        if (key.length <= MemoMaxWordChars) m.put(key, r)
         r
       }
     }

@@ -319,6 +319,15 @@ object ImageOps {
     * payloads can't embed and so neither probe nor match — consistent
     * with the dedup family's "no perceptual information" rule.
     *
+    * The pin is RETAINED for the session (r18 advice item, documented
+    * contract): localCheckpoint blocks are released only by session GC
+    * or unpersist, and this helper cannot know when its caller's last
+    * action ran. Long-lived sessions that call imageAnnTopK repeatedly
+    * (probes timing it twice, interactive use) accumulate one pinned
+    * narrow frame per call — grid²·3 floats per image; callers that
+    * care should time/consume promptly or run inside a bounded
+    * session, as tools/MultimodalScaleProbe does.
+    *
     * `kCells`/`iters`/`nprobe` are the standard IVF knobs (see
     * annTopKIvf); recall at 100 TB is tuned with nprobe, cost with
     * kCells (≈ √n cells keeps occupancy ~√n). Not oracle-replayable

@@ -102,6 +102,25 @@ object LlmOps {
   def wordShingles(textCol: Column, n: Int): Column =
     shinglesOf(words(textCol), n)
 
+  /** [[strHash]] of every n-word shingle of a words array, as ONE
+    * native rolling pass per row ([[graft.functions.GramHashes]]) —
+    * the hash multiset `transform(shinglesOf(ws, n), strHash)` would
+    * produce, without materializing a single shingle string through
+    * interpreted higher-order lambdas. Bit-identical by the polynomial
+    * composition identity (spec-pinned in GramHashesSpec). */
+  def gramHashesOf(ws: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(ws), n))
+
+  /** The stupid-backoff five-hash probe tuple per trigram position
+    * ([[graft.functions.BackoffGramHashes]]): array of
+    * struct(h3, h2c, h2, h1c, h1), each gram hashed once per doc. */
+  def backoffGramHashesOf(ws: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BackoffGramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(ws)))
+
   /** (id, shingle-hash h). Words are projected once per row BEFORE the
     * shingle lambda (the projection boundary stops Catalyst from
     * inlining the split into the lambda); the explode is the scale-out.
@@ -112,10 +131,12 @@ object LlmOps {
   def shingleHashes(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       dedup: Boolean = true): DataFrame = {
+    // r19: hashes come straight from the native rolling kernel — the
+    // identical multiset the explode(shinglesOf)+strHash form produced
+    // (same row count, same values), with zero shingle strings built
     val hashed = df
       .select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(shinglesOf(col("__ws"), n)).as("__s"))
-      .select(col(idCol), strHash(col("__s")).as("h"))
+      .select(col(idCol), explode(gramHashesOf(col("__ws"), n)).as("h"))
     if (dedup) hashed.distinct() else hashed
   }
 

@@ -1724,66 +1724,148 @@ object TextOps {
     * never the rounded float — the knife-edge discipline
     * ext_stream_curation established.
     *
-    * Scale shape (the Brants construction): the three count tables are
-    * one explode + keyed agg each over the TRAIN split (a small
-    * reference corpus — CCNet's is Wikipedia), output bounded by
-    * distinct-gram count; [[log2Fixed]] runs once per distinct COUNT
-    * ROW, never per corpus token. The score side is one explode fused
-    * with the scan (shingle structs built per position, hashes scalar
-    * codegen after the explode — the [[LlmOps.shingleHashes]]
-    * discipline) and five left joins against the count tables — head
-    * tables broadcast, tail keyed, exactly the sharded count-table
-    * lookup of the paper — then ONE doc-keyed agg of integer sums. */
+    * Scale shape (the Brants construction, restructured in r19 — the
+    * stage probe `bench_r19_lm_gate_stages_sf10.json` measured the r18
+    * form at sf10 as pos-frame build 48.7 s / count tables 7.4 s /
+    * five-join score side 11.8 s of a 77.7 s total, overturning the
+    * suspected five-shuffle-join diagnosis exactly as the r18 pack
+    * probe overturned the rank/band suspicion):
+    *
+    *  - The TRAIN side is three explode + keyed aggs over the train
+    *    split, gram hashes computed by the native
+    *    [[graft.functions.GramHashes]] rolling kernel (one O(chars)
+    *    pass per doc) instead of interpreted shingle-string lambdas;
+    *    [[log2Fixed]] runs once per distinct COUNT ROW, never per
+    *    corpus token. The count tables are localCheckpoint-pinned:
+    *    they are read once per join build, the pin bounds their
+    *    recompute, and the pinned row counts drive the join-strategy
+    *    branch below. (The pins live until session GC like the
+    *    packTokenIdsBy pins — bounded by distinct-gram count.)
+    *  - The SCORE side was the dominant cost as interpreted work, not
+    *    as shuffles: the r18 position frame built FIVE shingle strings
+    *    per trigram position through a `transform` lambda and hashed
+    *    each (unigram/bigram hashes computed twice). Now
+    *    [[graft.functions.BackoffGramHashes]] emits the five probe
+    *    hashes per position from the same rolling pass — no shingle
+    *    strings exist at all, each gram hashed once.
+    *  - The five count-table lookups pick their join strategy by
+    *    MEASURED size, not estimate: when the pinned tables total ≤
+    *    `maxBroadcastRows` (default 2M rows ≈ low hundreds of MB of
+    *    hashed relation — the guide's "usually fine" broadcast band;
+    *    env `SPARK_GRAFT_LM_BCAST_MAXROWS` overrides, and the full
+    *    oracle gate is replayed with the override forcing each branch)
+    *    they are explicitly broadcast — the token-granularity frame is
+    *    never shuffled, the exact CCNet shape (the reference corpus is
+    *    small by construction). Past the threshold — the 100 TB shape
+    *    with a Wikipedia-scale reference — the three tables tag-union
+    *    into ONE frame keyed by `k = h·4 + level` (injective:
+    *    [[LlmOps.strHash]] < 2^30 so k < 2^32), each position explodes
+    *    into five (slot, k) probes, ONE left join on k resolves every
+    *    lookup, and a (doc, position) regroup pivots the slots back
+    *    into columns — two keyed passes over the probe frame instead
+    *    of five SMJ re-shuffles, with AQE splitting skewed probe
+    *    partitions (stopword grams concentrate keys).
+    *
+    * Both branches produce bit-identical scores: the pivot
+    * reconstructs exactly the five left-join results (k is injective
+    * and unique per count table, so each (position, slot) matches at
+    * most the single row the broadcast join matches), the kernel
+    * hashes equal the concat_ws+PolyHash composition by the rolling
+    * identity (spec-pinned in GramHashesSpec), and the per-doc sums
+    * are order-free integers — proven by the dual-scale oracle replay
+    * of BOTH branches and the probe checksum in
+    * `bench_r19_lm_gate_stages_sf10.json`. */
   def lmStupidBackoff(
       df: DataFrame, idCol: String, textCol: String,
-      trainPred: Column, threshBits: Int = 8): DataFrame = {
+      trainPred: Column, threshBits: Int = 8): DataFrame =
+    lmStupidBackoffImpl(df, idCol, textCol, trainPred, threshBits,
+      maxBroadcastRows = sys.env.get("SPARK_GRAFT_LM_BCAST_MAXROWS")
+        .map(_.toLong).getOrElse(2000000L))
+
+  private[graft] def lmStupidBackoffImpl(
+      df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column, threshBits: Int,
+      maxBroadcastRows: Long): DataFrame = {
     require(threshBits >= 1, s"threshBits must be positive: $threshBits")
     val F = 1L << 20
 
-    def counts(n: Int): DataFrame = {
-      val base = df.filter(trainPred)
-        .select(LlmOps.words(col(textCol)).as("__ws"))
-      val grams =
-        if (n == 1) base.select(explode(col("__ws")).as("__g"))
-        else base.select(explode(LlmOps.shinglesOf(col("__ws"), n)).as("__g"))
-      grams.select(LlmOps.strHash(col("__g")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("c"))
-    }
+    def counts(n: Int): DataFrame = df.filter(trainPred)
+      .select(LlmOps.words(col(textCol)).as("__ws"))
+      .select(explode(LlmOps.gramHashesOf(col("__ws"), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
     val uni = counts(1).select(col("h"), col("c"),
       log2Fixed(col("c")).as("f"), log2Fixed(col("c") + 1L).as("fp"))
+      .localCheckpoint(true)
     val bi = counts(2).select(col("h"), log2Fixed(col("c")).as("f"))
+      .localCheckpoint(true)
     val tri = counts(3).select(col("h"), log2Fixed(col("c")).as("f"))
-    // the unigram floor's add-one denominator: one row, broadcast
-    val tot = counts(1).agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+      .localCheckpoint(true)
+    // the unigram floor's add-one denominator: one row, broadcast.
+    // Derived from the pinned uni (which carries c) — no extra train
+    // scan, identical numbers (uni IS counts(1) row for row).
+    val tot = uni.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
       .select(log2Fixed(col("__n") + col("__v")).as("__ft"))
 
     val pos = df
       .select(col(idCol), LlmOps.words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 3)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("__ws")) - 3),
-        i => {
-          val ws = col("__ws")
-          struct(
-            concat_ws(" ", ws(i), ws(i + 1), ws(i + 2)).as("s3"),
-            concat_ws(" ", ws(i), ws(i + 1)).as("s2c"),
-            concat_ws(" ", ws(i + 1), ws(i + 2)).as("s2"),
-            ws(i + 1).as("s1c"),
-            ws(i + 2).as("s1"))
-        })).as("__g"))
       .select(col(idCol),
-        LlmOps.strHash(col("__g.s3")).as("h3"),
-        LlmOps.strHash(col("__g.s2c")).as("h2c"),
-        LlmOps.strHash(col("__g.s2")).as("h2"),
-        LlmOps.strHash(col("__g.s1c")).as("h1c"),
-        LlmOps.strHash(col("__g.s1")).as("h1"))
+        posexplode(LlmOps.backoffGramHashesOf(col("__ws")))
+          .as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"),
+        col("__g.h3").as("h3"), col("__g.h2c").as("h2c"),
+        col("__g.h2").as("h2"), col("__g.h1c").as("h1c"),
+        col("__g.h1").as("h1"))
 
-    pos
-      .join(tri.select(col("h").as("h3"), col("f").as("f3")), Seq("h3"), "left")
-      .join(bi.select(col("h").as("h2c"), col("f").as("f2c")), Seq("h2c"), "left")
-      .join(bi.select(col("h").as("h2"), col("f").as("f2")), Seq("h2"), "left")
-      .join(uni.select(col("h").as("h1c"), col("f").as("f1c")), Seq("h1c"), "left")
-      .join(uni.select(col("h").as("h1"), col("fp").as("f1p")), Seq("h1"), "left")
+    val nCnt = uni.count() + bi.count() + tri.count()
+    val scored =
+      if (nCnt <= maxBroadcastRows) {
+        // measured-small count tables: broadcast them — the
+        // token-granularity frame is never shuffled
+        pos
+          .join(broadcast(tri.select(col("h").as("h3"), col("f").as("f3"))),
+            Seq("h3"), "left")
+          .join(broadcast(bi.select(col("h").as("h2c"), col("f").as("f2c"))),
+            Seq("h2c"), "left")
+          .join(broadcast(bi.select(col("h").as("h2"), col("f").as("f2"))),
+            Seq("h2"), "left")
+          .join(broadcast(uni.select(col("h").as("h1c"), col("f").as("f1c"))),
+            Seq("h1c"), "left")
+          .join(broadcast(uni.select(col("h").as("h1"), col("fp").as("f1p"))),
+            Seq("h1"), "left")
+      } else {
+        // the 100 TB shape: one lookup table keyed k = h*4 + level
+        // (v the log2Fixed count, vp the add-one variant — unigram
+        // rows only, the one slot that reads it), five (slot, k)
+        // probes per position, ONE join, pivot back by (id, __pos)
+        val nl = lit(null).cast("long")
+        val cnt = tri.select((col("h") * 4 + 3).as("k"), col("f").as("v"),
+            nl.as("vp"))
+          .unionByName(bi.select((col("h") * 4 + 2).as("k"), col("f").as("v"),
+            nl.as("vp")))
+          .unionByName(uni.select((col("h") * 4 + 1).as("k"), col("f").as("v"),
+            col("fp").as("vp")))
+        pos.select(col(idCol), col("__pos"), explode(array(
+            struct(lit(0).as("slot"), (col("h3") * 4 + 3).as("k")),
+            struct(lit(1).as("slot"), (col("h2c") * 4 + 2).as("k")),
+            struct(lit(2).as("slot"), (col("h2") * 4 + 2).as("k")),
+            struct(lit(3).as("slot"), (col("h1c") * 4 + 1).as("k")),
+            struct(lit(4).as("slot"), (col("h1") * 4 + 1).as("k")))).as("__p"))
+          .select(col(idCol), col("__pos"),
+            col("__p.slot").as("__slot"), col("__p.k").as("k"))
+          .join(cnt, Seq("k"), "left")
+          .select(col(idCol), col("__pos"), col("__slot"),
+            when(col("__slot") === 4, col("vp")).otherwise(col("v")).as("__v"))
+          .groupBy(col(idCol), col("__pos"))
+          .agg(
+            max(when(col("__slot") === 0, col("__v"))).as("f3"),
+            max(when(col("__slot") === 1, col("__v"))).as("f2c"),
+            max(when(col("__slot") === 2, col("__v"))).as("f2"),
+            max(when(col("__slot") === 3, col("__v"))).as("f1c"),
+            max(when(col("__slot") === 4, col("__v"))).as("f1p"))
+      }
+
+    scored
       .crossJoin(broadcast(tot))
       .select(col(idCol),
         // c3>0 implies its prefix bigram occurred (f2c defined), and

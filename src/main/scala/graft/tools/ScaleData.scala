@@ -175,10 +175,25 @@ object ScaleData {
         else "null"
       val depth = 1 + "\"chain_depth\":(\\d+)".r
         .findFirstMatchIn(parent).map(_.group(1).toInt).getOrElse(0)
+      // A partial regeneration (onlyTables) into an existing outDir is
+      // exactly the mixed-generation scenario the stamp exists to
+      // adjudicate (r18 advice item): record the regenerated subset and
+      // keep the directory's PRIOR stamp as prior_stamp so the mix is
+      // readable from the artifact alone. A full regeneration stamps
+      // "only":null and drops any stale prior.
+      val onlyJson =
+        if (only.isEmpty) "null"
+        else only.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
+      val outStampPath = java.nio.file.Paths.get(outDir, "_PROVENANCE.json")
+      val prior =
+        if (only.nonEmpty && java.nio.file.Files.exists(outStampPath))
+          new String(java.nio.file.Files.readAllBytes(outStampPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else "null"
       val stamp = s"""{"recipe":"graft.tools.ScaleData","src":"$srcDir",""" +
-        s""""factor":$factor,"chain_depth":$depth,"parent":$parent}"""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outDir, "_PROVENANCE.json"),
+        s""""factor":$factor,"chain_depth":$depth,"only":$onlyJson,""" +
+        s""""prior_stamp":$prior,"parent":$parent}"""
+      java.nio.file.Files.write(outStampPath,
         (stamp + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[scaledata] could not stamp provenance: $e") }

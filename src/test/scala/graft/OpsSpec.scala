@@ -725,6 +725,51 @@ class OpsSpec extends AnyFunSuite {
       s"BPE counting must be per-row, no shuffle:\n$plan")
   }
 
+  test("BPE memo: >64k distinct words exercise LRU eviction and the " +
+    "long-word bypass; every output equals the unmemoized kernel") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.BpeTokens
+    val merges = Seq(("t", "h"), ("i", "n"), ("a", "n"), ("th", "e"), ("an", "d"))
+    val ranks = new java.util.HashMap[String, Integer]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      ranks.put(a + " " + b, i + 1) }
+    val ids = new java.util.HashMap[String, Integer]
+    Seq("th", "the", "in", "an", "and", "t", "h", "i", "n", "g")
+      .zipWithIndex.foreach { case (s, i) => ids.put(s, i + 1) }
+    val table = new BpeTokens.Table(merges)
+    val idTable = new BpeTokens.IdTable(merges,
+      Seq("th", "the", "in", "an", "and", "t", "h", "i", "n", "g")
+        .zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap)
+    def syms(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+      a.toObjectArray(StringType).map(_.toString).toSeq
+    // > MemoCap distinct words on ONE thread (the memo is per-thread),
+    // streamed twice in opposite orders so the head of pass 1 is
+    // evicted by its tail and must re-encode in pass 2 — the
+    // removeEldestEntry hot path the r18 round never exercised; plus a
+    // word past MemoMaxWordChars (bypass, never stored) and Zipf-style
+    // repeats (hits must return the identical segmentation).
+    assert(BpeTokens.MemoCap === 65536)
+    val n = BpeTokens.MemoCap + 8192
+    val longWord = "thinganด" * 32 // 256 chars, unicode, > 64-char cap
+    def word(i: Int): String =
+      if (i % 4096 == 0) longWord
+      else if (i % 7 == 0) "another" // Zipf head: repeated hits
+      else s"thing${i}and"
+    var checked = 0
+    ((0 until n).iterator ++ (n - 1 to 0 by -1).iterator).foreach { i =>
+      val w = UTF8String.fromString(word(i))
+      val viaMemo = syms(table.encode(w))
+      val ref = syms(BpeTokens.encode(w, ranks))
+      assert(viaMemo === ref, s"word(${i})")
+      val viaIdMemo = idTable.encodeIds(w).toIntArray().toSeq
+      val refIds = BpeTokens.encodeIds(w, ranks, ids).toIntArray().toSeq
+      assert(viaIdMemo === refIds, s"ids word(${i})")
+      checked += 1
+    }
+    assert(checked === 2 * n)
+  }
+
   test("BpeApplyMerge: left-to-right non-overlapping single pass — runs " +
     "of matches merge at even offsets only") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
