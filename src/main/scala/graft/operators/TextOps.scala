@@ -1003,8 +1003,8 @@ object TextOps {
     val nLines = size(lines).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
     val meanLen = sumLen.cast("double") / nWords
-    val nHash = length(text) - length(regexp_replace(text, "#", ""))
-    val nEll = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEll = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
     val symbolRatio = (nHash + nEll).cast("double") / nWords
     val bulletFrac = size(filter(lines, l =>
       startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
@@ -1035,9 +1035,15 @@ object TextOps {
       rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
       rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
       rStop.as("r_stop"),
-      gopherKeep(text, minWords, maxWords, minMeanWordLen,
-        maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
-        minAlphaFrac, minStopwords).as("keep"))
+      // r19: keep is the conjunction of the flags ALREADY computed in
+      // this projection — the previous gopherKeep(text, ...) call
+      // duplicated the whole signal tree (splits + four interpreted
+      // filter/aggregate lambdas) inside the same project, and
+      // codegen subexpression elimination does not cover the
+      // interpreted HOF fallbacks. coalesce(..., false) reproduces
+      // gopherKeep's NULL-text → false contract bit for bit.
+      coalesce(rWords && rMeanLen && rSymbol && rBullet &&
+        rEllipsis && rAlpha && rStop, lit(false)).as("keep"))
   }
 
   /** The [[gopherRules]] `keep` conjunction as a standalone per-row
@@ -1059,8 +1065,8 @@ object TextOps {
     val nLines = size(lines).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
     val meanLen = sumLen.cast("double") / nWords
-    val nHash = length(text) - length(regexp_replace(text, "#", ""))
-    val nEll = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEll = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
     val symbolRatio = (nHash + nEll).cast("double") / nWords
     val bulletFrac = size(filter(lines, l =>
       startswith(l, lit("- ")) || startswith(l, lit("* ")) ||

@@ -165,15 +165,21 @@ object LmGateStageProbe {
     val twinRow = scoreR18(pos)
       .select(col("n_grams"),
         round(-col("__sum").cast("double") / (col("n_grams") * lit(F)), 6)
-          .as("bpg"),
+          .as("bits_per_gram"),
         (-col("__sum") <= col("n_grams") * lit(8L * F))
           .cast("long").as("kept"))
-      .agg(sum("n_grams"), sum("kept"), sum("bpg")).head()
+      .agg(sum("n_grams"), sum("kept"),
+        sum(round(col("bits_per_gram") * 1e6).cast("long"))).head()
+    // order-free checksum: per-doc bits_per_gram is a rounded double
+    // (identical per row across shapes), but a float SUM depends on
+    // partition order — scale to integral micro-units first so the
+    // checksum itself is deterministic
     def chk(d: org.apache.spark.sql.DataFrame): String = {
-      val r = d.agg(sum("n_grams"), sum("kept"), sum("bits_per_gram")).head()
-      s"${r.getLong(0)}/${r.getLong(1)}/${r.getDouble(2)}"
+      val r = d.agg(sum("n_grams"), sum("kept"),
+        sum(round(col("bits_per_gram") * 1e6).cast("long"))).head()
+      s"${r.getLong(0)}/${r.getLong(1)}/${r.getLong(2)}"
     }
-    val twinChk = s"${twinRow.getLong(0)}/${twinRow.getLong(1)}/${twinRow.getDouble(2)}"
+    val twinChk = s"${twinRow.getLong(0)}/${twinRow.getLong(1)}/${twinRow.getLong(2)}"
     val prodChk = chk(prod)
     val bcastChk = chk(prodB)
     val shufChk = chk(prodS)
