@@ -2320,10 +2320,20 @@ object TextOps {
     * and DROP the whole document when fewer than `minSegs` segments
     * survive (C4's "pages with fewer than 5 sentences" rule).
     *
-    * Entirely per-row: index-based higher-order array functions — the
-    * keep decision and the reassembly both run over `sequence(0,n-1)`
-    * with slices, NO explode, NO shuffle; fuses with the scan at any
-    * scale, and the doc-level drop is an ordinary filter. */
+    * Entirely per-row — since r19 as ONE native compiled pass
+    * ([[graft.functions.C4CleanText]]): the previous relational form
+    * ran the keep decision and the reassembly through index-based
+    * higher-order lambdas (`filter(sequence)`, `exists(slice)`,
+    * `transform + array_join(slice)`) which evaluate INTERPRETED and
+    * allocate a fresh array per segment slice — the same
+    * interpreted-HOF hot path the r19 LM-gate probe named, on the
+    * query (`llm_curation2_e2e`) that became the sf10 heavy set's top
+    * cost after the gate fix. The kernel reproduces the composed
+    * form's split/lower/slice/join semantics exactly (spec-pinned in
+    * C4CleanTextSpec; every rider query re-proven against the full
+    * dual-scale oracle gate). Still NO explode, NO shuffle; fuses with
+    * the scan at any scale, and the doc-level drop is an ordinary
+    * filter. */
   def c4Clean(
       df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, minSegWords: Int = 5, minSegs: Int = 3,
@@ -2333,24 +2343,18 @@ object TextOps {
     require(window > 0, s"segment window must be positive: $window")
     require(minSegWords >= 1 && minSegWords <= window,
       s"minSegWords must be in [1, window]: $minSegWords")
-    val ws = split(col(textCol), " ")
-    val wsl = split(lower(col(textCol)), " ")
-    val blk = array(blacklist.map(lit): _*)
-    val n = size(ws).cast("long")
-    val nseg = ceil(n / lit(window.toDouble)).cast("long")
-    val keptIdx = filter(sequence(lit(0L), nseg - 1L), i =>
-      least(lit(window.toLong), n - i * window) >= minSegWords &&
-        !exists(slice(wsl, (i * window + 1L).cast("int"), lit(window)),
-          w => array_contains(blk, w)))
+    val kernel = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.C4CleanText(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col(textCol)),
+        window, minSegWords, blacklist))
     // `carry` threads extra columns (event time, provenance) through —
     // the streaming ingest composition needs the timestamp to survive
-    df.select(col(idCol) +: carry.map(col) :+ ws.as("__ws") :+
-        nseg.as("n_total") :+ keptIdx.as("__keep"): _*)
-      .select(col(idCol) +: carry.map(col) :+ col("n_total") :+
-        size(col("__keep")).cast("long").as("n_kept") :+
-        array_join(transform(col("__keep"), i =>
-          array_join(slice(col("__ws"), (i * window + 1L).cast("int"),
-            lit(window)), " ")), " ").as("text_clean"): _*)
+    df.select(col(idCol) +: carry.map(col) :+ kernel.as("__c4"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("__c4.n_total").as("n_total") :+
+        col("__c4.n_kept").as("n_kept") :+
+        col("__c4.text_clean").as("text_clean"): _*)
       .filter(col("n_kept") >= minSegs)
   }
 
