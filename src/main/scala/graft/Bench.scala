@@ -170,11 +170,22 @@ object Bench {
           .readTree(java.nio.file.Files.readAllBytes(refPath))
         val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
         val refs = tree.path("refs").path(sfKey)
-        val refSum = canaryNames.map(n => refs.path(n).asDouble(-1.0)).sum
-        if (refs.isMissingNode || refSum <= 0) (-1.0, -1.0, false)
+        // sentinel hygiene (advice): the ratio is only meaningful when
+        // EVERY canary has a committed reference AND every measured
+        // canary pass succeeded — a partial ref file or one failed
+        // canary would otherwise silently skew the ratio (biasing
+        // low_trust toward not firing) instead of declaring "unknown"
+        val refsComplete = !refs.isMissingNode &&
+          canaryNames.forall(n => refs.path(n).isNumber &&
+            refs.path(n).asDouble(-1.0) > 0)
+        val measured = canaryStart.map(_._2) ++ canaryEnd.map(_._2)
+        val measuredOk = measured.size == 2 * canaryNames.size &&
+          measured.forall(_ >= 0)
+        if (!refsComplete || !measuredOk) (-1.0, -1.0, false)
         else {
-          val cs0 = canaryStart.map(_._2).filter(_ >= 0).sum
-          val ce0 = canaryEnd.map(_._2).filter(_ >= 0).sum
+          val refSum = canaryNames.map(n => refs.path(n).asDouble(-1.0)).sum
+          val cs0 = canaryStart.map(_._2).sum
+          val ce0 = canaryEnd.map(_._2).sum
           val (rs, re) = (cs0 / refSum, ce0 / refSum)
           (rs, re, rs > 2.0 && re > 2.0)
         }

@@ -1745,8 +1745,23 @@ object TextOps {
     *    corpus token. The count tables are localCheckpoint-pinned:
     *    they are read once per join build, the pin bounds their
     *    recompute, and the pinned row counts drive the join-strategy
-    *    branch below. (The pins live until session GC like the
-    *    packTokenIdsBy pins — bounded by distinct-gram count.)
+    *    branch below.
+    *
+    * EAGERNESS + RETAINED-PIN CONTRACT (documented like
+    * [[graft.operators.ImageOps.imageAnnTopK]]): CONSTRUCTING the
+    * returned frame runs Spark jobs — three eager localCheckpoints of
+    * the count tables plus their row counts (the measured-size branch
+    * needs real sizes before planning; estimates were the fragility
+    * this replaced) — and the three pinned tables are RETAINED until
+    * session GC or unpersist: this helper cannot know when its
+    * caller's last action over the returned frame has run, so it never
+    * releases them itself. Size is bounded by the train split's
+    * distinct-gram count (uni+bi+tri rows, 4 longs each), NOT the
+    * corpus; long-lived sessions that call this repeatedly accumulate
+    * one pinned table-triple per call and should consume promptly or
+    * run inside a bounded session (as tools/LmGateStageProbe does). At
+    * a Wikipedia-scale reference the triple is executor-storage
+    * pressure worth releasing between calls.
     *  - The SCORE side was the dominant cost as interpreted work, not
     *    as shuffles: the r18 position frame built FIVE shingle strings
     *    per trigram position through a `transform` lambda and hashed
@@ -1785,8 +1800,11 @@ object TextOps {
       df: DataFrame, idCol: String, textCol: String,
       trainPred: Column, threshBits: Int = 8): DataFrame =
     lmStupidBackoffImpl(df, idCol, textCol, trainPred, threshBits,
+      // a malformed env value must not break every call — fall back to
+      // the default rather than throwing NumberFormatException (advice)
       maxBroadcastRows = sys.env.get("SPARK_GRAFT_LM_BCAST_MAXROWS")
-        .map(_.toLong).getOrElse(2000000L))
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(2000000L))
 
   private[graft] def lmStupidBackoffImpl(
       df: DataFrame, idCol: String, textCol: String,
@@ -1812,13 +1830,21 @@ object TextOps {
     val tot = uni.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
       .select(log2Fixed(col("__n") + col("__v")).as("__ft"))
 
+    // __rk: a per-input-row key unique even when idCol carries
+    // duplicates (or nulls) — the tag-union pivot below groups by it,
+    // so positions from two rows sharing an id can never collapse into
+    // one (id, pos) group (which would diverge from the broadcast
+    // branch; advice item). Unused columns prune away in the broadcast
+    // branch, so it costs nothing there.
     val pos = df
       .select(col(idCol), LlmOps.words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 3)
-      .select(col(idCol),
+      .select(col(idCol), monotonically_increasing_id().as("__rk"),
+        col("__ws"))
+      .select(col(idCol), col("__rk"),
         posexplode(LlmOps.backoffGramHashesOf(col("__ws")))
           .as(Seq("__pos", "__g")))
-      .select(col(idCol), col("__pos"),
+      .select(col(idCol), col("__rk"), col("__pos"),
         col("__g.h3").as("h3"), col("__g.h2c").as("h2c"),
         col("__g.h2").as("h2"), col("__g.h1c").as("h1c"),
         col("__g.h1").as("h1"))
@@ -1851,18 +1877,18 @@ object TextOps {
             nl.as("vp")))
           .unionByName(uni.select((col("h") * 4 + 1).as("k"), col("f").as("v"),
             col("fp").as("vp")))
-        pos.select(col(idCol), col("__pos"), explode(array(
+        pos.select(col(idCol), col("__rk"), col("__pos"), explode(array(
             struct(lit(0).as("slot"), (col("h3") * 4 + 3).as("k")),
             struct(lit(1).as("slot"), (col("h2c") * 4 + 2).as("k")),
             struct(lit(2).as("slot"), (col("h2") * 4 + 2).as("k")),
             struct(lit(3).as("slot"), (col("h1c") * 4 + 1).as("k")),
             struct(lit(4).as("slot"), (col("h1") * 4 + 1).as("k")))).as("__p"))
-          .select(col(idCol), col("__pos"),
+          .select(col(idCol), col("__rk"), col("__pos"),
             col("__p.slot").as("__slot"), col("__p.k").as("k"))
           .join(cnt, Seq("k"), "left")
-          .select(col(idCol), col("__pos"), col("__slot"),
+          .select(col(idCol), col("__rk"), col("__pos"), col("__slot"),
             when(col("__slot") === 4, col("vp")).otherwise(col("v")).as("__v"))
-          .groupBy(col(idCol), col("__pos"))
+          .groupBy(col(idCol), col("__rk"), col("__pos"))
           .agg(
             max(when(col("__slot") === 0, col("__v"))).as("f3"),
             max(when(col("__slot") === 1, col("__v"))).as("f2c"),

@@ -167,11 +167,25 @@ object ScaleData {
     // one-step from chained without a control run. chain_depth 1 =
     // one-step from a driver-generated corpus.
     try {
+      // A malformed/hand-edited prior or parent stamp must not make the
+      // NEW stamp unparseable (advice; the same guard Bench applies
+      // before embedding provenance): validate as JSON, fall back to a
+      // JSON-escaped string otherwise.
+      def jsonOrEscaped(raw: String): String =
+        try {
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+          raw
+        } catch {
+          case _: Throwable =>
+            "\"" + raw.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r")
+              .replace("\t", "\\t") + "\""
+        }
       val parentPath = java.nio.file.Paths.get(srcDir, "_PROVENANCE.json")
       val parent =
         if (java.nio.file.Files.exists(parentPath))
-          new String(java.nio.file.Files.readAllBytes(parentPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim
+          jsonOrEscaped(new String(java.nio.file.Files.readAllBytes(parentPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
         else "null"
       val depth = 1 + "\"chain_depth\":(\\d+)".r
         .findFirstMatchIn(parent).map(_.group(1).toInt).getOrElse(0)
@@ -187,8 +201,8 @@ object ScaleData {
       val outStampPath = java.nio.file.Paths.get(outDir, "_PROVENANCE.json")
       val prior =
         if (only.nonEmpty && java.nio.file.Files.exists(outStampPath))
-          new String(java.nio.file.Files.readAllBytes(outStampPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim
+          jsonOrEscaped(new String(java.nio.file.Files.readAllBytes(outStampPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim)
         else "null"
       val stamp = s"""{"recipe":"graft.tools.ScaleData","src":"$srcDir",""" +
         s""""factor":$factor,"chain_depth":$depth,"only":$onlyJson,""" +
