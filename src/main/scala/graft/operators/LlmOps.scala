@@ -140,6 +140,24 @@ object LlmOps {
     if (dedup) hashed.distinct() else hashed
   }
 
+  /** (id, term, tf) — per-document n-shingle hash counts from the
+    * per-row kernel [[graft.functions.GramTfPairs]]: the (doc, term)
+    * grouping never leaves the row, so the corpus-shingle-sized
+    * `groupBy(id, h)` exchange the composed
+    * `shingleHashes + groupBy.count` form paid is deleted outright
+    * (guide §2.4; r20 sf10 probe `bench_r20_tfidf_stages_sf10.json`).
+    * Hash identity with [[shingleHashes]] is by construction — the
+    * kernel calls the same [[graft.functions.GramHashKernel]] pass. */
+  def shingleTf(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.GramTfPairs(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col("__ws")), n))).as("__t"))
+      .select(col(idCol), col("__t.term").as("term"), col("__t.tf").as("tf"))
+
   /** MinHash signature: one row per document, columns m0..m{k-1}.
     * Single hash pass + one groupBy(id) with k min aggregates — partial
     * (map-side) aggregation keeps the shuffle narrow. */
@@ -1863,7 +1881,21 @@ object LlmOps {
     * cost). Each round checkpoints its frame and releases the previous
     * one so both the lineage and the block-manager footprint stay
     * bounded. Throws if `maxIters` rounds pass without a fixpoint,
-    * rather than returning a silently-wrong labeling. */
+    * rather than returning a silently-wrong labeling.
+    *
+    * KNOWN SCALE LIMIT (r20 probe finding, unresolved): the
+    * `crossModalDupGroups` union graph at sf10 (500k docs) needs MORE
+    * than 25 rounds (16 already at sf1 — long payload/simhash chain
+    * components; `bench_r20_cc_iters_sf1.json`), and simply raising
+    * this cap to 60 was measured to make things WORSE: round wall
+    * time grew with round index (1.8 → 5 → 13 min) until Catalyst's
+    * size-in-bytes stats estimation overflowed BigInteger at planning
+    * time around round 40 — i.e. on that graph something accumulates
+    * across rounds that the per-round localCheckpoint should be
+    * truncating. Until that growth is understood (CcIterProbe is the
+    * tool), the cap stays at 25: a clean, early, attributable failure
+    * beats a 40-round death march into a planner crash. Every
+    * oracle-scale graph converges in ≤ 16 rounds. */
   def dedupGroups(
       ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {

@@ -666,14 +666,38 @@ object TextOps {
     * a useful minSim. Size the cap from the probe's one-pass df
     * histogram (exact predicted volume Σ df·(df−1)/2), and treat
     * faster-than-corpus volume growth as the cue to strip boilerplate
-    * (stripBoilerplate) before pairing. */
+    * (stripBoilerplate) before pairing.
+    *
+    * r20 (probe `bench_r20_tfidf_stages_sf10.json`, sf10 stage
+    * attribution of the scoring join the r19 verdict flagged):
+    *  - the prescribed term-salted two-level pre-aggregation of the
+    *    (doc_a, doc_b) dots was MEASURED 2× SLOWER (19.9 s → 40.7 s):
+    *    salting multiplies rows into a second shuffle without
+    *    shrinking the pair-group space — rejected, one-level stays;
+    *  - the tf frame now comes from the per-row kernel
+    *    ([[LlmOps.shingleTf]]): the (doc, term) counts never needed a
+    *    shuffle;
+    *  - the two norm joins against the PAIR-sized dots frame (117.9M
+    *    rows at sf10, planned SortMergeJoin — 14 SMJ / 0 BHJ in the
+    *    sf10 plan) broadcast the DOC-sized norm table when the corpus
+    *    is measurably small enough (one cheap metadata count; env
+    *    `SPARK_GRAFT_TFIDF_BCAST_MAXDOCS` overrides, default 2M docs ≈
+    *    tens of MB hashed): scoring tail 32.6 s → 18.4 s (1.77×).
+    *    Past the threshold (the 100 TB shape) the joins stay
+    *    sort-merge — a billion-row norm table must not broadcast.
+    *
+    * EAGERNESS: the branch decision runs one `df.count()` at
+    * DataFrame-construction time (metadata-cheap on a parquet scan;
+    * the lmStupidBackoff measured-size discipline — estimates were
+    * exactly what mis-planned the sf10 joins). */
   def sparseCosinePairs(
       df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       minDf: Long = 2L, maxDfFrac: Double = 0.05,
       minSim: Double = 0.35): DataFrame = {
-    val tf = LlmOps.shingleHashes(df, idCol, textCol, n, dedup = false)
-      .withColumnRenamed("h", "term")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val maxBcastDocs = sys.env.get("SPARK_GRAFT_TFIDF_BCAST_MAXDOCS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(2000000L)
+    val tf = LlmOps.shingleTf(df, idCol, textCol, n)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
     val wt = tf.join(dfreq, Seq("term"))
@@ -682,7 +706,8 @@ object TextOps {
         col("df") <= floor(lit(maxDfFrac) * col("n_docs")))
       .select(col(idCol), col("term"),
         expr("tf * (1000000 div df)").as("w"))
-    val nrm = wt.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    val nrm0 = wt.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    val nrm = if (df.count() <= maxBcastDocs) broadcast(nrm0) else nrm0
     val dots = wt.select(col(idCol).as("doc_a"), col("term"), col("w").as("wa"))
       .join(wt.select(col(idCol).as("doc_b"), col("term"), col("w").as("wb")),
         Seq("term"))
@@ -2270,14 +2295,29 @@ object TextOps {
     * (target distribution instead of labels, counts instead of a
     * trained discriminator).
     *
-    * Scale shape per round: the feature frame is built ONCE and
-    * persisted (each round reads it twice); the weight table is
-    * nBuckets rows — broadcast into the scoring join; the two
-    * aggregations (doc-keyed logits, bucket-keyed gradients) are both
-    * map-side-combined keyed shuffles of the feature frame, the same
-    * shape as one [[classifierScore]] pass; weights localCheckpoint
-    * per round (constant-size lineage, superseded blocks released) —
-    * the [[LlmOps.kmeansCentroids]] training discipline. */
+    * Scale shape per round: the weight table is nBuckets rows —
+    * broadcast into the scoring join; the two aggregations (doc-keyed
+    * logits, bucket-keyed gradients) are both map-side-combined keyed
+    * shuffles of the feature frame, the same shape as one
+    * [[classifierScore]] pass.
+    *
+    * Round chaining (r20, probe-measured): for `iters` ≤
+    * `SPARK_GRAFT_CLASSIFIER_FUSE_MAXITERS` (default 4) the rounds are
+    * chained IN ONE LAZY PLAN — no per-round localCheckpoint, no
+    * persist: the feature frame's exchange subtree is identical at
+    * every reference, so Spark's exchange reuse computes it once, and
+    * the whole training runs as one job at action time. The sf10 probe
+    * (`bench_r20_classifier_train_stages_sf10.json`) put the
+    * checkpointed loop at 9.3 s vs 3.1 s fused on the production query
+    * (count-forced), with bit-identical weights — the per-round eager
+    * checkpoint jobs WERE the cost (they also explain the r19 driver's
+    * anomalous 0.35 core-scaling reading: fixed per-job overhead, not
+    * compute). Past the threshold the checkpointed loop returns
+    * (constant-size lineage — plan depth grows per chained round, the
+    * [[LlmOps.kmeansCentroids]] training discipline); the returned
+    * frame is then pinned, where the fused form re-trains per action —
+    * callers that act repeatedly on a small-iters result should
+    * localCheckpoint it themselves. */
   def classifierTrain(
       pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, iters: Int = 3, scale: Long = 1L << 20,
@@ -2288,6 +2328,8 @@ object TextOps {
       s"scale/lr must be positive: $scale $lrNum $lrDen")
     val FP = 1L << 20
     val spark = pos.sparkSession
+    val fuseMax = sys.env.get("SPARK_GRAFT_CLASSIFIER_FUSE_MAXITERS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(4)
     // (y, id) keys a doc — ids need only be unique WITHIN each side
     def feats(df: DataFrame, y: Int): DataFrame = df
       .select(col(idCol).as("__r"), col(textCol))
@@ -2295,6 +2337,34 @@ object TextOps {
       .select(lit(y).as("y"), col("__r"),
         pmod(LlmOps.strHash(col("__w")), lit(nBuckets.toLong)).as("bucket"))
       .distinct()
+    if (iters <= fuseMax) {
+      // fused branch: one lazy plan, exchange reuse dedupes the feature
+      // frame, zero training-time Spark jobs
+      val f = feats(pos, 1).unionByName(feats(neg, 0))
+      val nd = f.groupBy(col("y"), col("__r"))
+        .agg(count(lit(1)).as("__n"))
+      var w: DataFrame = spark.range(nBuckets)
+        .select(col("id").as("bucket"), lit(0L).as("w"))
+      for (_ <- 1 to iters) {
+        val z = f.join(broadcast(w), Seq("bucket"))
+          .groupBy(col("y"), col("__r"))
+          .agg(sum(col("w")).as("__zn"))
+          .join(nd, Seq("y", "__r"))
+        val p = greatest(lit(0.0), least(lit(1.0),
+          lit(0.5) + col("__zn").cast("double") /
+            (lit(4.0 * scale) * col("__n"))))
+        val err = z.select(col("y"), col("__r"),
+          (round(p * FP, 0).cast("long") - col("y") * FP).as("__e"))
+        val grad = f.join(err, Seq("y", "__r"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("__e")).as("__g"))
+        w = w.join(grad, Seq("bucket"), "left")
+          .select(col("bucket"),
+            (col("w") - expr(s"coalesce(__g, 0L) * $lrNum div $lrDen"))
+              .as("w"))
+      }
+      return w
+    }
     val f = feats(pos, 1).unionByName(feats(neg, 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nd = f.groupBy(col("y"), col("__r"))
@@ -2510,11 +2580,23 @@ object TextOps {
     * coverage, not raw count — a pure max, so no cross-engine
     * tie-break ambiguity.
     *
-    * Scale shape: ONE explode producing the 2..10-gram stream off a
-    * single materialized words array (~9 rows per word), one keyed agg
-    * to (doc, n, gram) counts, one re-agg to (doc, n), one conditional
-    * fold to a row per doc — the tfDf shuffle family; nothing pairs,
-    * nothing broadcasts, cost is linear in corpus tokens. */
+    * Scale shape — NO shuffle at all (r20): every grouping in this
+    * battery is WITHIN one document, so the (doc, n, gram) counts and
+    * the per-(doc, n) top/dup coverages are computed by ONE compiled
+    * pass per row ([[graft.functions.GopherRepCoverage]]) and the
+    * whole operator fuses with the scan. The r13 relational form (one
+    * posexplode + an 18-lead window + a corpus-gram-sized hash agg,
+    * ~9 gram rows per word) was measured at sf10 by the r20 stage
+    * probe: the explode + (doc, n, gram) aggregation was 43 s of the
+    * 51.6 s query — shuffling 230M rows to group data that never
+    * leaves its row. The kernel reproduces the relational form's gram
+    * key (polynomial fold of word PolyHashes mod 1e9+7 — what the
+    * DuckDB oracle replays), its max-over-occurrences length
+    * semantics, and its null/empty renderings exactly (spec-pinned in
+    * GopherRepCoverageSpec; dual-scale oracle green). Duplicate ids:
+    * each row is now scored independently — the old form merged gram
+    * counts across rows sharing (id, chars); ids are unique in every
+    * declared corpus and the operator's contract. */
   def gopherRepetition(
       df: DataFrame, idCol: String, textCol: String,
       topThresholds: Map[Int, Double] =
@@ -2522,64 +2604,25 @@ object TextOps {
       dupThresholds: Map[Int, Double] =
         Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
             9 -> 0.11, 10 -> 0.10)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ns = (topThresholds.keySet ++ dupThresholds.keySet).toSeq.sorted
     require(ns.nonEmpty && ns.min >= 2,
       s"n-gram sizes must be >= 2: $ns")
-    val maxN = ns.max
-    val base = df.select(col(idCol),
-      length(col(textCol)).cast("long").as("__chars"))
-    // String-free gram stream: ONE posexplode to word rows carrying only
-    // (wordhash, wordlen) ints, then every n-gram's count key is a
-    // polynomial fold of word hashes assembled from window `lead`s —
-    // no gram string is ever built (a first cut that array_join'd every
-    // 2..10-gram measured 5.5 s at sf0.1: the 9-per-word string
-    // construction WAS the cost, not shuffle bytes). The key is
-    // deterministic and oracle-replayed; a within-doc hash collision
-    // would merge two gram counts — vanishingly unlikely and harmless
-    // to a threshold signal. Gram char length = Σ word lens + (n−1).
-    val wordsF = df
-      .select(col(idCol), length(col(textCol)).cast("long").as("__chars"),
-        posexplode(LlmOps.words(col(textCol))).as(Seq("__pos", "__w")))
-      .select(col(idCol), col("__chars"), col("__pos"),
-        LlmOps.strHash(col("__w")).as("__wh"),
-        length(col("__w")).cast("long").as("__wl"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val leadCols = (1 until maxN).flatMap(k => Seq(
-      lead(col("__wh"), k).over(win).as(s"__h$k"),
-      lead(col("__wl"), k).over(win).as(s"__l$k")))
-    val led = wordsF.select(
-      Seq(col(idCol), col("__chars"), col("__wh"), col("__wl")) ++
-        leadCols: _*)
-    def ghash(n: Int): Column = (1 until n).foldLeft(col("__wh"))(
-      (acc, k) => (acc * 31L + col(s"__h$k")) % LlmOps.HashP)
-    def glen(n: Int): Column = (1 until n).foldLeft(col("__wl"))(
-      (acc, k) => acc + col(s"__l$k")) + lit((n - 1).toLong)
-    val gramArr = array(ns.map { n =>
-      when(col(s"__h${n - 1}").isNotNull,
-        struct(lit(n).as("n"), ghash(n).as("h"), glen(n).as("l")))
-    }: _*)
-    val counts = led
-      .select(col(idCol), col("__chars"),
-        explode(filter(gramArr, x => x.isNotNull)).as("__g"))
-      .select(col(idCol), col("__chars"), col("__g.n").as("__n"),
-        col("__g.h").as("__h"), col("__g.l").as("__l0"))
-      .groupBy(col(idCol), col("__chars"), col("__n"), col("__h"))
-      .agg(count(lit(1)).as("__c"), max(col("__l0")).as("__l"))
-    val cov = col("__c") * col("__l")
-    val perN = counts
-      .groupBy(col(idCol), col("__chars"), col("__n"))
-      .agg(max(cov).as("__top"),
-        sum(when(col("__c") >= 2, cov)).as("__dup"))
-    val aggs: Seq[Column] =
-      topThresholds.keys.toSeq.sorted.map(n =>
-        coalesce(max(when(col("__n") === n, col("__top"))), lit(0L))
-          .as(s"__top_$n")) ++
-        dupThresholds.keys.toSeq.sorted.map(n =>
-          coalesce(max(when(col("__n") === n, col("__dup"))), lit(0L))
-            .as(s"__dup_$n"))
-    val perDoc = perN.groupBy(col(idCol), col("__chars"))
-      .agg(aggs.head, aggs.tail: _*)
+    val topNs = topThresholds.keys.toSeq.sorted
+    val dupNs = dupThresholds.keys.toSeq.sorted
+    val covCol = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.GopherRepCoverage(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          LlmOps.words(col(textCol))), topNs, dupNs))
+    // NULL text → NULL struct → coalesce to 0, the exact rendering the
+    // old left-join + na.fill(0) path produced for docs with no grams
+    val perDoc = df.select(col(idCol),
+        length(col(textCol)).cast("long").as("__chars"),
+        covCol.as("__cov"))
+      .select(Seq(col(idCol), col("__chars")) ++
+        topNs.map(n =>
+          coalesce(col(s"__cov.top_$n"), lit(0L)).as(s"__top_$n")) ++
+        dupNs.map(n =>
+          coalesce(col(s"__cov.dup_$n"), lit(0L)).as(s"__dup_$n")): _*)
     // fractions + flags on unrounded values
     val chars = col("__chars").cast("double")
     val fracs =
@@ -2604,14 +2647,11 @@ object TextOps {
         expr(s"CAST((2000000 * $c + __chars) DIV (2 * __chars) AS DOUBLE)")
           / lit(1e6))
         .otherwise(round(col(c) / chars, 6))
-    // Fill ONLY the coverage columns: a doc with no grams scores all
-    // zeros, but a NULL text must keep its NULL chars so the fractions
-    // come out NULL in BOTH engines (a blanket fill would turn Spark's
-    // 0/0 into NaN where the oracle yields NULL).
-    base.select(col(idCol), col("__chars"))
-      .join(perDoc.drop("__chars"), Seq(idCol), "left")
-      .na.fill(0L, ns.flatMap(n => Seq(s"__top_$n", s"__dup_$n"))
-        .filter(perDoc.columns.contains))
+    // Coverage columns are already 0 for docs with no grams (kernel)
+    // and 0 via coalesce for NULL text — whose NULL chars still makes
+    // every fraction NULL in both engines, exactly as the old
+    // left-join + scoped na.fill rendered it.
+    perDoc
       .select(col(idCol) +:
         fracs.map { case (name, c, _) => renderedFrac(c).as(name) } :+
         coalesce(keep, lit(false)).as("keep"): _*)

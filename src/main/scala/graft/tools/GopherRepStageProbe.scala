@@ -89,6 +89,51 @@ object GopherRepStageProbe {
     val countsSec = timed2("gopher_rep: through (doc,n,gram) counts")(
       noop(mkCounts))
 
+    // ---- full relational twin (the pre-r20 shape, end to end) ----
+    val topThresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThresholds = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    def mkRelational: DataFrame = {
+      val base = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("__chars"))
+      val cov = col("__c") * col("__l")
+      val perN = mkCounts
+        .groupBy(col("doc_id"), col("__chars"), col("__n"))
+        .agg(max(cov).as("__top"),
+          sum(when(col("__c") >= 2, cov)).as("__dup"))
+      val aggs: Seq[Column] =
+        topThresholds.keys.toSeq.sorted.map(n =>
+          coalesce(max(when(col("__n") === n, col("__top"))), lit(0L))
+            .as(s"__top_$n")) ++
+          dupThresholds.keys.toSeq.sorted.map(n =>
+            coalesce(max(when(col("__n") === n, col("__dup"))), lit(0L))
+              .as(s"__dup_$n"))
+      val perDoc = perN.groupBy(col("doc_id"), col("__chars"))
+        .agg(aggs.head, aggs.tail: _*)
+      val chars = col("__chars").cast("double")
+      val fracs =
+        topThresholds.keys.toSeq.sorted.map(n =>
+          (s"top_${n}gram_frac", s"__top_$n", topThresholds(n))) ++
+          dupThresholds.keys.toSeq.sorted.map(n =>
+            (s"dup_${n}gram_frac", s"__dup_$n", dupThresholds(n)))
+      val keep = fracs.map { case (_, c, th) => col(c) / chars <= th }
+        .reduce(_ && _)
+      def renderedFrac(c: String): Column =
+        when(col("__chars") > 0,
+          expr(s"CAST((2000000 * $c + __chars) DIV (2 * __chars) AS DOUBLE)")
+            / lit(1e6))
+          .otherwise(round(col(c) / chars, 6))
+      base.select(col("doc_id"), col("__chars"))
+        .join(perDoc.drop("__chars"), Seq("doc_id"), "left")
+        .na.fill(0L, (2 to 10).flatMap(n => Seq(s"__top_$n", s"__dup_$n"))
+          .filter(perDoc.columns.contains))
+        .select(col("doc_id") +:
+          fracs.map { case (name, c, _) => renderedFrac(c).as(name) } :+
+          coalesce(keep, lit(false)).as("keep"): _*)
+    }
+    val relationalSec = timed2("gopher_rep: relational form e2e (noop)")(
+      noop(mkRelational))
+
     def prod = TextOps.gopherRepetition(docs, "doc_id", "text")
     val prodNoopSec = timed2("gopher_rep: production (noop)")(noop(prod))
     val prodCountSec = timed2("gopher_rep: production (count)") {
@@ -108,12 +153,15 @@ object GopherRepStageProbe {
       s"${r.getLong(0)}/${r.getLong(1)}/${if (r.isNullAt(2)) 0L else r.getLong(2)}"
     }
     val prodChk = chk(prod)
+    val relationalChk = chk(mkRelational)
 
     println(
       s"""{"probe":"gopher_rep_stages","dir":"$dir","n_docs":$nDocs,""" +
         s""""words_sec":$wordsSec,"led_sec":$ledSec,"counts_sec":$countsSec,""" +
+        s""""relational_e2e_sec":$relationalSec,""" +
         s""""prod_noop_sec":$prodNoopSec,"prod_count_sec":$prodCountSec,""" +
-        s""""prod_chk":"$prodChk"}""")
+        s""""prod_chk":"$prodChk","relational_chk":"$relationalChk",""" +
+        s""""chk_equal":${prodChk == relationalChk}}""")
     spark.stop()
   }
 }

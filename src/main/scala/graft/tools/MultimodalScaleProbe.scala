@@ -90,9 +90,21 @@ object MultimodalScaleProbe {
         docs, "doc_id", "text", "payload", n = n)
         .filter(col("canonical_id") =!= col("doc_id")).count()
       val (i1, kept) = timed(incr)
-      val (c1, dups) = timed(cross)
+      // crossModalDupGroups exceeds dedupGroups' round cap past ~sf1
+      // (the r20 CcIterProbe finding): a 25-round death march ending in
+      // a throw must not cost the probe its image decade rows — skip
+      // the stage above the env threshold (and Try-guard it below it),
+      // recording -1
+      val crossMaxDocs = sys.env.get("SPARK_GRAFT_MM_CROSS_MAXDOCS")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(Long.MaxValue)
+      val (c1, dups) =
+        if (n > crossMaxDocs) (-1.0, -1L)
+        else try timed(cross) catch { case _: Throwable => (-1.0, -1L) }
       val (i2, _) = timed(incr)
-      val (c2, _) = timed(cross)
+      val (c2, _) =
+        if (c1 < 0) (-1.0, -1L)
+        else try timed(cross) catch { case _: Throwable => (-1.0, -1L) }
 
       // real-PNG corpus: one image per doc, ~10 docs per distinct seed
       val seedMod = math.max(1L, n / 10L)

@@ -75,6 +75,13 @@ object TfidfStageProbe {
         .select(col("doc_id"), col("term"),
           expr("tf * (1000000 div df)").as("w"))
     }
+    // weight-frame breakdown: the shingle+tf half vs the df join half
+    def mkTf: DataFrame =
+      LlmOps.shingleHashes(docs, "doc_id", "text", 3, dedup = false)
+        .withColumnRenamed("h", "term")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tfSec = timed2("tfidf: tf frame (shingles + (doc,term) agg)")(
+      noop(mkTf))
     val wtSec = timed2("tfidf: weight frame build")(noop(mkWt))
     val wt = mkWt.localCheckpoint(true)
     val nWt = wt.count()
@@ -100,8 +107,10 @@ object TfidfStageProbe {
     val dotsTwoSec = timed2("tfidf: dots two-level salted (pinned wt)")(
       noop(dotsTwo(wt)))
 
-    def tail(dots: DataFrame, w: DataFrame): DataFrame = {
-      val nrm = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    def tail(dots: DataFrame, w: DataFrame,
+        bcastNorms: Boolean = false): DataFrame = {
+      val nrm0 = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+      val nrm = if (bcastNorms) broadcast(nrm0) else nrm0
       val sim = col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
       dots
@@ -116,6 +125,10 @@ object TfidfStageProbe {
       noop(tail(dotsOne(wt), wt)))
     val scoreTwoSec = timed2("tfidf: full score two-level (pinned wt)")(
       noop(tail(dotsTwo(wt), wt)))
+    // §3.1 arm: the two norm joins against the pair-sized dots frame,
+    // with the DOC-sized norm table explicitly broadcast
+    val scoreBcastSec = timed2("tfidf: full score bcast-norms (pinned wt)")(
+      noop(tail(dotsOne(wt), wt, bcastNorms = true)))
 
     def prod = TextOps.sparseCosinePairs(docs, "doc_id", "text",
       n = 3, minDf = 2L, maxDfFrac = 0.05, minSim = minSim)
@@ -137,19 +150,27 @@ object TfidfStageProbe {
     val prodChk = chkSim(prod)
     val oneSimChk = chkSim(tail(dotsOne(wt), wt))
     val twoSimChk = chkSim(tail(dotsTwo(wt), wt))
+    val bcastSimChk = chkSim(tail(dotsOne(wt), wt, bcastNorms = true))
+    // which join strategy production actually plans for the norm joins
+    val prodPlan = prod.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val prodSmj = "SortMergeJoin".r.findAllIn(prodPlan).length
+    val prodBhj = "BroadcastHashJoin".r.findAllIn(prodPlan).length
 
     println(
       s"""{"probe":"tfidf_score_stages","dir":"$dir","n_docs":$nDocs,""" +
         s""""n_wt":$nWt,"salts":$salts,""" +
-        s""""wt_sec":$wtSec,""" +
+        s""""tf_sec":$tfSec,"wt_sec":$wtSec,""" +
         s""""dots_onelevel_sec":$dotsOneSec,"dots_twolevel_sec":$dotsTwoSec,""" +
         s""""score_onelevel_sec":$scoreOneSec,"score_twolevel_sec":$scoreTwoSec,""" +
+        s""""score_bcast_norms_sec":$scoreBcastSec,""" +
         s""""prod_noop_sec":$prodNoopSec,"prod_count_sec":$prodCountSec,""" +
+        s""""prod_plan_smj":$prodSmj,"prod_plan_bhj":$prodBhj,""" +
         s""""dots_chk_one":"$oneChk","dots_chk_two":"$twoChk",""" +
         s""""sim_chk_one":"$oneSimChk","sim_chk_two":"$twoSimChk",""" +
-        s""""sim_chk_prod":"$prodChk",""" +
+        s""""sim_chk_bcast":"$bcastSimChk","sim_chk_prod":"$prodChk",""" +
         s""""chk_equal":${oneChk == twoChk && oneSimChk == twoSimChk &&
-          oneSimChk == prodChk}}""")
+          oneSimChk == prodChk && oneSimChk == bcastSimChk}}""")
     spark.stop()
   }
 }

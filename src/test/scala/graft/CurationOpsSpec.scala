@@ -313,17 +313,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out(1L).getAs[Boolean]("keep"))
   }
 
-  test("gopherRepetition plan: no pair join, no cartesian, and ONE " +
-    "hash shuffle — every aggregation reuses the window's doc-id " +
-    "partitioning") {
-    val df = Seq((1L, goodText)).toDF("doc_id", "text")
+  test("gopherRepetition plan: no join, no cartesian, and ZERO " +
+    "shuffles — the coverage kernel keeps every gram in its row (r20; " +
+    "the r13 relational form paid one window shuffle + a corpus-gram " +
+    "hash agg)") {
+    // Range input — a local Seq constant-folds the whole per-row plan
+    // into a LocalTableScan and there is nothing left to assert on
+    val df = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit(goodText), lit(" "), col("id")).as("text"))
     val plan = TextOps.gopherRepetition(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles === 1,
-      s"expected exactly 1 hash shuffle (the window's), got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"expected a shuffle-free per-row plan:\n$plan")
+    assert(plan.contains("graft_gopher_rep_coverage"), plan)
   }
 
   // ----- probabilistic score sampling ---------------------------------
@@ -493,6 +497,57 @@ class CurationOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("classifierTrain: fused in-plan rounds (iters <= fuse max) are " +
+    "bit-identical to the checkpointed loop (forced past the threshold) " +
+    "— the r20 probe's equality pin, as a unit test") {
+    val pos = clsPos.toDF("doc_id", "text")
+    val neg = clsNeg.toDF("doc_id", "text")
+    def weights(iters: Int) =
+      TextOps.classifierTrain(pos, neg, "doc_id", "text",
+        nBuckets = 32, iters = iters, lrDen = 64L)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // iters=4 takes the fused branch (default threshold), iters=5 the
+    // checkpointed loop. The env threshold can't be flipped in-process,
+    // so pin the cross-branch identity as chain-extension: one manual
+    // GD round applied on top of the fused 4-round weights must equal
+    // the checkpointed 5-round result bit for bit — true only if both
+    // branches compute identical rounds.
+    val w4 = weights(4)
+    assert(w4 === weights(4), "fused training must be rerun-identical")
+    // one more checkpointed-loop round over w4 must equal weights(5):
+    // replicate round 5 arithmetic directly on top of the fused result
+    val FP = 1L << 20
+    val f = Seq(1, 0).map { y =>
+      (if (y == 1) pos else neg)
+        .select(col("doc_id").as("__r"),
+          explode(split(lower(col("text")), " ")).as("__w"))
+        .select(lit(y).as("y"), col("__r"),
+          pmod(graft.operators.LlmOps.strHash(col("__w")), lit(32L))
+            .as("bucket"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val nd = f.groupBy(col("y"), col("__r")).agg(count(lit(1)).as("__n"))
+    val wDf = w4.toDF("bucket", "w")
+    val z = f.join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col("y"), col("__r")).agg(sum(col("w")).as("__zn"))
+      .join(nd, Seq("y", "__r"))
+    val p = greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) + col("__zn").cast("double") /
+        (lit(4.0 * (1L << 20)) * col("__n"))))
+    val err = z.select(col("y"), col("__r"),
+      (round(p * FP, 0).cast("long") - col("y") * FP).as("__e"))
+    val grad = f.join(err, Seq("y", "__r"))
+      .groupBy(col("bucket")).agg(sum(col("__e")).as("__g"))
+    val w5manual = wDf.join(grad, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("w") - expr("coalesce(__g, 0L) * 1 div 64")).as("w"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(w5manual === weights(5),
+      "checkpointed round 5 must extend the fused 4-round weights exactly")
   }
 
   // ----- stupid-backoff trigram LM (LT28) ----------------------------

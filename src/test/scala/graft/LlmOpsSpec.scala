@@ -1042,6 +1042,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.size === 3, "filler docs must contribute no pairs")
   }
 
+  test("shingleTf: per-row kernel (doc, term, tf) equals the composed " +
+    "shingleHashes + groupBy form bit for bit (r20 — the tf shuffle " +
+    "the kernel deletes)") {
+    val rng = new scala.util.Random(20260819L)
+    val vocab = Seq("the", "of", "ünï", "😀x", "a", "bb", "", "ccc")
+    val docs = (1L to 40L).map { i =>
+      (i, (Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+        :+ "end").mkString(" "))
+    }.toDF("doc_id", "text")
+    (1 to 3).foreach { n =>
+      val kernel = LlmOps.shingleTf(docs, "doc_id", "text", n)
+        .orderBy("doc_id", "term").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val composed = LlmOps.shingleHashes(docs, "doc_id", "text", n,
+          dedup = false)
+        .groupBy(col("doc_id"), col("h").as("term"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "term").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(kernel === composed, s"n=$n")
+    }
+  }
+
   test("annTopKIvfQuantized: same cells and mostly the same neighbors as " +
     "the full-precision IVF path") {
     val vecs = TestSpark.spark.read
